@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2.4/§7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB-runnable twin in [[oracleSql]]
+  * (hash-compared by the driver at sf0.01) unless the operator is not
+  * SQL-expressible. Column names and types are aligned across the two
+  * engines; every query ends in a total ORDER BY; float aggregates are
+  * rounded before compare.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q02(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_grid_explode" -> (GridQueries.q14 _),
+    "q15_radiation_rollup" -> (GridQueries.q15 _),
+    "q16_tz_partition_key" -> (GridQueries.q16 _),
+  ) ++ Relational.queries
+
+  def oracleSql: Map[String, String] = Map(
+    "q14_grid_explode" -> GridQueries.q14Oracle,
+    "q15_radiation_rollup" -> GridQueries.q15Oracle,
+    "q16_tz_partition_key" -> GridQueries.q16Oracle,
+  ) ++ Relational.oracles
 }

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+
+Reads each parquet result written by graft.Verify plus outDir/oracle_sql.json,
+runs every oracle statement in DuckDB with views registered over the sfDir
+parquet tables, and value-compares (columns sorted by name, exact values).
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
+    problems = []
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        problems.append(f"columns differ: spark={list(a.columns)} duck={list(b.columns)}")
+        return problems
+    if len(a) != len(b):
+        problems.append(f"row count differs: spark={len(a)} duck={len(b)}")
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av_n, bv_n = av.astype("float64"), bv.astype("float64")
+            eq = (av_n.isna() & bv_n.isna()) | (av_n == bv_n)
+        else:
+            eq = (av.isna() & bv.isna()) | (av.astype(str) == bv.astype(str))
+        bad = (~eq).to_numpy().nonzero()[0]
+        if len(bad):
+            i = bad[0]
+            problems.append(
+                f"col {c}: {len(bad)} mismatched rows; first at {i}: "
+                f"spark={av.iloc[i]!r} duck={bv.iloc[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    ok, fail = [], []
+    for name in sorted(oracles):
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            fail.append((name, ["no spark result parquet"]))
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        try:
+            duck_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            fail.append((name, [f"oracle SQL failed: {e}"]))
+            continue
+        problems = compare(name, spark_df, duck_df)
+        (fail if problems else ok).append((name, problems))
+    for name, _ in ok:
+        print(f"PASS {name}")
+    for name, problems in fail:
+        print(f"FAIL {name}")
+        for p in problems:
+            print(f"  - {p}")
+    print(f"\n{len(ok)} passed, {len(fail)} failed")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
