@@ -22,11 +22,13 @@ object SparkEntry {
     "q14_grid_explode" -> (GridQueries.q14 _),
     "q15_radiation_rollup" -> (GridQueries.q15 _),
     "q16_tz_partition_key" -> (GridQueries.q16 _),
-  ) ++ Relational.queries
+  ) ++ Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
+    Similarity.queries ++ Events.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q14_grid_explode" -> GridQueries.q14Oracle,
     "q15_radiation_rollup" -> GridQueries.q15Oracle,
     "q16_tz_partition_key" -> GridQueries.q16Oracle,
-  ) ++ Relational.oracles
+  ) ++ Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
+    Similarity.oracles ++ Events.oracles ++ MultimodalQueries.oracles
 }

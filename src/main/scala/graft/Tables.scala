@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Test-data table loader. Each table is one parquet file under the
   * scale-factor directory (TESTDATA.md). Reads stay lazy so Catalyst can
@@ -8,5 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 has no
+    * native type for (PARQUET_TYPE_ILLEGAL by default). Read the raw
+    * nanos as long (legacy conf) and floor-divide to microseconds —
+    * exactly the truncation DuckDB applies when it loads the same file
+    * into its microsecond TIMESTAMP.
+    */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

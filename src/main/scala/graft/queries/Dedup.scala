@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.CrossHash
+import graft.functions.CrossHash.{P, h60Sql, universalSql}
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2.3 E1/E2):
+  * exact (q17), MinHash+LSH banding (q21), SimHash (q22), and n-gram
+  * Jaccard (q23). All hashing goes through [[CrossHash]] so the DuckDB
+  * oracle reproduces every value bit-for-bit.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- q17
+
+  /** Exact dedup keyed on md5(text), NOT on the raw text: at 100 TB the
+    * group-by key that shuffles is 16 bytes, not the document body.
+    * Map-side partial aggregation collapses local duplicates before the
+    * exchange.
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("text_md5"), col("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  val q17Oracle: String =
+    """SELECT min(doc_id) AS keep_doc_id, md5(text) AS text_md5,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** MinHash + LSH near-dup candidates over 3-word shingles.
+    *
+    * Pipeline: tokenize → distinct 3-shingles → 60-bit content hash →
+    * 16 universal hashes, min-aggregated per doc (map-side partial min:
+    * the shuffle carries one 16-long signature per doc, never the
+    * shingles) → 4 bands of 4 rows md5'd into bucket keys → self-join on
+    * (band, bucket) yields candidates → signature agreement estimates
+    * Jaccard. At 100 TB the banding join is the scale trick (candidates
+    * ≪ n²); hot buckets (boilerplate docs) would be capped or salted.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val sigs = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+          .stripMargin)).as("shingle"))
+      .withColumn("h", CrossHash.h60(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(CrossHash.universal(col("h"), 0)).as("m0"),
+        (1 until NumHashes).map(j =>
+          min(CrossHash.universal(col("h"), j)).as(s"m$j")): _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand)
+        .map(r => col(s"m${b * RowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", rows: _*)).as("bh"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.bh").as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"x.m$j") === col(s"y.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sigs.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q21Oracle: String = {
+    val minhashes = (0 until NumHashes)
+      .map(j => s"min(${universalSql("h", j)}) AS m$j").mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand)
+        .map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $rows)) AS bh FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    val agree = (0 until NumHashes)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t
+       |  WHERE tok <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+       |    FROM toks
+       |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+       |  WHERE shingle IS NOT NULL),
+       |hs AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |       $minhashes
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b, ($agree) / ${NumHashes}.0 AS est_jaccard
+       |FROM cand c
+       |JOIN mh x ON c.doc_a = x.doc_id
+       |JOIN mh y ON c.doc_b = y.doc_id
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q22
+
+  /** 60-bit SimHash per document, computed entirely inside nested
+    * higher-order functions: no row explosion, no shuffle at all — a
+    * narrow map over documents that scales embarrassingly. (The DuckDB
+    * oracle takes the explicit tokens × bits route; both reduce to the
+    * same integer.) Bit b is set iff the frequency-weighted sum of
+    * ±1 contributions from token-hash bit b is >= 0.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("hs", expr(
+        """transform(filter(split(text, ' '), t -> t <> ''),
+          |  t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"""
+          .stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  transform(sequence(0, 59), b ->
+          |    CASE WHEN aggregate(hs, cast(0 as bigint),
+          |           (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1
+          |                                  THEN 1 ELSE -1 END) >= 0
+          |         THEN shiftleft(cast(1 as bigint), b)
+          |         ELSE cast(0 as bigint) END),
+          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  val q22Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) t
+       |  WHERE tok <> ''),
+       |th AS (SELECT doc_id, ${h60Sql("tok")} AS h FROM toks),
+       |contrib AS (
+       |  SELECT doc_id, r.range AS i,
+       |         CASE WHEN (h >> CAST(r.range AS INT)) & 1 = 1
+       |              THEN 1 ELSE -1 END AS c
+       |  FROM th, range(0, 60) r),
+       |pb AS (SELECT doc_id, i, sum(c) AS s FROM contrib GROUP BY doc_id, i),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s >= 0
+       |                  THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+       |                  ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM pb GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, sh.simhash
+       |FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+
+  /** Pairwise character-4-gram Jaccard over a deterministic 1/25th doc
+    * sample — the quadratic exact baseline that MinHash (q21)
+    * approximates. Kept bounded on purpose: the self-join on shared
+    * grams is the part that does NOT scale, which is why the LSH path
+    * exists.
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, length(text)-3), i -> substr(text, i, 4)))"))
+        .as("gram"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.n") + col("sb.n") - col("inter")).as("uni"),
+        (col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q23Oracle: String =
+    """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(r.range AS INT), 4) AS gram
+      |  FROM sub, range(1, 601) r
+      |  WHERE r.range <= length(text) - 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM grams a JOIN grams b
+      |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, i.inter,
+      |       sa.n + sb.n - i.inter AS uni,
+      |       i.inter / (sa.n + sb.n - i.inter) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON i.doc_a = sa.doc_id
+      |JOIN sizes sb ON i.doc_b = sb.doc_id
+      |WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.2
+      |ORDER BY i.doc_a, i.doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_dedup_exact" -> (q17 _),
+    "q21_minhash_lsh" -> (q21 _),
+    "q22_simhash" -> (q22 _),
+    "q23_ngram_jaccard" -> (q23 _))
+
+  val oracles: Map[String, String] = Map(
+    "q17_dedup_exact" -> q17Oracle,
+    "q21_minhash_lsh" -> q21Oracle,
+    "q22_simhash" -> q22Oracle,
+    "q23_ngram_jaccard" -> q23Oracle)
+}

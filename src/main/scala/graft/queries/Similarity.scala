@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.VectorOps
+
+/** Similarity-search operators over `embedding: array<float>` columns
+  * (SURVEY.md §2.3 E3): brute-force cosine top-k (q19) as the exact
+  * baseline, IVF cluster-pruned ANN (q24) as the scale path, and
+  * per-label vector statistics (q30).
+  *
+  * Vector math is double-precision HOFs ([[VectorOps]]) folded strictly
+  * left-to-right, matching the oracle's in-order `sum` over `unnest` —
+  * similarities are bit-identical before the final display rounding.
+  */
+object Similarity {
+
+  /** DuckDB cosine between two list columns in double precision,
+    * mirroring [[VectorOps.cosine]] element order. Emits a CTE pair:
+    * `<name>_un` (unnested) and `<name>` (per-pair sim).
+    * Input CTE must expose (pid, nid, pe, ne).
+    */
+  private def cosineCtes(src: String, name: String): String =
+    s"""${name}_un AS (
+       |  SELECT pid, nid, CAST(unnest(pe) AS DOUBLE) AS x,
+       |         CAST(unnest(ne) AS DOUBLE) AS y
+       |  FROM $src),
+       |$name AS (
+       |  SELECT pid, nid,
+       |         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+       |  FROM ${name}_un GROUP BY pid, nid)""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+
+  /** Brute-force cosine top-3 for 5 probe vectors. The probe side is
+    * broadcast, so the candidate scan is a single narrow pass — the
+    * right plan when probes ≪ corpus. Ranking happens on the rounded
+    * similarity with neighbor-id tie-break so both engines agree.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cands = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val sims = broadcast(probes).crossJoin(cands)
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("pe"), col("ce")), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val q19Oracle: String =
+    s"""WITH pairs AS (
+       |  SELECT p.vec_id AS pid, c.vec_id AS nid,
+       |         p.embedding AS pe, c.embedding AS ne
+       |  FROM embeddings p, embeddings c
+       |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+       |${cosineCtes("pairs", "sims")},
+       |ranked AS (
+       |  SELECT pid, nid, round(sim, 6) AS sim,
+       |         row_number() OVER (PARTITION BY pid
+       |                            ORDER BY round(sim, 6) DESC, nid) AS rnk
+       |  FROM sims)
+       |SELECT pid AS probe_id, nid AS neighbor_id, sim,
+       |       CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+
+  /** IVF-style ANN: the first 8 vectors act as deterministic centroids
+    * (stand-in for a sampled k-means codebook); every vector is assigned
+    * to its nearest centroid by squared L2 (broadcast join — the
+    * codebook is tiny by design); probes then search ONLY their own
+    * cluster. This is the 100 TB shape: assignment is one narrow pass,
+    * search cost drops by ~nlist×, and recall/latency trades via
+    * `nprobe` (here 1).
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val clusters = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        VectorOps.l2Sq(col("embedding"), col("cemb")).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+    val probes = clusters.filter(col("vec_id").between(10, 14))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("cluster").as("pcluster"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes
+      .join(clusters.as("c"),
+        col("pcluster") === col("c.cluster") &&
+        col("c.vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
+        col("pcluster").cast("long").as("cluster"),
+        round(VectorOps.cosine(col("pe"), col("c.embedding")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val q24Oracle: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb
+       |  FROM embeddings WHERE vec_id < 8),
+       |apairs AS (
+       |  SELECT e.vec_id AS pid, c.cent_id AS nid,
+       |         e.embedding AS pe, c.cemb AS ne
+       |  FROM embeddings e, cents c),
+       |apairs_un AS (
+       |  SELECT pid, nid, CAST(unnest(pe) AS DOUBLE) AS x,
+       |         CAST(unnest(ne) AS DOUBLE) AS y
+       |  FROM apairs),
+       |dists AS (
+       |  SELECT pid, nid, sum((x - y) * (x - y)) AS dist
+       |  FROM apairs_un GROUP BY pid, nid),
+       |clusters AS (
+       |  SELECT pid AS vec_id, nid AS cluster FROM (
+       |    SELECT pid, nid,
+       |           row_number() OVER (PARTITION BY pid
+       |                              ORDER BY dist, nid) AS rn
+       |    FROM dists) d
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT c.vec_id AS probe_id, e.embedding AS pe, c.cluster
+       |  FROM clusters c JOIN embeddings e ON c.vec_id = e.vec_id
+       |  WHERE c.vec_id BETWEEN 10 AND 14),
+       |spairs AS (
+       |  SELECT p.probe_id AS pid, c.vec_id AS nid,
+       |         p.pe AS pe, e.embedding AS ne, p.cluster
+       |  FROM probes p
+       |  JOIN clusters c ON c.cluster = p.cluster AND c.vec_id <> p.probe_id
+       |  JOIN embeddings e ON e.vec_id = c.vec_id),
+       |${cosineCtes("spairs", "ssims")},
+       |ranked AS (
+       |  SELECT s.pid, s.nid, sp.cluster, round(s.sim, 6) AS sim,
+       |         row_number() OVER (PARTITION BY s.pid
+       |                            ORDER BY round(s.sim, 6) DESC, s.nid) AS rnk
+       |  FROM ssims s
+       |  JOIN (SELECT DISTINCT pid, cluster FROM spairs) sp ON s.pid = sp.pid)
+       |SELECT pid AS probe_id, nid AS neighbor_id,
+       |       CAST(cluster AS BIGINT) AS cluster, sim,
+       |       CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+
+  /** Per-label embedding statistics (count, mean/min/max L2 norm):
+    * one narrow pass + one tiny aggregate shuffle.
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("label"), VectorOps.l2Norm(col("embedding")).as("norm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy(col("label"))
+
+  val q30Oracle: String =
+    """WITH un AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, label, sqrt(sum(x * x)) AS norm
+      |  FROM un GROUP BY vec_id, label)
+      |SELECT label, count(*) AS n_vecs,
+      |       round(avg(norm), 4) AS avg_norm,
+      |       min(norm) AS min_norm, max(norm) AS max_norm
+      |FROM norms GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_sim_topk" -> (q19 _),
+    "q24_ann_ivf" -> (q24 _),
+    "q30_embedding_stats" -> (q30 _))
+
+  val oracles: Map[String, String] = Map(
+    "q19_sim_topk" -> q19Oracle,
+    "q24_ann_ivf" -> q24Oracle,
+    "q30_embedding_stats" -> q30Oracle)
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.CrossHash.h60Sql
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2.3 E4):
+  * token statistics (q18), language-ID by marker scoring (q25), quality
+  * scoring (q26), whitespace + BPE-ish token counting (q27), and k-gram
+  * document fingerprinting (q28).
+  *
+  * Everything is built-in expressions / HOFs — per-document narrow maps
+  * with at most one small aggregate shuffle, so each operator is a linear
+  * scan at 100 TB.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- q18
+
+  /** Top-5 tokens per language. The heavy groupBy(lang, token) gets
+    * map-side partial aggregation; the window only sees the collapsed
+    * (lang, token) counts, not the exploded stream.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+    val counts = toks.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("token"), col("cnt"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val q18Oracle: String =
+    """WITH toks AS (
+      |  SELECT lang, tok AS token FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) t
+      |  WHERE tok <> ''),
+      |counts AS (
+      |  SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token),
+      |ranked AS (
+      |  SELECT lang, token, cnt,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY cnt DESC, token) AS rn
+      |  FROM counts)
+      |SELECT lang, rn, token, cnt FROM ranked
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+
+  /** Marker-word language ID: score each doc against per-language marker
+    * lexicons, argmax with a fixed tie-break order, then emit the
+    * lang × predicted confusion matrix. (The driver's synthetic corpus
+    * shares one vocabulary across langs, so accuracy here is incidental —
+    * the operator itself is what the oracle verifies.)
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+    val scored = markers.foldLeft(docs) { case (df, (lang, ms)) =>
+      val inList = ms.map(m => s"'${m}'").mkString(", ")
+      df.withColumn(s"s_$lang",
+        expr(s"size(filter(toks, t -> t IN ($inList)))").cast("long"))
+    }
+    val predicted = markers.map(_._1).foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case (lang, elseCol) =>
+        val geAll = markers.map(_._1).filter(_ != lang)
+          .map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .reduce(_ && _) && col(s"s_$lang") > 0
+        when(geAll, lit(lang)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val q25Oracle: String = {
+    val scoreSelects = markers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'${m}'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS s_$lang"
+    }.mkString(",\n         ")
+    val caseChain = markers.map(_._1).map { lang =>
+      val conds = (markers.map(_._1).filter(_ != lang)
+        .map(o => s"s_$lang >= s_$o") :+ s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n                ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |         $scoreSelects
+       |  FROM documents),
+       |pred AS (
+       |  SELECT lang,
+       |         CASE $caseChain
+       |              ELSE 'und' END AS predicted
+       |  FROM scored)
+       |SELECT lang, predicted, count(*) AS n_docs
+       |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q26
+
+  /** Per-document quality features + a composite score: token count,
+    * mean token length, stopword ratio, alphabetic-character ratio.
+    * Pure narrow projection — no shuffle at all.
+    */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("stop_tokens",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))")
+          .cast("long"))
+      .withColumn("avg_token_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          col("n_tokens"))
+      .withColumn("stop_ratio",
+        col("stop_tokens").cast("double") / col("n_tokens"))
+      .withColumn("alpha_ratio",
+        col("alpha_chars").cast("double") / length(col("text")))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 + col("alpha_ratio") * 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("stop_ratio"), col("alpha_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  val q26Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |           AS n_tokens,
+      |         length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS stop_tokens,
+      |         length(replace(text, ' ', '')) AS nospace_chars,
+      |         length(text) AS n_chars
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(nospace_chars AS DOUBLE) / n_tokens AS avg_token_len,
+      |       CAST(stop_tokens AS DOUBLE) / n_tokens AS stop_ratio,
+      |       CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
+      |       least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+      |         (1.0 - CAST(stop_tokens AS DOUBLE) / n_tokens) * 0.3 +
+      |         (CAST(alpha_chars AS DOUBLE) / n_chars) * 0.3 AS quality
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * lexer (`[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]` — letters runs, single
+    * digits, single punctuation), plus a chars-per-token rate.
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long")
+          .as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0))")
+          .cast("long").as("n_bpe_tokens"),
+        (length(col("text")).cast("double") /
+          expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0))"))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  val q27Oracle: String =
+    """SELECT doc_id,
+      |       CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |            AS BIGINT) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+      |            AS BIGINT) AS n_bpe_tokens,
+      |       CAST(length(text) AS DOUBLE) /
+      |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+      |         AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+
+  /** Rolling 8-gram fingerprint: minimum 60-bit content hash over all
+    * 8-char windows of the first 200 chars (Rabin/winnowing-style
+    * min-fingerprint). Computed with nested HOFs — zero shuffle; docs
+    * sharing a fingerprint are near-dup candidates.
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("fingerprint", expr(
+        """aggregate(
+          |  transform(sequence(1, least(length(text), 200) - 7),
+          |    i -> cast(conv(substr(md5(substr(text, i, 8)), 1, 15), 16, 10)
+          |              as bigint)),
+          |  cast(9223372036854775807 as bigint), (acc, h) -> least(acc, h))"""
+          .stripMargin))
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val q28Oracle: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, substr(text, CAST(r.range AS INT), 8) AS g
+       |  FROM documents, range(1, 194) r
+       |  WHERE r.range <= least(length(text), 200) - 7)
+       |SELECT doc_id, min(${h60Sql("g")}) AS fingerprint
+       |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_text_tokens" -> (q18 _),
+    "q25_langid_markers" -> (q25 _),
+    "q26_quality_score" -> (q26 _),
+    "q27_token_count" -> (q27 _),
+    "q28_fingerprint" -> (q28 _))
+
+  val oracles: Map[String, String] = Map(
+    "q18_text_tokens" -> q18Oracle,
+    "q25_langid_markers" -> q25Oracle,
+    "q26_quality_score" -> q26Oracle,
+    "q27_token_count" -> q27Oracle,
+    "q28_fingerprint" -> q28Oracle)
+}
