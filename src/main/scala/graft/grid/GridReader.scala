@@ -1,0 +1,78 @@
+package graft.grid
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One output row of the radiation ETL (serving-table schema, FIXTURES.md
+  * F4). `date` is the Sydney-local rendering `yyyy-MM-dd HH:mm` (constant
+  * per file, `bom/bom.py:68,148`); `year/month/day/hour` are the
+  * Sydney-local partition keys (`bom/bom.py:28-32`, standardized to ints
+  * per SURVEY.md §1.5).
+  */
+final case class RadiationPoint(
+    date: String,
+    radiation_type: String,
+    longitude: Double,
+    latitude: Double,
+    radiation: Int,
+    year: Int,
+    month: Int,
+    day: Int,
+    hour: Int)
+
+/** Batch ingest layer: directory of ESRI ASCII grids → typed
+  * `Dataset[RadiationPoint]` → Hive-partitioned parquet.
+  *
+  * Files are read whole (`wholetext`) because the 6 header lines are
+  * positional (SURVEY.md §7.4): the unit of parallelism is the FILE,
+  * matching the reference's 1-file-1-lambda fan-out
+  * (`cloudformation/lambda.cfn.yaml:127`). BOM grids are ≈886×691 ints —
+  * far below executor memory — so per-file flatMap is safe at any corpus
+  * size; 100 TB of grids parallelizes across files, not within them.
+  */
+object GridReader {
+
+  /** Explode every grid file under `inDir` into typed points. */
+  def readGrids(spark: SparkSession, inDir: String): Dataset[RadiationPoint] = {
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      .text(inDir)
+      .select(input_file_name().as("file_name"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (name, text) => explodeFile(name, text) }
+  }
+
+  /** Pure per-file transform — shared by the batch and streaming paths
+    * and directly unit-testable.
+    */
+  def explodeFile(fileName: String, wholeText: String): Iterator[RadiationPoint] = {
+    val meta = AscGrid.parseFileName(fileName)
+    AscGrid.parse(wholeText).explode.map { p =>
+      RadiationPoint(
+        date = meta.localDateTime,
+        radiation_type = meta.radiationType,
+        longitude = p.longitude,
+        latitude = p.latitude,
+        radiation = p.radiation,
+        year = meta.year,
+        month = meta.month,
+        day = meta.day,
+        hour = meta.hour)
+    }
+  }
+
+  /** Write the serving table: Hive layout `year=/month=/day=/hour=`
+    * (`bom/bom.py:28-32`) in parquet (not CSV — SURVEY.md §1.5 fixes the
+    * reference's header-row-as-data defect by construction). Partition
+    * discovery + pruning then come free on read.
+    */
+  def writePartitioned(
+      points: Dataset[RadiationPoint],
+      servingDir: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    points.write
+      .mode(mode)
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(servingDir)
+}

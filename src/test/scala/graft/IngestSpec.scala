@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.grid.{GridFixtures, GridReader}
+import graft.streaming.Ingest
+
+/** Batch + streaming ingest end-to-end over the embedded fixtures. */
+class IngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  private def writeFixtures(dir: Path): Unit =
+    GridFixtures.files.foreach { f =>
+      Files.writeString(dir.resolve(f.name), f.content)
+    }
+
+  test("batch readGrids explodes all fixture files with metadata") {
+    val in = tmp("grids-in")
+    writeFixtures(in)
+    val pts = GridReader.readGrids(spark, in.toString).collect()
+    // 8 (f1) + 2 (f2) + 1 (f3) + 3 (f4) points survive NODATA filtering
+    assert(pts.length == 14)
+    val f1 = pts.filter(_.date == "2018-01-01 10:00")
+    assert(f1.length == 8 && f1.forall(_.radiation_type == "radiation"))
+    assert(f1.forall(p => p.year == 2018 && p.month == 1 && p.day == 1 && p.hour == 10))
+  }
+
+  test("writePartitioned produces the Hive year=/month=/day=/hour= layout") {
+    val in = tmp("grids-in2"); writeFixtures(in)
+    val out = tmp("grids-serving")
+    GridReader.writePartitioned(GridReader.readGrids(spark, in.toString), out.toString)
+    assert(Files.exists(out.resolve("year=2018/month=1/day=1/hour=10")))
+    assert(Files.exists(out.resolve("year=2017/month=6/day=15/hour=12")))
+    // partition pruning read-back
+    val pruned = spark.read.parquet(out.toString)
+      .filter("year = 2018 AND month = 1 AND day = 1 AND hour = 10")
+    assert(pruned.count() == 8)
+  }
+
+  test("streaming AvailableNow ingests good files and quarantines bad ones") {
+    val in = tmp("stream-in"); writeFixtures(in)
+    Files.writeString(in.resolve("BROKEN_radiation_20180101_0100.txt"),
+      "this is not a grid\nat all")
+    val serving = tmp("stream-serving").toString
+    val checkpoint = tmp("stream-chk").toString
+    val archive = tmp("stream-archive").toString
+    val quarantine = tmp("stream-quarantine").toString
+
+    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint, archive, quarantine)
+
+    assert(spark.read.parquet(serving).count() == 14)
+    val bad = spark.read.json(quarantine)
+    assert(bad.count() == 1)
+    assert(bad.select("file_name").head.getString(0).contains("BROKEN"))
+
+    // second drain with one new file appends exactly its points (checkpoint
+    // skips everything already processed)
+    Files.writeString(in.resolve("IDZ00026_radiation_20190701_0300.txt"),
+      GridFixtures.f3.content)
+    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint, archive, quarantine)
+    assert(spark.read.parquet(serving).count() == 15)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+/** Multimodal binary-column plumbing: schema, batch decode shape,
+  * frame sampling, parquet round-trip of binary + struct metadata.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("assets carry binary payloads with typed struct metadata") {
+    val assets = Multimodal.assetsFromDocuments(spark, sfDir)
+    val schema = assets.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val one = assets.filter(_.asset_id == 0).head()
+    assert(one.meta.mime == "image/png" && one.payload.nonEmpty)
+  }
+
+  test("extractFeatures runs batch-shaped and is deterministic") {
+    val assets = Multimodal.assetsFromDocuments(spark, sfDir)
+    val feats = Multimodal.extractFeatures(assets, parallelism = 4)
+    val n = assets.count()
+    assert(feats.count() == n)
+    val f0 = feats.filter(_.asset_id == 0).head()
+    // stub decode: mean byte of the UTF-8 payload — recompute locally
+    val payload = Multimodal.assetsFromDocuments(spark, sfDir)
+      .filter(_.asset_id == 0).head().payload
+    val (expectedMean, expectedFrames) = Multimodal.decodeStub(payload)
+    assert(f0.mean_byte == expectedMean && f0.frames_sampled == expectedFrames)
+    assert(f0.n_bytes == payload.length.toLong)
+  }
+
+  test("sampleFrames cuts every k-th 64-byte block") {
+    val assets = Multimodal.assetsFromDocuments(spark, sfDir).filter(_.asset_id < 5)
+    val frames = Multimodal.sampleFrames(assets, everyK = 2)
+    assert(frames.columns.toSeq == Seq("asset_id", "frame_no", "frame_bytes"))
+    val rows = frames.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(1) % 2 == 0))
+  }
+
+  test("binary + struct round-trips through parquet unchanged") {
+    val out = Files.createTempDirectory("mm-parquet").toString
+    val assets = Multimodal.assetsFromDocuments(spark, sfDir).filter(_.asset_id < 10)
+    assets.write.mode("overwrite").parquet(out)
+    import spark.implicits._
+    val back = spark.read.parquet(out).as[graft.multimodal.MediaAsset]
+    val a = assets.collect().sortBy(_.asset_id)
+    val b = back.collect().sortBy(_.asset_id)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.meta == y.meta)
+      assert(java.util.Arrays.equals(x.payload, y.payload))
+    }
+  }
+}
