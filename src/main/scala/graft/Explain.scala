@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-review tool: dumps `explain("formatted")` for every registered
+  * query so scan pushdown (PushedFilters/ReadSchema), join strategies
+  * (BroadcastHashJoin vs SortMergeJoin), TakeOrderedAndProject, and
+  * WholeStageCodegen spans can be audited per round.
+  *
+  * Usage: sbt "runMain graft.Explain [sfDir] [outFile]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outFile = args.lift(1).getOrElse("/tmp/plans.txt")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      sb.append(s"\n${"=" * 78}\n== $name\n${"=" * 78}\n")
+      try {
+        val df = fn(spark, sfDir)
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch {
+        case e: Throwable => sb.append(s"EXPLAIN FAILED: ${e.getMessage}\n")
+      }
+    }
+    Files.writeString(Paths.get(outFile), sb.toString)
+    println(s"[explain] wrote ${outFile}")
+    spark.stop()
+  }
+}
