@@ -23,12 +23,14 @@ object SparkEntry {
     "q15_radiation_rollup" -> (GridQueries.q15 _),
     "q16_tz_partition_key" -> (GridQueries.q16 _),
   ) ++ Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-    Similarity.queries ++ Events.queries ++ MultimodalQueries.queries
+    Similarity.queries ++ Events.queries ++ MultimodalQueries.queries ++
+    IntervalQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q14_grid_explode" -> GridQueries.q14Oracle,
     "q15_radiation_rollup" -> GridQueries.q15Oracle,
     "q16_tz_partition_key" -> GridQueries.q16Oracle,
   ) ++ Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-    Similarity.oracles ++ Events.oracles ++ MultimodalQueries.oracles
+    Similarity.oracles ++ Events.oracles ++ MultimodalQueries.oracles ++
+    IntervalQueries.oracles
 }
