@@ -49,6 +49,23 @@ object Demo {
       s"""SELECT date, radiation_type, longitude, latitude, radiation
          |FROM $db.radiation WHERE year=2018 ORDER BY longitude, latitude
          |LIMIT 5""".stripMargin).show(false)
+
+    // reference-exact CSV serving layout (one object per grid file).
+    // Streaming ingest archived the originals, so stage a fresh copy.
+    val csvIn = Files.createTempDirectory("demo-csv-in")
+    GridFixtures.files.foreach(f => Files.writeString(csvIn.resolve(f.name), f.content))
+    val csvServing = Files.createTempDirectory("demo-csv").toString
+    graft.grid.CsvSink.write(
+      graft.grid.GridReader.pointsPerFile(spark, csvIn.toString), csvServing)
+    val csvBack = spark.read.option("header", "true").csv(csvServing)
+    println(s"[demo] csv serving rows: ${csvBack.count()} files: " +
+      graft.io.FileOps.listPrefix(spark, csvServing).size)
+
+    // file state machine bootstrap (O25)
+    val stageRoot = Files.createTempDirectory("demo-stages").toString
+    println(s"[demo] stages: " +
+      graft.io.FileOps.bootstrapStages(spark, stageRoot)
+        .map(_.split('/').last).mkString(","))
     spark.stop()
   }
 }

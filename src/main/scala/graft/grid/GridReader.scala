@@ -43,6 +43,49 @@ object GridReader {
       .flatMap { case (name, text) => explodeFile(name, text) }
   }
 
+  /** Byte-exact O1 semantics: the reference decodes with
+    * `decode('utf-8', 'ignore')` (`bom/bom.py:58`) — undecodable bytes are
+    * silently DROPPED, not replaced. Spark's text source substitutes
+    * U+FFFD instead, so this path reads raw bytes (`binaryFile` source)
+    * and applies a java.nio CharsetDecoder with IGNORE actions.
+    */
+  def readGridsLossy(spark: SparkSession, inDir: String): Dataset[RadiationPoint] = {
+    import spark.implicits._
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(inDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        explodeFile(name, decodeLossy(bytes))
+      }
+  }
+
+  /** Python `bytes.decode('utf-8', 'ignore')` equivalent. */
+  def decodeLossy(bytes: Array[Byte]): String = {
+    import java.nio.charset.{CodingErrorAction, StandardCharsets}
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.IGNORE)
+      .onUnmappableCharacter(CodingErrorAction.IGNORE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  /** Group exploded points per source file — feed for [[CsvSink]]'s
+    * one-object-per-file layout.
+    */
+  def pointsPerFile(spark: SparkSession, inDir: String): Dataset[(String, Seq[RadiationPoint])] = {
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      .text(inDir)
+      .select(input_file_name().as("file_name"), col("value"))
+      .as[(String, String)]
+      .map { case (name, text) =>
+        (AscGrid.parseFileName(name).baseName, explodeFile(name, text).toSeq)
+      }
+  }
+
   /** Pure per-file transform — shared by the batch and streaming paths
     * and directly unit-testable.
     */
