@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions.CosineSimilarity
+
+/** Engine extension point: registers graft's native functions with a
+  * session. Either install at build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(CosineSimilarity.descriptor)
+  }
+}
+
+object GraftExtensions {
+  /** Idempotent post-hoc registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val (ident, _, builder) = CosineSimilarity.descriptor
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Micro-benchmark: HOF vs native-codegen cosine over an all-pairs
+  * similarity workload — the evidence behind choosing the custom
+  * Catalyst expression for the E3 hot path.
+  *
+  * Usage: sbt "runMain graft.MicroBench [sfDir] [reps]"
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    emb.count()
+    val pairs = emb.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(broadcast(
+        emb.limit(200).select(col("vec_id").as("j"), col("embedding").as("b"))))
+
+    def time(label: String)(thunk: => Unit): Double = {
+      thunk // warmup
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
+      }
+      val best = runs.min
+      println(f"[microbench] $label%-12s best of $reps: $best%.3f s")
+      best
+    }
+
+    val hof = time("cosine_hof") {
+      pairs.select(sum(VectorOps.cosine(col("a"), col("b")))).collect()
+    }
+    val native = time("cosine_native") {
+      pairs.select(sum(VectorOps.cosineNative(col("a"), col("b")))).collect()
+    }
+    println(f"[microbench] speedup: ${hof / native}%.2fx")
+    spark.stop()
+  }
+}

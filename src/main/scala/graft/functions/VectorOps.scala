@@ -25,9 +25,20 @@ object VectorOps {
   def l2Norm(a: Column): Column =
     sqrt(sumArr(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  /** Cosine similarity. */
+  /** Cosine similarity (HOF composition — reference implementation). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine similarity via the native codegen'd [[CosineSimilarity]]
+    * expression — single fused loop, no intermediate arrays; produces
+    * bit-identical results to [[cosine]] (same per-accumulator fold
+    * order). Preferred in hot paths.
+    */
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Squared euclidean distance (cheaper than sqrt for argmin). */
   def l2Sq(a: Column, b: Column): Column =

@@ -49,7 +49,7 @@ object Similarity {
     val sims = broadcast(probes).crossJoin(cands)
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        round(VectorOps.cosine(col("pe"), col("ce")), 6).as("sim"))
+        round(VectorOps.cosineNative(col("pe"), col("ce")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims
@@ -107,7 +107,7 @@ object Similarity {
         col("c.vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
         col("pcluster").cast("long").as("cluster"),
-        round(VectorOps.cosine(col("pe"), col("c.embedding")), 6).as("sim"))
+        round(VectorOps.cosineNative(col("pe"), col("c.embedding")), 6).as("sim"))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("probe_id"), col("rnk"))
