@@ -46,6 +46,31 @@ object MicroBench {
       pairs.select(sum(VectorOps.cosineNative(col("a"), col("b")))).collect()
     }
     println(f"[microbench] speedup: ${hof / native}%.2fx")
+
+    // real-size grid throughput: BOM AUS grid ≈ 886×691 ints per file
+    // (SURVEY.md §7.4); measure files/sec through the typed explode path.
+    val dir = java.nio.file.Files.createTempDirectory("bigg")
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 691).map(_ =>
+      (0 until 886).map(_ =>
+        if (rnd.nextInt(5) == 0) "-999" else rnd.nextInt(1200).toString)
+        .mkString(" "))
+    val content = (Seq("ncols 886", "nrows 691", "xllcorner 112.0",
+      "yllcorner -44.0", "cellsize 0.05", "NODATA_value -999") ++ rows)
+      .mkString("\n")
+    val nFiles = 24
+    (0 until nFiles).foreach { i =>
+      java.nio.file.Files.writeString(
+        dir.resolve(f"IDZ00026_radiation_201801${i % 28 + 1}%02d_0300.txt"),
+        content)
+    }
+    val gt = time("grid_explode") {
+      val n = graft.grid.GridReader.readGrids(spark, dir.toString).count()
+      require(n > 0)
+    }
+    val cells = nFiles.toLong * 886 * 691
+    println(f"[microbench] grid throughput: ${nFiles / gt}%.1f files/s, " +
+      f"${cells / gt / 1e6}%.1f Mcells/s")
     spark.stop()
   }
 }

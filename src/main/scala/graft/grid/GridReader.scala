@@ -43,6 +43,32 @@ object GridReader {
       .flatMap { case (name, text) => explodeFile(name, text) }
   }
 
+  /** Batch ingest with the streaming path's fault tolerance: corrupt
+    * files are returned separately instead of failing the job (batch
+    * analogue of the quarantine sink). Returns (points, badFiles) where
+    * badFiles carries (file_name, error).
+    */
+  def readGridsSafe(
+      spark: SparkSession,
+      inDir: String): (Dataset[RadiationPoint], Dataset[(String, String)]) = {
+    import spark.implicits._
+    val parsed = spark.read
+      .option("wholetext", "true")
+      .text(inDir)
+      .select(input_file_name().as("file_name"), col("value"))
+      .as[(String, String)]
+      .map { case (name, text) =>
+        scala.util.Try(explodeFile(name, text).toSeq) match {
+          case scala.util.Success(pts) => (name, pts, null: String)
+          case scala.util.Failure(e) =>
+            (name, Seq.empty[RadiationPoint],
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    (parsed.filter(_._3 == null).flatMap(_._2),
+      parsed.filter(_._3 != null).map(t => (t._1, t._3)))
+  }
+
   /** Byte-exact O1 semantics: the reference decodes with
     * `decode('utf-8', 'ignore')` (`bom/bom.py:58`) — undecodable bytes are
     * silently DROPPED, not replaced. Spark's text source substitutes
