@@ -24,8 +24,9 @@ class QuerySmokeSpec extends AnyFunSuite {
 
   test("every query id has an oracle or is explicitly oracle-free") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep this list intentional: only non-SQL-expressible ops may appear
-    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+    // keep this list intentional: only engine-specific sketches may appear
+    assert(noOracle == Set("q38_approx_sketches"),
+      s"unexpected oracle-free queries: $noOracle")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
