@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   * IDENTICAL to the HOF fold and to the DuckDB oracle's in-order sum, so
   * swapping implementations cannot change results even at the last bit.
   *
-  * Null elements inside the arrays are not expected (embedding vectors);
-  * a null array input yields null via `nullIntolerant`.
+  * Null semantics also mirror the HOF composition: a null array input
+  * yields null (`nullIntolerant`), and UNEQUAL-LENGTH vectors yield null
+  * (as `zip_with` null-padding does) rather than silently scoring a
+  * truncated prefix. Null elements inside the arrays are not expected
+  * (embedding vectors).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,7 +43,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -66,18 +70,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |double $nx = 0.0;
-         |double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $nx += $xi * $xi;
-         |  $ny += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  double $nx = 0.0;
+         |  double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $nx += $xi * $xi;
+         |    $ny += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -93,5 +101,9 @@ object CosineSimilarity {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)))
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+      CosineSimilarity(exprs.head, exprs(1))
+    })
 }

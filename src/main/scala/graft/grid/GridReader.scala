@@ -65,6 +65,7 @@ object GridReader {
               s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
+      .cache() // both returned branches filter this — avoid a double parse
     (parsed.filter(_._3 == null).flatMap(_._2),
       parsed.filter(_._3 != null).map(t => (t._1, t._3)))
   }
@@ -79,7 +80,6 @@ object GridReader {
     import spark.implicits._
     spark.read
       .format("binaryFile")
-      .option("pathGlobFilter", "*.txt")
       .load(inDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

@@ -139,12 +139,14 @@ object Dedup {
 
   // ---------------------------------------------------------------- q22
 
-  /** 60-bit SimHash per document, computed entirely inside nested
-    * higher-order functions: no row explosion, no shuffle at all — a
-    * narrow map over documents that scales embarrassingly. (The DuckDB
-    * oracle takes the explicit tokens × bits route; both reduce to the
-    * same integer.) Bit b is set iff the frequency-weighted sum of
-    * ±1 contributions from token-hash bit b is >= 0.
+  /** 60-bit SimHash per document — token hashing stays in built-in
+    * expressions, the 60-counter fold runs in the native codegen'd
+    * [[graft.functions.SimHash64]] expression (the nested-HOF
+    * formulation re-folds the array 60× through interpreted lambdas —
+    * ~40× slower; see BASELINE.md). No row explosion, no shuffle. Bit b
+    * is set iff the frequency-weighted sum of ±1 contributions from
+    * token-hash bit b is >= 0; the DuckDB oracle's tokens × bits
+    * explosion computes the same integer.
     */
   def q22(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
@@ -152,15 +154,7 @@ object Dedup {
         """transform(filter(split(text, ' '), t -> t <> ''),
           |  t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"""
           .stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  transform(sequence(0, 59), b ->
-          |    CASE WHEN aggregate(hs, cast(0 as bigint),
-          |           (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1
-          |                                  THEN 1 ELSE -1 END) >= 0
-          |         THEN shiftleft(cast(1 as bigint), b)
-          |         ELSE cast(0 as bigint) END),
-          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("simhash", graft.functions.SimHash64.simhash64(col("hs")))
       .select(col("doc_id"), col("lang"), col("simhash"))
       .orderBy(col("doc_id"))
 
@@ -196,10 +190,13 @@ object Dedup {
     * exists.
     */
   def q23(spark: SparkSession, dir: String): DataFrame = {
+    // position cap (600) and min length (4) mirror the oracle's
+    // uncorrelated range(1, 601) + WHERE exactly — without the cap the
+    // two engines diverge on texts longer than 603 chars
     val grams = table(spark, dir, "documents")
-      .filter(col("doc_id") % 25 === 0)
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 4)
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, length(text)-3), i -> substr(text, i, 4)))"))
+        "array_distinct(transform(sequence(1, least(length(text), 603)-3), i -> substr(text, i, 4)))"))
         .as("gram"))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     grams.as("a")
@@ -222,7 +219,7 @@ object Dedup {
       |grams AS (
       |  SELECT DISTINCT doc_id, substr(text, CAST(r.range AS INT), 4) AS gram
       |  FROM sub, range(1, 601) r
-      |  WHERE r.range <= length(text) - 3),
+      |  WHERE length(text) >= 4 AND r.range <= length(text) - 3),
       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

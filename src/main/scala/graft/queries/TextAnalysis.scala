@@ -204,6 +204,7 @@ object TextAnalysis {
     */
   def q28(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
+      .filter(length(col("text")) >= 8) // matched by the oracle's WHERE
       .withColumn("fingerprint", expr(
         """aggregate(
           |  transform(sequence(1, least(length(text), 200) - 7),
@@ -218,7 +219,8 @@ object TextAnalysis {
     s"""WITH grams AS (
        |  SELECT doc_id, substr(text, CAST(r.range AS INT), 8) AS g
        |  FROM documents, range(1, 194) r
-       |  WHERE r.range <= least(length(text), 200) - 7)
+       |  WHERE length(text) >= 8
+       |    AND r.range <= least(length(text), 200) - 7)
        |SELECT doc_id, min(${h60Sql("g")}) AS fingerprint
        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -56,6 +56,15 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("unequal-length vectors yield null, matching the HOF path") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    val row = df.select(
+      VectorOps.cosineNative($"a", $"b").as("native"),
+      VectorOps.cosine($"a", $"b").as("hof")).head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("self-similarity is 1 within fp tolerance for every vector") {
     val bad = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(VectorOps.cosineNative(col("embedding"), col("embedding")).as("s"))

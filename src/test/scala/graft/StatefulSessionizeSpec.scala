@@ -60,4 +60,38 @@ class StatefulSessionizeSpec extends AnyFunSuite {
     // user 1 session 2 (single event at m(70)) closed by event-time timeout
     assert(rows.contains((1L, 2L, 1L, 0L)), rows.toString)
   }
+
+  test("session numbering survives a timeout (no duplicate keys)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val withTime = input.toDS()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEvent]
+    val q = StatefulSessionize.sessionize(withTime)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out2").start()
+
+    input.addData(SessionEvent(5, 1, m(0)))
+    q.processAllAvailable()
+    input.addData(SessionEvent(99, 2, m(100))) // advance watermark
+    q.processAllAvailable()
+    input.addData(SessionEvent(99, 3, m(150))) // timeout fires for user 5
+    q.processAllAvailable()
+    input.addData(SessionEvent(5, 4, m(200)))  // post-timeout session
+    q.processAllAvailable()
+    input.addData(SessionEvent(99, 5, m(700)))
+    q.processAllAvailable()
+    input.addData(SessionEvent(99, 6, m(800))) // second timeout for user 5
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions_out2").as[SessionOut].collect()
+    val u5 = rows.filter(_.user_id == 5).map(s => (s.session_idx, s.n_events)).toSet
+    // the post-timeout session must be idx 2, never a duplicate idx 1
+    assert(u5 == Set((1L, 1L), (2L, 1L)), rows.mkString(", "))
+    val keys = rows.map(s => (s.user_id, s.session_idx)).toSeq
+    assert(keys.distinct.size == keys.size, s"duplicate keys in $keys")
+  }
 }
