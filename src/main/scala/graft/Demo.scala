@@ -17,14 +17,12 @@ import graft.streaming.Ingest
   */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    // graft extensions are installed: native functions visible to SQL
+    println("[demo] cosine_sim(x, x) = " + spark.sql(
+      "SELECT cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f))").head.getDouble(0))
 
     val in = Files.createTempDirectory("demo-in")
     GridFixtures.files.foreach(f => Files.writeString(in.resolve(f.name), f.content))

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session builders. `local(...)` matches the driver harness;
+  * `productionBuilder` documents the knobs a 1000-executor / 100 TB
+  * deployment of this engine starts from (values are starting points to
+  * size against the actual cluster, not magic).
+  */
+object GraftSession {
+
+  /** Harness-shaped local session with graft extensions installed. */
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Cluster-profile builder (not used by the local harness):
+    *
+    *  - `shuffle.partitions` ≈ 2-3× total executor cores so AQE has
+    *    granularity to coalesce; AQE then owns the real number.
+    *  - `adaptive.skewJoin` splits pathological reducer partitions;
+    *    beyond it, `ScaleOps.saltedJoin` handles single-hot-key joins.
+    *  - `files.maxPartitionBytes` 256 MB: fewer, fuller scan tasks for
+    *    100 TB of parquet (the default 128 MB doubles task count for
+    *    scan-dominated jobs).
+    *  - dynamic partition overwrite: re-ingesting one day replaces only
+    *    that day's partitions of the serving table (idempotent
+    *    reprocessing, the reference's ad-hoc-reload model).
+    *  - timezone pinned UTC: all rendering to Sydney-local happens in
+    *    expressions, never via session state.
+    */
+  def productionBuilder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", "2000")
+      .config("spark.sql.files.maxPartitionBytes", 256L * 1024 * 1024)
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .withExtensions(new GraftExtensions)
+}

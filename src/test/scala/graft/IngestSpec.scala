@@ -49,6 +49,32 @@ class IngestSpec extends AnyFunSuite {
     assert(pruned.count() == 8)
   }
 
+  test("dynamic partition overwrite replaces only re-ingested partitions") {
+    val in = tmp("dyn-in"); writeFixtures(in)
+    val out = tmp("dyn-serving").toString
+    GridReader.writePartitioned(GridReader.readGrids(spark, in.toString), out)
+    assert(spark.read.parquet(out).count() == 14)
+
+    // re-ingest ONLY f1 (partition 2018/1/1/10) in dynamic-overwrite mode
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val redo = tmp("dyn-redo")
+      Files.writeString(redo.resolve(GridFixtures.f1.name), GridFixtures.f1.content)
+      GridReader.writePartitioned(
+        GridReader.readGrids(spark, redo.toString), out,
+        org.apache.spark.sql.SaveMode.Overwrite)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // idempotent: f1's partition replaced (not doubled), others intact
+    val back = spark.read.parquet(out)
+    assert(back.count() == 14)
+    assert(back.filter("year = 2018 AND month = 1").count() == 8)
+    assert(back.filter("year = 2017").count() == 5)
+  }
+
   test("streaming AvailableNow ingests good files and quarantines bad ones") {
     val in = tmp("stream-in"); writeFixtures(in)
     Files.writeString(in.resolve("BROKEN_radiation_20180101_0100.txt"),

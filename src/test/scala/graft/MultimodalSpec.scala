@@ -52,6 +52,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getInt(1) % 2 == 0))
   }
 
+  test("metadata-only reads prune the binary payload from the scan") {
+    val out = Files.createTempDirectory("mm-prune").toString
+    Multimodal.assetsFromDocuments(spark, sfDir).write.mode("overwrite").parquet(out)
+    val metaOnly = spark.read.parquet(out)
+      .select(org.apache.spark.sql.functions.col("asset_id"),
+        org.apache.spark.sql.functions.col("meta.mime"))
+    val plan = metaOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("payload"),
+      s"payload column must be pruned from a metadata-only scan:\n$plan")
+    assert(metaOnly.count() > 0)
+  }
+
   test("binary + struct round-trips through parquet unchanged") {
     val out = Files.createTempDirectory("mm-parquet").toString
     val assets = Multimodal.assetsFromDocuments(spark, sfDir).filter(_.asset_id < 10)
