@@ -9,7 +9,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Harness-shaped local session with graft extensions installed. */
+  /** Harness-shaped local session with graft extensions installed.
+    * `getOrCreate` silently ignores builder extensions/configs when a
+    * session already exists in the JVM, so the native functions are
+    * also registered post-hoc (idempotent) — `cosine_sim`/`simhash64`
+    * resolve either way.
+    */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,6 +24,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

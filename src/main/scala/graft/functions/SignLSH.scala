@@ -9,24 +9,35 @@ import org.apache.spark.sql.functions._
   * `1 - arccos(s)/π`, so near-duplicates collide in signature buckets
   * and the quadratic all-pairs scoring runs only within buckets.
   *
-  * Hyperplanes are DETERMINISTIC: component `c` of plane `j` derives
-  * from the [[CrossHash]] LCG family, so signatures are reproducible
-  * across runs and engines — the same pinned-randomness principle as the
-  * MinHash coefficients.
+  * Hyperplanes are DETERMINISTIC but well-scrambled: components come
+  * from a splitmix64-style finalizer over (plane, dim), so planes are
+  * pairwise near-orthogonal in expectation (a raw LCG here produces
+  * strongly correlated planes — measured up to 0.55 pairwise cosine —
+  * which would inflate bucket sizes and the in-bucket quadratic cost).
   */
 object SignLSH {
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1). */
   private[functions] def planeComponent(plane: Int, dim: Int): Double = {
-    val x = (1103515245L * (plane * 8191L + dim) + 12345L) % 2000003L
-    (x.toDouble / 2000003.0) * 2.0 - 1.0
+    var z = plane.toLong * 0x9E3779B97F4A7C15L +
+      dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
 
   private def plane(j: Int, dims: Int): Array[Double] =
     Array.tabulate(dims)(c => planeComponent(j, c))
 
-  /** Signature bit j = sign(embedding · plane_j). */
+  /** Signature bit j = sign(embedding · plane_j). Fails loudly (not
+    * bucket-0 for every row) when the vector length doesn't match
+    * `dims` — a silent mismatch would degenerate LSH into one giant
+    * bucket and the full quadratic scan it exists to avoid.
+    */
   def signature(embedding: Column, nBits: Int, dims: Int): Column = {
+    require(nBits >= 1 && nBits <= 63,
+      s"nBits must be in [1, 63] (signature is a signed 64-bit long), got $nBits")
     val bits = (0 until nBits).map { j =>
       val p = plane(j, dims)
       val dot = aggregate(
@@ -34,7 +45,10 @@ object SignLSH {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(embedding) === dims, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"SignLSH: expected $dims-dim vector, got "),
+        size(embedding).cast("string"))))
   }
 
   /** Attach an LSH bucket column; near-dup candidate pairs are rows

@@ -12,12 +12,7 @@ import graft.grid.{GridFixtures, GridReader}
   */
 class FormatsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(4)
 
   private def points = {
     val in = Files.createTempDirectory("fmt-in")

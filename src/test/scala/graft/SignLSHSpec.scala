@@ -12,12 +12,7 @@ import graft.functions.{SignLSH, VectorOps}
   */
 class SignLSHSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(4)
 
   private val sfDir = "/root/testdata/sf0.01"
 
