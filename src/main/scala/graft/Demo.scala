@@ -59,6 +59,13 @@ object Demo {
     println(s"[demo] csv serving rows: ${csvBack.count()} files: " +
       graft.io.FileOps.listPrefix(spark, csvServing).size)
 
+    // real multimodal decode: synthetic PNGs through ImageIO on executors
+    val imgs = graft.multimodal.Multimodal.syntheticImages(spark, 16)
+    val feats = graft.multimodal.Multimodal.extractImageFeatures(imgs, 4)
+    val ok = feats.filter(_.decode_error == null)
+    println(f"[demo] decoded ${ok.count()}/16 PNGs, mean luma " +
+      f"${ok.collect().map(_.mean_luma).sum / 16}%.2f")
+
     // file state machine bootstrap (O25)
     val stageRoot = Files.createTempDirectory("demo-stages").toString
     println(s"[demo] stages: " +

@@ -26,17 +26,25 @@ final case class DecodedFeatures(
     mean_byte: Double,
     frames_sampled: Int)
 
+final case class ImageFeatures(
+    asset_id: Long,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    mean_luma: Double,
+    decode_error: String)
+
 /** Multimodal-column plumbing (SURVEY.md §2.3 E5): schema, partitioning,
   * and batch-shaped decode — the Scala analogue of a Pandas-UDF
   * `mapInPandas` stage: `mapPartitions` over the typed Dataset so each
   * task amortizes decoder setup over its whole partition.
   *
-  * DECODE IS A STUB: no image/audio codecs ship in this container, so
-  * [[decodeStub]] derives deterministic fake pixel statistics from the
-  * payload bytes. The Spark-side contract — binary column schema,
-  * per-partition batching, feature extraction signature, parquet
-  * round-trip — is real and tested; swapping the stub for a JNI/FFM
-  * decoder changes no plumbing.
+  * IMAGE DECODE IS REAL: the JDK's headless `javax.imageio` decodes
+  * PNG/JPEG/GIF/BMP/TIFF, so [[decodeImage]] + [[extractImageFeatures]]
+  * run an actual pixel pipeline (dimensions + mean luminance), with
+  * corrupt payloads surfaced per-row instead of failing the task.
+  * AUDIO/VIDEO decode remains a STUB ([[decodeStub]]) — no such codecs
+  * ship in this container; the plumbing is identical.
   */
 object Multimodal {
 
@@ -62,8 +70,90 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder — deterministic fake. A real implementation would hand
-    * `payload` to an image/audio codec; none exists in this container.
+  /** Deterministic synthetic PNG assets (REAL image bytes, rendered via
+    * java.awt from a seeded pattern) — the test corpus for the real
+    * decode path.
+    */
+  def syntheticImages(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      MediaAsset(
+        asset_id = id,
+        meta = MediaMeta("image/png", 16, 12, 0L),
+        payload = renderPng(id, 16, 12))
+    }
+  }
+
+  /** Seeded 16×12 RGB gradient PNG — pure function of the id. */
+  private[multimodal] def renderPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((seed * 17 + x * 3) % 256).toInt
+        val b = ((seed * 11 + y * 5) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via the JDK's headless ImageIO. Returns Left with
+    * the failure reason for unreadable payloads (the quarantine pattern,
+    * never a task failure).
+    */
+  def decodeImage(payload: Array[Byte]): Either[String, (Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) Left("unrecognized image format")
+      else {
+        var sum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sum += 0.299 * r + 0.587 * g + 0.114 * b
+            x += 1
+          }
+          y += 1
+        }
+        val px = img.getWidth.toLong * img.getHeight
+        Right((img.getWidth, img.getHeight, sum / px))
+      }
+    } catch {
+      case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** Batch image decode: one `mapPartitions` pass, real pixels. */
+  def extractImageFeatures(assets: Dataset[MediaAsset], parallelism: Int): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(parallelism, col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          decodeImage(a.payload) match {
+            case Right((w, h, luma)) =>
+              ImageFeatures(a.asset_id, w, h, w.toLong * h, luma, null)
+            case Left(err) =>
+              ImageFeatures(a.asset_id, -1, -1, 0L, 0.0, err)
+          }
+        }
+      }
+  }
+
+  /** STUB decoder for audio/video — deterministic fake; no such codecs
+    * ship in this container. The image path above is the real thing.
     */
   def decodeStub(payload: Array[Byte]): (Double, Int) = {
     var sum = 0L
