@@ -31,8 +31,26 @@ object MultimodalQueries {
       |       md5(text) AS payload_md5
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  /** q48: the REAL image pipeline as a declared query — 64 seeded PNGs
+    * rendered and decoded on executors (javax.imageio), per-asset pixel
+    * features. Declared oracle-free: DuckDB has no image codec, so the
+    * driver records the rows-only check; determinism is guaranteed by the
+    * seeded render (and pinned by ScalaTest's pixel-level cross-check).
+    */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val assets = graft.multimodal.Multimodal.syntheticImages(spark, 64)
+    graft.multimodal.Multimodal.extractImageFeatures(assets, 8)
+      .toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        col("n_pixels"), round(col("mean_luma"), 4).as("mean_luma"),
+        col("decode_error").isNotNull.as("failed"))
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q29_multimodal_binary" -> (q29 _))
+    "q29_multimodal_binary" -> (q29 _),
+    "q48_image_features" -> (q48 _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_binary" -> q29Oracle)

@@ -25,7 +25,7 @@ class QuerySmokeSpec extends AnyFunSuite {
   test("every query id has an oracle or is explicitly oracle-free") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list intentional: only engine-specific sketches may appear
-    assert(noOracle == Set("q38_approx_sketches"),
+    assert(noOracle == Set("q38_approx_sketches", "q48_image_features"),
       s"unexpected oracle-free queries: $noOracle")
   }
 
