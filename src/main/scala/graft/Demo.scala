@@ -62,9 +62,11 @@ object Demo {
     // real multimodal decode: synthetic PNGs through ImageIO on executors
     val imgs = graft.multimodal.Multimodal.syntheticImages(spark, 16)
     val feats = graft.multimodal.Multimodal.extractImageFeatures(imgs, 4)
-    val ok = feats.filter(_.decode_error == null)
-    println(f"[demo] decoded ${ok.count()}/16 PNGs, mean luma " +
-      f"${ok.collect().map(_.mean_luma).sum / 16}%.2f")
+    val okRows = feats.filter(_.decode_error == null).collect()
+    val meanLuma =
+      if (okRows.isEmpty) Double.NaN
+      else okRows.map(_.mean_luma).sum / okRows.length
+    println(f"[demo] decoded ${okRows.length}/16 PNGs, mean luma $meanLuma%.2f")
 
     // file state machine bootstrap (O25)
     val stageRoot = Files.createTempDirectory("demo-stages").toString

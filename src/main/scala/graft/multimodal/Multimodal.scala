@@ -105,13 +105,31 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Reject images whose declared header dimensions would make
+    * `ImageIO.read` allocate unbounded memory (a corrupt/crafted IHDR
+    * claiming 60000×60000 would OOM the task before any pixel exists).
+    */
+  private val MaxDim = 16384
+
   /** REAL image decode via the JDK's headless ImageIO. Returns Left with
     * the failure reason for unreadable payloads (the quarantine pattern,
-    * never a task failure).
+    * never a task failure). Header dimensions are checked BEFORE the
+    * pixel buffer is allocated.
     */
   def decodeImage(payload: Array[Byte]): Either[String, (Int, Int, Double)] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Left("unrecognized image format")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+      if (hw <= 0 || hh <= 0 || hw > MaxDim || hh > MaxDim) {
+        reader.dispose()
+        return Left(s"declared dimensions ${hw}x${hh} out of bounds")
+      }
+      val img = try reader.read(0) finally reader.dispose()
       if (img == null) Left("unrecognized image format")
       else {
         var sum = 0.0

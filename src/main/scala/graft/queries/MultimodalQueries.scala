@@ -38,7 +38,6 @@ object MultimodalQueries {
     * seeded render (and pinned by ScalaTest's pixel-level cross-check).
     */
   def q48(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val assets = graft.multimodal.Multimodal.syntheticImages(spark, 64)
     graft.multimodal.Multimodal.extractImageFeatures(assets, 8)
       .toDF()
