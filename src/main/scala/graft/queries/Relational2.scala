@@ -60,11 +60,17 @@ object Relational2 {
       .orderBy(col("day"))
   }
 
+  /** Oracle casts: DuckDB `date_trunc('day', ts)` yields DATE (Spark
+    * yields TIMESTAMP — 'hour' stays TIMESTAMP in both, which is why q20
+    * never tripped), and `sum(INTEGER)` yields HUGEINT → float64 through
+    * pandas. Both must be pinned to the Spark-side types for the driver's
+    * value hash to line up.
+    */
   val q34Oracle: String = {
     val cols = EventTypes.map(t =>
-      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t")
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
       .mkString(",\n       ")
-    s"""SELECT date_trunc('day', ts) AS day,
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        |       $cols
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }

@@ -32,8 +32,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def dtype_clashes(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
+    """The driver hashes values WITHOUT canonicalizing dtypes, so an
+    int64 Spark column vs a float64 DuckDB column (e.g. HUGEINT from
+    sum(INTEGER) through pandas) hash-mismatches even when every value
+    is numerically equal. Flag that class here so the local gate is at
+    least as strict as the driver's."""
+    clashes = []
+    for c in sorted(set(spark_df.columns) & set(duck_df.columns)):
+        a, b = spark_df[c], duck_df[c]
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        a_f = pd.api.types.is_float_dtype(a)
+        b_f = pd.api.types.is_float_dtype(b)
+        if (a_int and b_f) or (a_f and b_int):
+            clashes.append(
+                f"col {c}: dtype clash spark={a.dtype} duck={b.dtype} "
+                "(driver hashes raw values; cast the oracle side)")
+    return clashes
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
-    problems = []
+    problems = dtype_clashes(spark_df, duck_df)
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
         problems.append(f"columns differ: spark={list(a.columns)} duck={list(b.columns)}")
