@@ -71,6 +71,27 @@ object MicroBench {
     val cells = nFiles.toLong * 886 * 691
     println(f"[microbench] grid throughput: ${nFiles / gt}%.1f files/s, " +
       f"${cells / gt / 1e6}%.1f Mcells/s")
+
+    // q28 hot path: HOF array fold vs native one-pass MinGramHash
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(length(col("text")) >= 8).cache()
+    docs.count()
+    // max, not sum: summing 5k 60-bit fingerprints overflows a long
+    val fpHof = time("mgh_hof") {
+      docs.select(max(expr(
+        """aggregate(
+          |  transform(sequence(1, least(length(text), 200) - 7),
+          |    i -> cast(conv(substr(md5(substr(text, i, 8)), 1, 15), 16, 10)
+          |              as bigint)),
+          |  cast(9223372036854775807 as bigint), (acc, h) -> least(acc, h))"""
+          .stripMargin))).collect()
+    }
+    val fpNative = time("mgh_native") {
+      docs.select(max(
+        graft.functions.MinGramHash.minGramHash(col("text"), 8, 200)))
+        .collect()
+    }
+    println(f"[microbench] min_gram_hash speedup: ${fpHof / fpNative}%.2fx")
     spark.stop()
   }
 }

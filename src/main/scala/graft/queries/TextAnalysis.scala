@@ -199,19 +199,17 @@ object TextAnalysis {
 
   /** Rolling 8-gram fingerprint: minimum 60-bit content hash over all
     * 8-char windows of the first 200 chars (Rabin/winnowing-style
-    * min-fingerprint). Computed with nested HOFs — zero shuffle; docs
-    * sharing a fingerprint are near-dup candidates.
+    * min-fingerprint). Zero shuffle; docs sharing a fingerprint are
+    * near-dup candidates. Computed by the native codegen'd
+    * [[graft.functions.MinGramHash]] expression (one pass, reused digest,
+    * no hex round-trip) — bit-identical to the nested-HOF formulation it
+    * replaced, and to the unchanged DuckDB oracle.
     */
   def q28(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .filter(length(col("text")) >= 8) // matched by the oracle's WHERE
-      .withColumn("fingerprint", expr(
-        """aggregate(
-          |  transform(sequence(1, least(length(text), 200) - 7),
-          |    i -> cast(conv(substr(md5(substr(text, i, 8)), 1, 15), 16, 10)
-          |              as bigint)),
-          |  cast(9223372036854775807 as bigint), (acc, h) -> least(acc, h))"""
-          .stripMargin))
+      .withColumn("fingerprint",
+        graft.functions.MinGramHash.minGramHash(col("text"), 8, 200))
       .select(col("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
