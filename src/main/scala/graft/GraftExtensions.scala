@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarity, MinGramHash, SimHash64}
+import graft.functions.{CosineSimilarity, MinGramHash, MinHashSig, SimHash64}
 
 /** Engine extension point: registers graft's native functions with a
   * session. Either install at build time —
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(CosineSimilarity.descriptor)
     e.injectFunction(SimHash64.descriptor)
     e.injectFunction(MinGramHash.descriptor)
+    e.injectFunction(MinHashSig.descriptor)
   }
 }
 
@@ -22,7 +23,7 @@ object GraftExtensions {
   /** Idempotent post-hoc registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Seq(CosineSimilarity.descriptor, SimHash64.descriptor,
-      MinGramHash.descriptor).foreach {
+      MinGramHash.descriptor, MinHashSig.descriptor).foreach {
       case (ident, _, builder) =>
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "built-in")

@@ -53,44 +53,45 @@ object Dedup {
     */
   def q21(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
+    // The whole signature is one narrow projection: the native
+    // minhash_sig expression folds md5 + 16 universal hashes over each
+    // doc's shingle array in a single codegen'd pass (bit-identical to
+    // the explode → 16×min group-by it replaced — see MinHashSigSpec).
+    // No explode, no aggregation shuffle; the sig is carried through the
+    // band explode so the candidate join already has both signatures.
     val sigs = docs
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
-          .stripMargin)).as("shingle"))
-      .withColumn("h", CrossHash.h60(col("shingle")))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(CrossHash.universal(col("h"), 0)).as("m0"),
-        (1 until NumHashes).map(j =>
-          min(CrossHash.universal(col("h"), j)).as(s"m$j")): _*)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(expr(
+          """array_distinct(transform(sequence(0, size(toks)-3),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+            .stripMargin), NumHashes).as("sig"))
     val bandStructs = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand)
-        .map(r => col(s"m${b * RowsPerBand + r}").cast("string"))
+        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1).cast("string"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", rows: _*)).as("bh"))
     }
     val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+      .select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx").as("band_idx"),
         col("band.bh").as("bh"))
-    val cand = bands.as("a")
+    // identical a/b subtrees -> Spark reuses one shuffle for both sides
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val agree = (0 until NumHashes)
-      .map(j => when(col(s"x.m$j") === col(s"y.m$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigs.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sigs.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct() // a pair can match in several bands
       .select(col("doc_a"), col("doc_b"),
-        (agree.cast("double") / NumHashes).as("est_jaccard"))
+        (expr("""aggregate(zip_with(sig_a, sig_b,
+                 (u, v) -> CASE WHEN u = v THEN 1 ELSE 0 END),
+                 0, (acc, x) -> acc + x)""")
+          .cast("double") / NumHashes).as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

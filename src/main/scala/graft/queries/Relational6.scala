@@ -17,10 +17,12 @@ object Relational6 {
   /** The `RelationalGroupedDataset.pivot` operator proper (q34 covers the
     * manual sum(CASE) spelling). The value list is EXPLICIT — without it
     * Spark runs a separate distinct-scan job over the pivot column to
-    * discover values, which at 100 TB is a full extra pass; with it the
-    * pivot compiles to the same single-shuffle conditional aggregate as
-    * q34. Empty cells surface as NULL counts, pinned to 0 to match the
-    * oracle's sum(CASE).
+    * discover values, which at 100 TB is a full extra pass. With it the
+    * plan is Spark's two-phase pivot: pre-aggregate on (bucket, type),
+    * then PivotFirst over the (tiny) aggregated rows — one more exchange
+    * than q34's single-shuffle sum(CASE), but both exchanges move
+    * already-aggregated data, so the scan-side cost is identical. Empty
+    * cells surface as NULL counts, pinned to 0 to match the oracle.
     */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
