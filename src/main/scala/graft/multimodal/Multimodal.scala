@@ -34,6 +34,15 @@ final case class ImageFeatures(
     mean_luma: Double,
     decode_error: String)
 
+final case class AudioFeatures(
+    asset_id: Long,
+    sample_rate: Double,
+    n_samples: Long,
+    rms: Double,
+    peak: Int,
+    n_zero_cross: Long,
+    decode_error: String)
+
 /** Multimodal-column plumbing (SURVEY.md §2.3 E5): schema, partitioning,
   * and batch-shaped decode — the Scala analogue of a Pandas-UDF
   * `mapInPandas` stage: `mapPartitions` over the typed Dataset so each
@@ -43,8 +52,11 @@ final case class ImageFeatures(
   * PNG/JPEG/GIF/BMP/TIFF, so [[decodeImage]] + [[extractImageFeatures]]
   * run an actual pixel pipeline (dimensions + mean luminance), with
   * corrupt payloads surfaced per-row instead of failing the task.
-  * AUDIO/VIDEO decode remains a STUB ([[decodeStub]]) — no such codecs
-  * ship in this container; the plumbing is identical.
+  * AUDIO DECODE IS ALSO REAL: `javax.sound.sampled.AudioSystem` ships a
+  * WAV/PCM codec, so [[decodeAudio]] + [[extractAudioFeatures]] parse
+  * actual RIFF containers into waveform features (RMS/peak/zero
+  * crossings). Only VIDEO decode remains a STUB ([[decodeStub]]) — no
+  * video codec ships in the JDK; the plumbing is identical.
   */
 object Multimodal {
 
@@ -170,8 +182,116 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder for audio/video — deterministic fake; no such codecs
-    * ship in this container. The image path above is the real thing.
+  /** Deterministic synthetic WAV assets (REAL RIFF/PCM bytes, written via
+    * javax.sound.sampled from a seeded two-tone signal) — the test corpus
+    * for the real audio decode path.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val payload = renderWav(id, 2000, 8000f)
+      MediaAsset(
+        asset_id = id,
+        meta = MediaMeta("audio/wav", 0, 0, 2000L * 1000 / 8000),
+        payload = payload)
+    }
+  }
+
+  /** Seeded mono 16-bit PCM WAV: a two-tone signal whose frequencies are
+    * pure functions of the id. StrictMath keeps the samples bit-identical
+    * across JVMs/CPUs (Math.sin may use platform intrinsics).
+    */
+  private[graft] def renderWav(
+      seed: Long, nSamples: Int, sampleRate: Float): Array[Byte] = {
+    val f1 = 220.0 + (seed % 16) * 55.0
+    val f2 = 440.0 + (seed % 7) * 110.0
+    val samples = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val t = i / sampleRate.toDouble
+      val v = 0.6 * StrictMath.sin(2 * StrictMath.PI * f1 * t) +
+        0.3 * StrictMath.sin(2 * StrictMath.PI * f2 * t)
+      val s = math.max(-32768L, math.min(32767L, math.round(v * 20000))).toShort
+      samples(2 * i) = (s & 0xff).toByte // WAV PCM is little-endian
+      samples(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Frame-count ceiling: a crafted RIFF header claiming hours of audio
+    * would otherwise make the task buffer unbounded sample data.
+    */
+  private val MaxFrames = 10000000L
+
+  /** REAL audio decode via the JDK's WAV/PCM codec. Left on unreadable
+    * or unsupported payloads (quarantine pattern, never a task failure).
+    * Supports the mono/stereo 16-bit PCM the JDK codec emits; the frame
+    * count is bounded BEFORE sample data is buffered.
+    */
+  def decodeAudio(payload: Array[Byte])
+      : Either[String, (Double, Long, Double, Int, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+          Left(s"unsupported format: ${fmt.getSampleSizeInBits}-bit " +
+            s"${fmt.getChannels}ch")
+        else if (ais.getFrameLength > MaxFrames)
+          Left(s"declared frame count ${ais.getFrameLength} out of bounds")
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sumSq = 0.0
+          var peak = 0
+          var zc = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
+            sumSq += s.toDouble * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1
+            prev = s
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          Right((fmt.getSampleRate.toDouble, n.toLong, rms, peak, zc))
+        }
+      } finally ais.close()
+    } catch {
+      case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** Batch audio decode: one `mapPartitions` pass, real RIFF parsing. */
+  def extractAudioFeatures(assets: Dataset[MediaAsset], parallelism: Int): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(parallelism, col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          decodeAudio(a.payload) match {
+            case Right((rate, n, rms, peak, zc)) =>
+              AudioFeatures(a.asset_id, rate, n, rms, peak, zc, null)
+            case Left(err) =>
+              AudioFeatures(a.asset_id, -1.0, 0L, 0.0, 0, 0L, err)
+          }
+        }
+      }
+  }
+
+  /** STUB decoder for video — deterministic fake; no video codec ships
+    * in the JDK. The image and audio paths above are the real thing.
     */
   def decodeStub(payload: Array[Byte]): (Double, Int) = {
     var sum = 0L

@@ -47,9 +47,27 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** q69: the REAL audio pipeline as a declared query — 64 seeded WAVs
+    * written and decoded on executors (javax.sound.sampled's RIFF/PCM
+    * codec), per-asset waveform features. Declared oracle-free: DuckDB
+    * has no audio codec, so the driver records the rows-only check;
+    * determinism is guaranteed by the StrictMath-seeded render (and
+    * pinned by ScalaTest's sample-level cross-check).
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.multimodal.Multimodal.syntheticAudio(spark, 64)
+    graft.multimodal.Multimodal.extractAudioFeatures(assets, 8)
+      .toDF()
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+        round(col("rms"), 4).as("rms"), col("peak"), col("n_zero_cross"),
+        col("decode_error").isNotNull.as("failed"))
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_binary" -> (q29 _),
-    "q48_image_features" -> (q48 _))
+    "q48_image_features" -> (q48 _),
+    "q69_audio_features" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_binary" -> q29Oracle)

@@ -24,8 +24,9 @@ class QuerySmokeSpec extends AnyFunSuite {
 
   test("every query id has an oracle or is explicitly oracle-free") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep this list intentional: only engine-specific sketches may appear
-    assert(noOracle == Set("q38_approx_sketches", "q48_image_features"),
+    // keep this list intentional: only engine-specific sketches/codecs
+    assert(noOracle == Set("q38_approx_sketches", "q48_image_features",
+      "q69_audio_features"),
       s"unexpected oracle-free queries: $noOracle")
   }
 
