@@ -38,6 +38,23 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Range-partitioned, sorted-within-partition write: the layout that
+    * makes downstream scans prunable. Every output file covers a
+    * disjoint key range and is internally sorted, so parquet row-group
+    * min/max statistics line up with predicates (a range filter touches
+    * only the files whose range intersects) and merge-style consumers
+    * stream in key order. At 100 TB this is the difference between a
+    * full scan and reading a handful of files.
+    */
+  def writeRangePartitioned(
+      df: DataFrame,
+      key: String,
+      partitions: Int,
+      path: String): Unit =
+    df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(path)
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * shuffle-free (bucket-local). Returns the registered table names.
     */
