@@ -24,7 +24,7 @@ object SparkEntry {
     "q16_tz_partition_key" -> (GridQueries.q16 _),
   ) ++ Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
     Similarity.queries ++ Events.queries ++ MultimodalQueries.queries ++
-    IntervalQueries.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ JsonQueries.queries ++ Similarity2.queries ++ Relational5.queries ++ Advanced.queries ++ Relational6.queries ++ PipelineOps.queries ++ PipelineOps2.queries ++ Relational7.queries ++ Relational8.queries
+    IntervalQueries.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ JsonQueries.queries ++ Similarity2.queries ++ Relational5.queries ++ Advanced.queries ++ Relational6.queries ++ PipelineOps.queries ++ PipelineOps2.queries ++ Relational7.queries ++ Relational8.queries ++ PipelineOps3.queries
 
   def oracleSql: Map[String, String] = Map(
     "q14_grid_explode" -> GridQueries.q14Oracle,
@@ -32,5 +32,5 @@ object SparkEntry {
     "q16_tz_partition_key" -> GridQueries.q16Oracle,
   ) ++ Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
     Similarity.oracles ++ Events.oracles ++ MultimodalQueries.oracles ++
-    IntervalQueries.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ JsonQueries.oracles ++ Similarity2.oracles ++ Relational5.oracles ++ Advanced.oracles ++ Relational6.oracles ++ PipelineOps.oracles ++ PipelineOps2.oracles ++ Relational7.oracles ++ Relational8.oracles
+    IntervalQueries.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ JsonQueries.oracles ++ Similarity2.oracles ++ Relational5.oracles ++ Advanced.oracles ++ Relational6.oracles ++ PipelineOps.oracles ++ PipelineOps2.oracles ++ Relational7.oracles ++ Relational8.oracles ++ PipelineOps3.oracles
 }
