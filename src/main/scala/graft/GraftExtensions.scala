@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(SimHash64.descriptor)
     e.injectFunction(MinGramHash.descriptor)
     e.injectFunction(MinHashSig.descriptor)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -27,6 +28,10 @@ object GraftExtensions {
       case (ident, _, builder) =>
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        graft.plans.AsOfJoinStrategy +: spark.experimental.extraStrategies
     }
   }
 }

@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** As-of join as a FIRST-CLASS operator (SURVEY.md §2.3: the operator
+  * class Spark lacks natively; q36 composes it from windows): for every
+  * left row, attach the right row with the greatest timestamp `<=` the
+  * left timestamp within the same key — null-padded when none exists
+  * (as-of LEFT join).
+  *
+  * This is the full custom-operator stack the engine exposes beyond
+  * expressions: logical [[AsOfJoin]] → [[AsOfJoinStrategy]] (planner
+  * rule injected via `GraftExtensions`) → [[AsOfJoinExec]], a
+  * sort-merge-shaped physical operator.
+  *
+  * Scale shape: identical to SortMergeJoin — both sides hash-shuffle on
+  * the key (`ClusteredDistribution`, so EnsureRequirements co-partitions
+  * them) and arrive sorted by (key, ts) (`requiredChildOrdering`, so the
+  * sorts ride the shuffle). The merge itself is one streaming pass per
+  * partition holding ONE buffered right row and ONE candidate copy — no
+  * per-key buffering, no range-join explosion, O(|L|+|R|) per partition
+  * at any data size.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Same contract as SortMergeJoin: cluster both sides on their key so
+    * EnsureRequirements shuffles them co-partitioned.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  /** Sorted by (key, ts) on both sides — the sort rides the shuffle. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTsB = BindReferences.bindReference(leftTs, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTsB = BindReferences.bindReference(rightTs, right.output)
+    val rightWidth = right.output.size
+
+    val outputAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      // downstream operators require UnsafeRow; flatten the JoinedRow
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outputAttrs, outputAttrs)
+      // one candidate (copied) right row; valid only while its key
+      // equals the current left key
+      var cand: InternalRow = null
+      var candKey: Long = 0L
+
+      lIter.map { lRow =>
+        val lkAny = lKeyB.eval(lRow)
+        val ltAny = lTsB.eval(lRow)
+        if (lkAny == null || ltAny == null) {
+          toUnsafe(joined(lRow, nullRight))
+        } else {
+          val lk = lkAny.asInstanceOf[Long]
+          val lt = ltAny.asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val rkAny = rKeyB.eval(head)
+            val rtAny = rTsB.eval(head)
+            if (rkAny == null || rtAny == null) {
+              rBuf.next() // null keys/timestamps can never match
+            } else {
+              val rk = rkAny.asInstanceOf[Long]
+              val rt = rtAny.asInstanceOf[Long]
+              if (rk < lk || (rk == lk && rt <= lt)) {
+                val row = rBuf.next()
+                if (rk == lk) { // newest-so-far match for this key
+                  cand = row.copy()
+                  candKey = lk
+                }
+              } else {
+                advance = false
+              }
+            }
+          }
+          val matched = cand != null && candKey == lk
+          toUnsafe(joined(lRow, if (matched) cand else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOf.join(purchases, clicks, "user_id", "user_id", "ts",
+  * "ts")`. Columns are resolved BY NAME against each side's analyzed
+  * output (Spark 4's Column→Expression bridge defers attribute
+  * resolution to the analyzer, so unresolved Column objects can't be
+  * planted into a custom logical node directly). Key columns must be
+  * LongType and ts columns TimestampType or LongType (both evaluate to
+  * long internally) — checked eagerly so misuse fails at plan time, not
+  * mid-job. Pre-project expressions (casts, arithmetic) before joining.
+  */
+object AsOf {
+  import org.apache.spark.sql.graftbridge.DatasetBridge
+
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def resolve(name: String, plan: LogicalPlan, side: String): Expression = {
+      val attr = plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$side column $name not found in ${plan.output.map(_.name)}"))
+      attr.dataType match {
+        case LongType | TimestampType => attr
+        case t => throw new IllegalArgumentException(
+          s"$side as-of column $name must be bigint or timestamp, got $t")
+      }
+    }
+    DatasetBridge.ofRows(spark, AsOfJoin(
+      lPlan, rPlan,
+      resolve(leftKey, lPlan, "left key"),
+      resolve(rightKey, rPlan, "right key"),
+      resolve(leftTs, lPlan, "left ts"),
+      resolve(rightTs, rPlan, "right ts")))
+  }
+}

@@ -76,11 +76,46 @@ object Relational8 {
       |WHERE c_custkey % 199 = 0
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+
+  /** The custom as-of join OPERATOR (graft.plans.AsOfJoin: logical node →
+    * injected strategy → sort-merge-shaped AsOfJoinExec) under the oracle
+    * gate, hash-matched against DuckDB's native ASOF LEFT JOIN. q36 is
+    * the window-composed spelling; this is the first-class one — same
+    * semantics certified by two independent engines and two independent
+    * formulations.
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
+      .select(col("user_id"), col("p_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
+      .orderBy(col("user_id"), col("p_id"))
+  }
+
+  val q74Oracle: String =
+    """SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts
+      |FROM (SELECT user_id, event_id AS p_id, ts AS p_ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
+      |      FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.c_user AND c.c_ts <= p.p_ts
+      |ORDER BY p.user_id, p.p_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_carry_forward" -> (q70 _),
-    "q71_listagg" -> (q71 _))
+    "q71_listagg" -> (q71 _),
+    "q74_asof_operator" -> (q74 _))
 
   val oracles: Map[String, String] = Map(
     "q70_carry_forward" -> q70Oracle,
-    "q71_listagg" -> q71Oracle)
+    "q71_listagg" -> q71Oracle,
+    "q74_asof_operator" -> q74Oracle)
 }

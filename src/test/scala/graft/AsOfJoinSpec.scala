@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+
+/** The custom as-of join operator (logical node + strategy + physical
+  * merge) must agree row-for-row with the declarative window-composed
+  * formulation, null-pad left rows with no match, and plan as one
+  * co-partitioned merge (no range-join explosion).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def purchasesAndClicks() = {
+    val ev = graft.Tables.table(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    (purchases, clicks)
+  }
+
+  test("custom operator equals the window-composed as-of join") {
+    val (purchases, clicks) = purchasesAndClicks()
+
+    val native = AsOf.join(purchases, clicks,
+        "user_id", "c_user", "p_ts", "c_ts")
+      .select(col("user_id"), col("p_id"), col("c_id"), col("c_ts"))
+
+    // declarative twin: union the streams, carry the last click forward
+    // inside each user's timeline, keep purchase rows
+    val ev = graft.Tables.table(spark, sfDir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = ev
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("click_id").as("c_id"), col("click_ts").as("c_ts"))
+
+    assert(native.count() == composed.count())
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty,
+      "native as-of join diverges from the window composition")
+    // and matches must actually exist (non-degenerate corpus)
+    assert(native.filter(col("c_id").isNotNull).count() > 0)
+  }
+
+  test("left rows with no prior right row are null-padded") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "t")
+      .select(col("k"), timestamp_micros(col("t")).as("t"))
+    val right = Seq((1L, 150L), (3L, 10L)).toDF("k2", "t2")
+      .select(col("k2"), timestamp_micros(col("t2")).as("t2"))
+    val out = AsOf.join(left, right, "k", "k2", "t", "t2")
+      .orderBy(col("k"), col("t")).collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(2), "t=100 precedes the first right row")
+    assert(!out(1).isNullAt(2) && out(1).getLong(2) == 1L, "t=200 matches t2=150")
+    assert(out(2).isNullAt(2), "key 2 has no right rows")
+  }
+
+  test("ties on the right pick the newest row at-or-before the left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+      .select(col("k"), timestamp_micros(col("t")).as("t"))
+    val right = Seq((1L, 40L, "old"), (1L, 100L, "exact"), (1L, 101L, "future"))
+      .toDF("k2", "t2", "tag")
+      .select(col("k2"), timestamp_micros(col("t2")).as("t2"), col("tag"))
+    val out = AsOf.join(left, right, "k", "k2", "t", "t2")
+      .select(col("tag")).head()
+    assert(out.getString(0) == "exact", "ts <= boundary must be inclusive")
+  }
+
+  test("plans as one co-partitioned merge: AsOfJoinExec, no BNLJ/cartesian") {
+    val (purchases, clicks) = purchasesAndClicks()
+    val df = AsOf.join(purchases, clicks,
+      "user_id", "c_user", "p_ts", "c_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // exec prints without "Exec"
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of must not plan a range-join explosion:\n$plan")
+    // both children shuffled on the key, sorted by (key, ts)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+}
