@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(MinGramHash.descriptor)
     e.injectFunction(MinHashSig.descriptor)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
 }
 
@@ -32,6 +33,11 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         graft.plans.AsOfJoinStrategy +: spark.experimental.extraStrategies
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.AsOfJoinFilterPushdown)) {
+      spark.experimental.extraOptimizations =
+        graft.plans.AsOfJoinFilterPushdown +: spark.experimental.extraOptimizations
     }
   }
 }

@@ -85,6 +85,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.getString(0) == "exact", "ts <= boundary must be inclusive")
   }
 
+  test("left-only filters push below the as-of join into the scan") {
+    val (purchases, clicks) = purchasesAndClicks()
+    val filtered = AsOf.join(purchases, clicks,
+        "user_id", "c_user", "p_ts", "c_ts")
+      .filter(col("user_id") > 100L) // left-side-only predicate
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the injected AsOfJoinFilterPushdown rule must carry the predicate
+    // into the LEFT (purchase) scan's pushed filters
+    assert(plan.contains("GreaterThan(user_id,100)"),
+      s"left filter did not reach PushedFilters:\n$plan")
+    // and correctness: identical to pre-filtering the left input
+    val preFiltered = AsOf.join(
+      purchases.filter(col("user_id") > 100L), clicks,
+      "user_id", "c_user", "p_ts", "c_ts")
+    assert(filtered.exceptAll(preFiltered).isEmpty &&
+      preFiltered.exceptAll(filtered).isEmpty)
+  }
+
+  test("right-side filters do NOT push (they would change the match)") {
+    val (purchases, clicks) = purchasesAndClicks()
+    val filtered = AsOf.join(purchases, clicks,
+        "user_id", "c_user", "p_ts", "c_ts")
+      .filter(col("c_id").isNotNull) // references the right side
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the Filter must remain ABOVE the AsOfJoin node
+    val filterIdx = optimized.indexOf("Filter")
+    val joinIdx = optimized.indexOf("AsOfJoin")
+    assert(filterIdx >= 0 && joinIdx >= 0 && filterIdx < joinIdx,
+      s"right-side filter must stay above the join:\n$optimized")
+  }
+
   test("plans as one co-partitioned merge: AsOfJoinExec, no BNLJ/cartesian") {
     val (purchases, clicks) = purchasesAndClicks()
     val df = AsOf.join(purchases, clicks,
