@@ -92,6 +92,35 @@ object MicroBench {
         .collect()
     }
     println(f"[microbench] min_gram_hash speedup: ${fpHof / fpNative}%.2fx")
+
+    // as-of join: custom operator vs window composition (union + carry
+    // last click forward). The operator shuffles two SMALL filtered
+    // sides; the composition shuffles the union and runs window state.
+    GraftExtensions.register(spark)
+    val ev = graft.Tables.table(spark, sfDir, "events").cache()
+    ev.count()
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    val asofNative = time("asof_native") {
+      graft.plans.AsOf.join(purch, clk, "user_id", "c_user", "p_ts", "c_ts")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val asofComposed = time("asof_window") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Long.MinValue, 0)
+      ev.filter(col("event_type").isin("purchase", "click"))
+        .withColumn("c_id",
+          last(when(col("event_type") === "click", col("event_id")), true).over(w))
+        .withColumn("c_ts",
+          last(when(col("event_type") === "click", col("ts")), true).over(w))
+        .filter(col("event_type") === "purchase")
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"[microbench] asof operator vs window: ${asofComposed / asofNative}%.2fx")
     spark.stop()
   }
 }
