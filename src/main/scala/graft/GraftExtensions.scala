@@ -30,12 +30,17 @@ object GraftExtensions {
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+    // the planner/optimizer views include BOTH injection routes
+    // (builder extensions and experimental methods) — checking only
+    // spark.experimental would re-add and double plan/optimize work on
+    // sessions already built withExtensions
+    if (!spark.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         graft.plans.AsOfJoinStrategy +: spark.experimental.extraStrategies
     }
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.AsOfJoinFilterPushdown)) {
+    if (!spark.sessionState.optimizer.batches
+        .exists(_.rules.contains(graft.plans.AsOfJoinFilterPushdown))) {
       spark.experimental.extraOptimizations =
         graft.plans.AsOfJoinFilterPushdown +: spark.experimental.extraOptimizations
     }

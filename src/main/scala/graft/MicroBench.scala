@@ -110,7 +110,12 @@ object MicroBench {
     }
     val asofComposed = time("asof_window") {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .partitionBy(col("user_id"))
+        // click-first tiebreak: same-ts clicks must precede the purchase
+        // row so the running frame includes them (operator is rt <= lt)
+        .orderBy(col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1),
+          col("event_id"))
         .rowsBetween(Long.MinValue, 0)
       ev.filter(col("event_type").isin("purchase", "click"))
         .withColumn("c_id",

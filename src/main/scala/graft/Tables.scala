@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   * push filters/projections into the parquet scan.
   */
 object Tables {
+
+  /** The closed set of `events.event_type` values (TESTDATA corpus).
+    * Single source of truth for every query that enumerates types
+    * (q34 conditional pivot, q49 pivot value list, q63 unpivot) — an
+    * out-of-sync private copy would silently drop a type while its
+    * like-built oracle still matched.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")

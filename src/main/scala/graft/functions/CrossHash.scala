@@ -27,6 +27,19 @@ object CrossHash {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The same 60 bits assembled from a raw md5 digest: bytes 0-6 in
+    * full plus the high nibble of byte 7 ≡ the first 15 hex chars
+    * parsed base 16. THE single copy of the bit layout — every native
+    * expression (MinGramHash, MinHashSig) must go through this so the
+    * cross-engine contract can never fork.
+    */
+  def h60FromDigest(d: Array[Byte]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
   /** DuckDB twin of [[h60]] as a SQL fragment. */
   def h60Sql(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"

@@ -85,12 +85,8 @@ object MinGramHash {
     while (i <= n - k) {
       val gram = s.substring(offsets(i), offsets(i + k))
       md.reset()
-      val d = md.digest(gram.getBytes(StandardCharsets.UTF_8))
-      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
-      var v = 0L
-      var j = 0
-      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      val v = CrossHash.h60FromDigest(
+        md.digest(gram.getBytes(StandardCharsets.UTF_8)))
       if (v < min) min = v
       i += 1
     }

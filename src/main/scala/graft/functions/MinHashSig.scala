@@ -72,11 +72,8 @@ object MinHashSig {
       if (!shingles.isNullAt(i)) {
         val s = shingles.getUTF8String(i)
         md.reset()
-        val d = md.digest(s.toString.getBytes(StandardCharsets.UTF_8))
-        var h = 0L
-        var j = 0
-        while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-        h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+        val h = CrossHash.h60FromDigest(
+          md.digest(s.toString.getBytes(StandardCharsets.UTF_8)))
         val hp = h % P
         var k = 0
         while (k < numHashes) {

@@ -256,9 +256,12 @@ object Multimodal {
           var prev = 0
           var i = 0
           while (i < n) {
-            val lo = bytes(2 * i) & 0xff
-            val hi = bytes(2 * i + 1).toInt
-            val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
+            // the HIGH byte carries the sign: sign-extend it (.toInt),
+            // mask only the low byte — per-endianness
+            val b0 = bytes(2 * i)
+            val b1 = bytes(2 * i + 1)
+            val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                    else (b1.toInt << 8) | (b0 & 0xff)
             sumSq += s.toDouble * s
             if (math.abs(s) > peak) peak = math.abs(s)
             if (i > 0 && ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1

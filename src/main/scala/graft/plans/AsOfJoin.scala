@@ -72,10 +72,25 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  /** Sorted by (key, ts) on both sides — the sort rides the shuffle. */
+  /** Sorted by (key, ts) on both sides — the sort rides the shuffle.
+    * The RIGHT side additionally totals its order over the remaining
+    * atomic columns: when two right rows tie on (key, ts) at the match
+    * boundary, the candidate the merge keeps is the LAST in sort order,
+    * so without a total order the picked row would vary run-to-run
+    * (and a hash-compared query would flake). With it the pick is
+    * pinned: the max remaining-columns tuple. (DuckDB's ASOF makes no
+    * tie guarantee either — oracle-gated queries should keep the right
+    * side unique on (key, ts), as q74's corpus is.)
+    */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      right.output
+        .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType))
+        .filterNot(a => rightKey.references.contains(a) ||
+          rightTs.references.contains(a))
+        .map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 

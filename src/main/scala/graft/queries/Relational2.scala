@@ -49,7 +49,7 @@ object Relational2 {
     * to pivot a low-cardinality dimension at scale (vs `pivot()`, which
     * needs a value scan or an explicit list anyway).
     */
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val EventTypes = graft.Tables.EventTypes
 
   def q34(spark: SparkSession, dir: String): DataFrame = {
     val perType = EventTypes.map(t =>

@@ -24,7 +24,7 @@ object Relational6 {
     * already-aggregated data, so the scan-side cost is identical. Empty
     * cells surface as NULL counts, pinned to 0 to match the oracle.
     */
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val EventTypes = graft.Tables.EventTypes
 
   def q49(spark: SparkSession, dir: String): DataFrame = {
     val pivoted = table(spark, dir, "events")

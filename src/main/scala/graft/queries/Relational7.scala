@@ -19,7 +19,7 @@ object Relational7 {
     * (day, event_type, n). Unpivot is a zero-shuffle Expand — the only
     * shuffle is the upstream daily aggregate.
     */
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val EventTypes = graft.Tables.EventTypes
 
   def q63(spark: SparkSession, dir: String): DataFrame = {
     val perType = EventTypes.map(t =>

@@ -87,6 +87,10 @@ object Relational8 {
     */
   def q74(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // defensive (idempotent): a session built without GraftExtensions —
+    // e.g. a bare test builder that getOrCreate'd first in the JVM —
+    // has no planner strategy for the custom node and q74 cannot plan
+    graft.GraftExtensions.register(spark)
     val ev = table(spark, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))

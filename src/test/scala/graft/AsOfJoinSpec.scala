@@ -36,11 +36,16 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(col("user_id"), col("p_id"), col("c_id"), col("c_ts"))
 
     // declarative twin: union the streams, carry the last click forward
-    // inside each user's timeline, keep purchase rows
+    // inside each user's timeline, keep purchase rows. Clicks at the
+    // SAME ts as a purchase must sort BEFORE it (the operator's match
+    // is inclusive: rt <= lt), hence the click-first tiebreak — sorting
+    // by event_id alone would exclude a same-ts click with a higher id.
     val ev = graft.Tables.table(spark, sfDir, "events")
       .filter(col("event_type").isin("purchase", "click"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val composed = ev
       .withColumn("click_id",

@@ -150,6 +150,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("big-endian audio (AU) decodes with correct sign extension") {
+    // two samples: -256 (0xFF00) then +256 — an unsigned-assembly bug
+    // reads -256 as +65280 (peak blows past 16-bit range, zero
+    // crossings vanish)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val raw = Array[Byte](0xff.toByte, 0x00, 0x01, 0x00) // BE: -256, 256
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+    val Right((rate, n, rms, peak, zc)) = Multimodal.decodeAudio(bos.toByteArray)
+    assert(rate == 8000.0 && n == 2)
+    assert(peak == 256, s"sign-extension broken: peak=$peak")
+    assert(zc == 1, s"zero crossing lost: zc=$zc")
+    assert(math.abs(rms - 256.0) < 1e-9)
+  }
+
   test("corrupt audio payloads surface per-row, not as task failures") {
     import spark.implicits._
     val bad = Seq(
