@@ -113,13 +113,52 @@ object Relational8 {
       |  ON p.user_id = c.c_user AND c.c_ts <= p.p_ts
       |ORDER BY p.user_id, p.p_id""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+
+  /** Semi-structured processing through Spark 4's VARIANT type:
+    * parse_json once into the binary variant encoding, then typed
+    * variant_get extraction — the modern replacement for per-field JSON
+    * re-parsing (q41 covers the from_json schema-ful spelling). All
+    * outputs are exact integers.
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events").createOrReplaceTempView("events_v75")
+    spark.sql(
+      """WITH v AS (
+        |  SELECT event_type,
+        |         variant_get(parse_json(props), '$.k', 'int') AS k
+        |  FROM events_v75)
+        |SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k,
+        |       CAST(count(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q75Oracle: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |  FROM events)
+      |SELECT event_type,
+      |       count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(min(k) AS BIGINT) AS min_k,
+      |       CAST(max(k) AS BIGINT) AS max_k,
+      |       CAST(count(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
+      |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_carry_forward" -> (q70 _),
     "q71_listagg" -> (q71 _),
-    "q74_asof_operator" -> (q74 _))
+    "q74_asof_operator" -> (q74 _),
+    "q75_variant_json" -> (q75 _))
 
   val oracles: Map[String, String] = Map(
     "q70_carry_forward" -> q70Oracle,
     "q71_listagg" -> q71Oracle,
-    "q74_asof_operator" -> q74Oracle)
+    "q74_asof_operator" -> q74Oracle,
+    "q75_variant_json" -> q75Oracle)
 }
