@@ -158,4 +158,82 @@ object GridQueries {
        |       year(local_ts) AS year, month(local_ts) AS month,
        |       day(local_ts) AS day, hour(local_ts) AS hour
        |FROM p ORDER BY file_name""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+
+  /** Spatial cell binning over the exploded radiation points: aggregate
+    * to 0.5° grid cells (geohash-style spatial rollup — the query a
+    * radiation-map tile server runs). Bin keys via `floor(coord * 2)`:
+    * multiplying a double by 2 is exact, so the binning is bit-identical
+    * cross-engine with no rounding involved. One shuffle on the cell key.
+    */
+  def q76(spark: SparkSession, sfDir: String): DataFrame =
+    explodedPoints(spark)
+      .withColumn("lon_bin", floor(col("longitude") * 2).cast("long"))
+      .withColumn("lat_bin", floor(col("latitude") * 2).cast("long"))
+      .groupBy(col("lon_bin"), col("lat_bin"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        round(avg(col("radiation")), 2).as("avg_radiation"),
+        max(col("radiation")).as("max_radiation"))
+      .orderBy(col("lon_bin"), col("lat_bin"))
+
+  val q76Oracle: String =
+    s"""WITH $explodedPointsCte
+       |SELECT CAST(floor(longitude * 2) AS BIGINT) AS lon_bin,
+       |       CAST(floor(latitude * 2) AS BIGINT) AS lat_bin,
+       |       count(*) AS n_points,
+       |       round(avg(radiation), 2) AS avg_radiation,
+       |       max(radiation) AS max_radiation
+       |FROM points GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+
+  /** Nearest-anchor assignment: each point goes to the closest of four
+    * fixed reference stations by SQUARED Euclidean distance — exact
+    * double arithmetic (products and sums of parquet-derived values, no
+    * sqrt/trig whose libm results could differ in the last ulp), with a
+    * lowest-id tie preference spelled as an explicit comparison chain so
+    * both engines break ties identically.
+    */
+  private val Anchors: Seq[(Double, Double)] =
+    Seq((140.0, -20.0), (145.0, -30.0), (150.0, -25.0), (135.0, -35.0))
+
+  def q77(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = explodedPoints(spark)
+    val d = Anchors.zipWithIndex.map { case ((ax, ay), i) =>
+      ((col("longitude") - ax) * (col("longitude") - ax) +
+        (col("latitude") - ay) * (col("latitude") - ay)).as(s"d$i")
+    }
+    pts.select((col("radiation") +: d): _*)
+      .withColumn("anchor",
+        when(col("d0") <= col("d1") && col("d0") <= col("d2") &&
+          col("d0") <= col("d3"), 0L)
+          .when(col("d1") <= col("d2") && col("d1") <= col("d3"), 1L)
+          .when(col("d2") <= col("d3"), 2L)
+          .otherwise(3L))
+      .groupBy(col("anchor"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        round(avg(col("radiation")), 2).as("avg_radiation"))
+      .orderBy(col("anchor"))
+  }
+
+  val q77Oracle: String = {
+    val dists = Anchors.zipWithIndex.map { case ((ax, ay), i) =>
+      s"(longitude - $ax) * (longitude - $ax) + (latitude - $ay) * (latitude - $ay) AS d$i"
+    }.mkString(",\n       ")
+    s"""WITH $explodedPointsCte,
+       |dd AS (
+       |  SELECT radiation,
+       |       $dists
+       |  FROM points)
+       |SELECT CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+       |            WHEN d1 <= d2 AND d1 <= d3 THEN 1
+       |            WHEN d2 <= d3 THEN 2
+       |            ELSE 3 END AS anchor,
+       |       count(*) AS n_points,
+       |       round(avg(radiation), 2) AS avg_radiation
+       |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }
