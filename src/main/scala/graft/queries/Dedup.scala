@@ -95,7 +95,11 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q21Oracle: String = {
+  /** Shared DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the LSH
+    * candidate pairs. Used by both the q21 oracle (pair scoring) and the
+    * q78 oracle (connected components over the pair graph).
+    */
+  private lazy val q21CandCte: String = {
     val minhashes = (0 until NumHashes)
       .map(j => s"min(${universalSql("h", j)}) AS m$j").mkString(",\n       ")
     val bandSelects = (0 until Bands).map { b =>
@@ -103,10 +107,7 @@ object Dedup {
         .map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $rows)) AS bh FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    val agree = (0 until NumHashes)
-      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, tok, pos FROM (
        |    SELECT doc_id,
        |           unnest(string_split(text, ' ')) AS tok,
@@ -130,7 +131,14 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val q21Oracle: String = {
+    val agree = (0 until NumHashes)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${q21CandCte}
        |SELECT c.doc_a, c.doc_b, ($agree) / ${NumHashes}.0 AS est_jaccard
        |FROM cand c
        |JOIN mh x ON c.doc_a = x.doc_id
@@ -236,15 +244,82 @@ object Dedup {
       |WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.2
       |ORDER BY i.doc_a, i.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+
+  /** Dedup CLUSTERING: connected components over the LSH candidate-pair
+    * graph — the step after q21 that turns pairwise matches into "keep
+    * one doc per near-dup cluster". Min-label propagation: every node
+    * starts labeled with itself; each round takes the min of its own and
+    * all neighbors' labels; at fixpoint the label is the component
+    * minimum (deterministic regardless of iteration order).
+    *
+    * This is the engine's iterative-algorithm pattern: a driver loop of
+    * DataFrame joins with `localCheckpoint` truncating the lineage each
+    * round (otherwise the plan doubles per iteration and the optimizer
+    * revisits the whole history), and a convergence `count` as the exit
+    * condition. Diameter of near-dup clusters is tiny, so rounds ≪ the
+    * 20-round safety cap; at 100 TB the same loop runs with the
+    * alternating large-star/small-star optimization.
+    */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q21(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint() // the LSH subtree runs ONCE, not per iteration
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE twin: the closure of reachable labels per node; the
+    * min reachable node IS the component minimum (undirected graph).
+    */
+  val q78Oracle: String =
+    s"""WITH RECURSIVE ${q21CandCte},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM cand),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |walk(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id)
+       |SELECT id AS doc_id, min(label) AS cluster_id
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17 _),
     "q21_minhash_lsh" -> (q21 _),
     "q22_simhash" -> (q22 _),
-    "q23_ngram_jaccard" -> (q23 _))
+    "q23_ngram_jaccard" -> (q23 _),
+    "q78_dedup_clusters" -> (q78 _))
 
   val oracles: Map[String, String] = Map(
     "q17_dedup_exact" -> q17Oracle,
     "q21_minhash_lsh" -> q21Oracle,
     "q22_simhash" -> q22Oracle,
-    "q23_ngram_jaccard" -> q23Oracle)
+    "q23_ngram_jaccard" -> q23Oracle,
+    "q78_dedup_clusters" -> q78Oracle)
 }
