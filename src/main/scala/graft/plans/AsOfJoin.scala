@@ -97,7 +97,16 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
+  /** UI/history-server metrics, same as built-in join operators. */
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
     val lTsB = BindReferences.bindReference(leftTs, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
@@ -121,6 +130,7 @@ case class AsOfJoinExec(
         val lkAny = lKeyB.eval(lRow)
         val ltAny = lTsB.eval(lRow)
         if (lkAny == null || ltAny == null) {
+          numOutputRows += 1
           toUnsafe(joined(lRow, nullRight))
         } else {
           val lk = lkAny.asInstanceOf[Long]
@@ -147,6 +157,8 @@ case class AsOfJoinExec(
             }
           }
           val matched = cand != null && candKey == lk
+          numOutputRows += 1
+          if (matched) numMatchedRows += 1
           toUnsafe(joined(lRow, if (matched) cand else nullRight))
         }
       }
