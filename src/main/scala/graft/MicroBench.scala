@@ -123,6 +123,11 @@ object MicroBench {
         .withColumn("c_ts",
           last(when(col("event_type") === "click", col("ts")), true).over(w))
         .filter(col("event_type") === "purchase")
+        // materialize the SAME five columns as the native branch — the
+        // composed plan would otherwise also pay for carrying props etc.
+        // through the sink and the comparison would flatter the operator
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"), col("c_id"), col("c_ts"))
         .write.format("noop").mode("overwrite").save()
     }
     println(f"[microbench] asof operator vs window: ${asofComposed / asofNative}%.2fx")

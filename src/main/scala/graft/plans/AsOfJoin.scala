@@ -192,21 +192,31 @@ object AsOf {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
-    def resolve(name: String, plan: LogicalPlan, side: String): Expression = {
-      val attr = plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"$side column $name not found in ${plan.output.map(_.name)}"))
-      attr.dataType match {
-        case LongType | TimestampType => attr
-        case t => throw new IllegalArgumentException(
-          s"$side as-of column $name must be bigint or timestamp, got $t")
+    def resolve(name: String, plan: LogicalPlan, side: String,
+        keyRole: Boolean): Expression = {
+      val matches = plan.output.filter(_.name == name)
+      if (matches.isEmpty) throw new IllegalArgumentException(
+        s"$side column $name not found in ${plan.output.map(_.name)}")
+      if (matches.length > 1) throw new IllegalArgumentException(
+        s"$side column $name is ambiguous (${matches.length} attributes) — " +
+          "rename one side before joining")
+      val attr = matches.head
+      (keyRole, attr.dataType) match {
+        // keys must be bigint: a timestamp key would silently compare
+        // epoch-micros against raw longs on the other side
+        case (true, LongType) => attr
+        case (true, t) => throw new IllegalArgumentException(
+          s"$side as-of KEY column $name must be bigint, got $t")
+        case (false, LongType | TimestampType) => attr
+        case (false, t) => throw new IllegalArgumentException(
+          s"$side as-of ts column $name must be bigint or timestamp, got $t")
       }
     }
     DatasetBridge.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
-      resolve(leftKey, lPlan, "left key"),
-      resolve(rightKey, rPlan, "right key"),
-      resolve(leftTs, lPlan, "left ts"),
-      resolve(rightTs, rPlan, "right ts")))
+      resolve(leftKey, lPlan, "left key", keyRole = true),
+      resolve(rightKey, rPlan, "right key", keyRole = true),
+      resolve(leftTs, lPlan, "left ts", keyRole = false),
+      resolve(rightTs, rPlan, "right ts", keyRole = false)))
   }
 }

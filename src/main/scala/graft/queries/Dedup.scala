@@ -51,7 +51,21 @@ object Dedup {
     * Jaccard. At 100 TB the banding join is the scale trick (candidates
     * ≪ n²); hot buckets (boilerplate docs) would be capped or salted.
     */
-  def q21(spark: SparkSession, dir: String): DataFrame = {
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        (expr("""aggregate(zip_with(sig_a, sig_b,
+                 (u, v) -> CASE WHEN u = v THEN 1 ELSE 0 END),
+                 0, (acc, x) -> acc + x)""")
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** UNSORTED LSH candidate pairs with both signatures — shared by q21
+    * (which scores and sorts them) and q78 (which only needs the edge
+    * list; consuming q21 directly would drag its global ORDER BY
+    * range-exchange into the checkpoint for nothing).
+    */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     // The whole signature is one narrow projection: the native
     // minhash_sig expression folds md5 + 16 universal hashes over each
@@ -87,12 +101,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct() // a pair can match in several bands
-      .select(col("doc_a"), col("doc_b"),
-        (expr("""aggregate(zip_with(sig_a, sig_b,
-                 (u, v) -> CASE WHEN u = v THEN 1 ELSE 0 END),
-                 0, (acc, x) -> acc + x)""")
-          .cast("double") / NumHashes).as("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Shared DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the LSH
@@ -262,7 +270,7 @@ object Dedup {
     * alternating large-star/small-star optimization.
     */
   def q78(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q21(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = candidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -287,6 +295,12 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // a silent cap-out would emit WRONG labels that the closure-computing
+    // oracle rejects confusingly — surface it as the real failure instead
+    if (!converged) throw new IllegalStateException(
+      s"q78 label propagation did not converge in $rounds rounds — " +
+        "component diameter exceeds the cap; raise it or switch to " +
+        "large-star/small-star")
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
