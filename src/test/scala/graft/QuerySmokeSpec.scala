@@ -22,6 +22,40 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("query ids are unique across packs (no silent map overwrite)") {
+    // SparkEntry merges pack maps with ++ — a duplicated id would
+    // silently drop one implementation and its oracle pairing
+    val packs: Seq[(String, Iterable[String])] = Seq(
+      "Relational" -> graft.queries.Relational.queries.keys,
+      "Dedup" -> graft.queries.Dedup.queries.keys,
+      "TextAnalysis" -> graft.queries.TextAnalysis.queries.keys,
+      "Similarity" -> graft.queries.Similarity.queries.keys,
+      "Events" -> graft.queries.Events.queries.keys,
+      "Multimodal" -> graft.queries.MultimodalQueries.queries.keys,
+      "Interval" -> graft.queries.IntervalQueries.queries.keys,
+      "Relational2" -> graft.queries.Relational2.queries.keys,
+      "Relational3" -> graft.queries.Relational3.queries.keys,
+      "Relational4" -> graft.queries.Relational4.queries.keys,
+      "Json" -> graft.queries.JsonQueries.queries.keys,
+      "Similarity2" -> graft.queries.Similarity2.queries.keys,
+      "Relational5" -> graft.queries.Relational5.queries.keys,
+      "Advanced" -> graft.queries.Advanced.queries.keys,
+      "Relational6" -> graft.queries.Relational6.queries.keys,
+      "PipelineOps" -> graft.queries.PipelineOps.queries.keys,
+      "PipelineOps2" -> graft.queries.PipelineOps2.queries.keys,
+      "Relational7" -> graft.queries.Relational7.queries.keys,
+      "Relational8" -> graft.queries.Relational8.queries.keys,
+      "PipelineOps3" -> graft.queries.PipelineOps3.queries.keys)
+    val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
+      "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
+    val all = grid ++ packs.flatMap(_._2)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query ids across packs: $dups")
+    assert(all.size == SparkEntry.queries.size,
+      s"pack total ${all.size} != merged ${SparkEntry.queries.size} — " +
+        "a pack is missing from this guard or from SparkEntry")
+  }
+
   test("every query id has an oracle or is explicitly oracle-free") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list intentional: only engine-specific sketches/codecs
