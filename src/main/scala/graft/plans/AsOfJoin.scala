@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -191,7 +191,16 @@ object AsOf {
       rightTs: String): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // Self-join guard: when both sides derive from the same DataFrame,
+    // any right column not re-aliased by the caller shares its exprId
+    // with the left twin; the analyzer's dedupRight only rewrites
+    // built-in nodes, and the exec's output projection binds by exprId,
+    // so the duplicated right column would silently project the LEFT
+    // value. Re-alias every right column to a fresh exprId instead.
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     def resolve(name: String, plan: LogicalPlan, side: String,
         keyRole: Boolean): Expression = {
       val matches = plan.output.filter(_.name == name)

@@ -27,12 +27,19 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, j: AsOfJoin) =>
-      val (leftOnly, rest) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      // Mirror Catalyst's PushDownPredicates: only the deterministic
+      // PREFIX (conjuncts before the first nondeterministic one) may
+      // move — pushing a conjunct from after it would change how many
+      // rows, and in what order, the nondeterministic predicate sees.
+      val (candidates, nonDetTail) =
+        splitConjunctivePredicates(cond).span(_.deterministic)
+      val (leftOnly, rest) =
+        candidates.partition(_.references.subsetOf(j.left.outputSet))
       if (leftOnly.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
-        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        (rest ++ nonDetTail).reduceOption(And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
       }
   }
 }

@@ -193,7 +193,14 @@ object PipelineOps {
       .agg(
         count(lit(1)).as("n_intervals"),
         sum(col("dt")).as("span_ms"),
-        round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twa"))
+        // numerator decimal-summed, unrounded (see q02's note): a TWA
+        // is a fine-grid rational, so rounding boundaries can be hit
+        // exactly. DECIMAL(24,2) keeps the group sums' unscaled value
+        // < 2^53 (products reach ~5e12), so the decimal→double
+        // conversion is exact on both engines and the quotient of
+        // identical doubles is bit-identical.
+        (sum((col("value") * col("dt")).cast("decimal(24,2)"))
+          .cast("double") / sum(col("dt"))).as("twa"))
       .orderBy(col("user_id"))
   }
 
@@ -205,7 +212,8 @@ object PipelineOps {
       |  FROM events WHERE user_id % 5 = 0)
       |SELECT user_id, count(*) AS n_intervals,
       |       CAST(sum(next_ms - ms) AS BIGINT) AS span_ms,
-      |       round(sum(value * (next_ms - ms)) / sum(next_ms - ms), 4) AS twa
+      |       CAST(sum(CAST(value * (next_ms - ms) AS DECIMAL(24,2)))
+      |            AS DOUBLE) / sum(next_ms - ms) AS twa
       |FROM e WHERE next_ms IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 

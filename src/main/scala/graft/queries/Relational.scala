@@ -35,17 +35,36 @@ object Relational {
       |  AND l_quantity < 24
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** q02: TPC-H Q1-shaped hash aggregate (partial + final via Catalyst). */
+  /** q02: TPC-H Q1-shaped hash aggregate (partial + final via Catalyst).
+    *
+    * Cross-engine hardening: the discounted-price sum and the discount
+    * average go through DECIMAL(18,4) and are emitted UNROUNDED. Their
+    * true values live on grids finer than any presentation rounding
+    * (4dp products; a 2dp mean over an arbitrary denominator), so
+    * groups land mathematically ON .5·10⁻ᵏ rounding boundaries — where
+    * the engines' round() implementations disagree even on identical
+    * inputs (Spark HALF_UP on the exact expansion vs DuckDB's
+    * multiply-first; observed on q20 at sf0.1). Quantizing each addend
+    * to decimal is deterministic (both engines quantize the SAME
+    * product double; a tie would need a dyadic ·5·10⁻⁵ value, which
+    * doesn't exist), decimal addition is exact, and the unscaled sums
+    * stay < 2^53 so the final double cast is exact — the raw doubles
+    * are bit-identical cross-engine with no rounding involved.
+    * sum_qty/avg_qty (integer-valued, exact in double) and
+    * sum_base_price (2dp summed, 2dp rounded — boundary is 0.005 away)
+    * cannot straddle and keep the fast double path.
+    */
   def q02(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        (sum(col("l_discount").cast("decimal(18,4)")).cast("double")
+          / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -53,9 +72,11 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |       round(sum(l_quantity), 2) AS sum_qty,
       |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       |       round(avg(l_quantity), 2) AS avg_qty,
-      |       round(avg(l_discount), 4) AS avg_disc,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      |         / count(*) AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -102,15 +123,17 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        // decimal-summed, unrounded: see q02's cross-engine note
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
 
   val q04Oracle: String =
     """SELECT n_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -333,8 +356,9 @@ object Relational {
       .agg(
         grouping(col("l_returnflag")).cast("long").as("g_flag"),
         grouping(col("l_linestatus")).cast("long").as("g_status"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        // decimal-summed, unrounded: see q02's cross-engine note
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(
         col("g_flag"), col("g_status"),
@@ -345,7 +369,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
       |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)

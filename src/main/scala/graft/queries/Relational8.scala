@@ -94,9 +94,15 @@ object Relational8 {
     val ev = table(spark, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    // Dedupe the right side on (key, ts) keeping max event_id — the same
+    // pick the operator's tie rule would make. Hash parity with DuckDB's
+    // ASOF (which guarantees nothing on ties) requires a unique right
+    // side; enforcing it here makes the precondition structural instead
+    // of a property of today's corpus. Partial aggregation keeps the
+    // extra pre-shuffle cheap at scale.
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-        col("ts").as("c_ts"))
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("c_id"))
     graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
       .select(col("user_id"), col("p_id"), col("p_ts"),
         col("c_id"), col("c_ts"))
@@ -108,8 +114,9 @@ object Relational8 {
       |FROM (SELECT user_id, event_id AS p_id, ts AS p_ts
       |      FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN
-      |     (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
-      |      FROM events WHERE event_type = 'click') c
+      |     (SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS c_id
+      |      FROM events WHERE event_type = 'click'
+      |      GROUP BY user_id, ts) c
       |  ON p.user_id = c.c_user AND c.c_ts <= p.p_ts
       |ORDER BY p.user_id, p.p_id""".stripMargin
 

@@ -121,6 +121,45 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"right-side filter must stay above the join:\n$optimized")
   }
 
+  test("self-join with shared lineage projects the RIGHT side's values") {
+    import spark.implicits._
+    // Both sides derive from the SAME DataFrame and the right columns are
+    // NOT re-aliased — before the exprId-overlap guard the duplicated
+    // right columns silently projected the LEFT row's values.
+    val base = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0))
+      .toDF("k", "t", "v")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("v"))
+    val left = base.filter(col("t") === timestamp_micros(lit(300L)))
+    val right = base.filter(col("t") < timestamp_micros(lit(300L)))
+    val out = AsOf.join(left, right, "k", "k", "t", "t").head()
+    // output: (k, t, v) left ++ (k, t, v) right
+    assert(out.getDouble(2) == 30.0, "left v")
+    assert(out.getTimestamp(4).compareTo(out.getTimestamp(1)) < 0,
+      s"right t must be the matched (earlier) row, not a copy of left t: $out")
+    assert(out.getDouble(5) == 20.0,
+      s"right v must come from the matched right row (t=200), got $out")
+  }
+
+  test("pushdown stops at the first nondeterministic conjunct") {
+    val (purchases, clicks) = purchasesAndClicks()
+    val joined = AsOf.join(purchases, clicks,
+      "user_id", "c_user", "p_ts", "c_ts")
+    // nondet() AND left_pred: the left predicate sits AFTER the
+    // nondeterministic conjunct, so pushing it would change the row set
+    // the nondeterministic predicate evaluates over. It must stay put.
+    val blocked = joined.filter(rand(7) >= 0.0 && col("user_id") > 100L)
+    val opt = blocked.queryExecution.optimizedPlan
+    val joinNode = opt.collectFirst { case j: graft.plans.AsOfJoin => j }.get
+    assert(!joinNode.left.toString.contains("user_id > 100"),
+      s"left predicate after a nondet conjunct must NOT push:\n$opt")
+    // deterministic PREFIX before the nondet conjunct still pushes
+    val pushed = joined.filter(col("user_id") > 100L && rand(7) >= 0.0)
+    val opt2 = pushed.queryExecution.optimizedPlan
+    val joinNode2 = opt2.collectFirst { case j: graft.plans.AsOfJoin => j }.get
+    assert(joinNode2.left.toString.contains("user_id"),
+      s"deterministic prefix must still push below the join:\n$opt2")
+  }
+
   test("plans as one co-partitioned merge: AsOfJoinExec, no BNLJ/cartesian") {
     val (purchases, clicks) = purchasesAndClicks()
     val df = AsOf.join(purchases, clicks,
