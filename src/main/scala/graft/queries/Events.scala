@@ -19,19 +19,12 @@ object Events {
     * variant (`window($"ts", "1 hour")` + watermark) is exercised in
     * engine tests.
     *
-    * Sums go through DECIMAL(18,6), UNROUNDED: double summation is
-    * order-dependent in the last ULP and each engine sums groups in its
-    * own parallel order, so `round(avg(value), 4)` flaked whenever a
-    * group's mean landed mathematically ON a .00005 boundary (2dp data
-    * makes that common — observed at sf0.1). Worse, round() itself
-    * diverges there even on IDENTICAL inputs: Spark rounds the exact
-    * binary expansion (HALF_UP) while DuckDB multiplies by 10^k first,
-    * which can snap onto the .5 and round the other way. Decimal
-    * addition is exact and order-independent, so both engines cast the
-    * SAME exact sum to double and divide by the same count — the raw
-    * quotient is bit-identical cross-engine and needs no rounding at
-    * all. (`value` carries 2 decimal digits, so the 6-digit
-    * quantization is nowhere near a tie.)
+    * Sums use [[Exact.sumFixed]] (order-independent unscaled-BIGINT
+    * sums, emitted unrounded — see Exact's scaladoc): `value` is 2dp
+    * data, so group means land mathematically ON .00005 rounding
+    * boundaries, where double sum order and round() tie-breaking both
+    * diverge across engines (observed here at sf0.1 — the flake that
+    * motivated the helper).
     */
   def q20(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
@@ -40,20 +33,15 @@ object Events {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).as("sum_dec"))
-      .select(
-        col("hour_window"), col("event_type"), col("n_events"),
-        col("sum_dec").cast("double").as("sum_value"),
-        (col("sum_dec").cast("double") / col("n_events")).as("avg_value"))
+        Exact.sumFixed(col("value"), 2).as("sum_value"),
+        (Exact.sumFixed(col("value"), 2) / count(lit(1))).as("avg_value"))
       .orderBy(col("hour_window"), col("event_type"))
 
   val q20Oracle: String =
-    """SELECT date_trunc('hour', ts) AS hour_window, event_type,
+    s"""SELECT date_trunc('hour', ts) AS hour_window, event_type,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-      |         AS sum_value,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-      |         AS avg_value
+      |       ${Exact.sumFixedSql("value", 2)} AS sum_value,
+      |       ${Exact.sumFixedSql("value", 2)} / count(*) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- q31

@@ -193,27 +193,26 @@ object PipelineOps {
       .agg(
         count(lit(1)).as("n_intervals"),
         sum(col("dt")).as("span_ms"),
-        // numerator decimal-summed, unrounded (see q02's note): a TWA
-        // is a fine-grid rational, so rounding boundaries can be hit
-        // exactly. DECIMAL(24,2) keeps the group sums' unscaled value
-        // < 2^53 (products reach ~5e12), so the decimal→double
-        // conversion is exact on both engines and the quotient of
-        // identical doubles is bit-identical.
-        (sum((col("value") * col("dt")).cast("decimal(24,2)"))
-          .cast("double") / sum(col("dt"))).as("twa"))
+        // numerator exact-summed, unrounded (see Exact's scaladoc): a
+        // TWA is a fine-grid rational, so rounding boundaries can be
+        // hit exactly. Group sums of value·dt stay < 2^53/100 (dt is
+        // bounded by the corpus time span), so the long→double
+        // conversion is exact and the quotient bit-identical.
+        (Exact.sumFixed(col("value") * col("dt"), 2) / sum(col("dt")))
+          .as("twa"))
       .orderBy(col("user_id"))
   }
 
   val q58Oracle: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, value, epoch_ms(ts) AS ms,
       |         lead(epoch_ms(ts), 1) OVER (PARTITION BY user_id
       |                                     ORDER BY ts, event_id) AS next_ms
       |  FROM events WHERE user_id % 5 = 0)
       |SELECT user_id, count(*) AS n_intervals,
       |       CAST(sum(next_ms - ms) AS BIGINT) AS span_ms,
-      |       CAST(sum(CAST(value * (next_ms - ms) AS DECIMAL(24,2)))
-      |            AS DOUBLE) / sum(next_ms - ms) AS twa
+      |       ${Exact.sumFixedSql("value * (next_ms - ms)", 2)}
+      |         / sum(next_ms - ms) AS twa
       |FROM e WHERE next_ms IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 

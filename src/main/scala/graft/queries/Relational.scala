@@ -38,21 +38,15 @@ object Relational {
   /** q02: TPC-H Q1-shaped hash aggregate (partial + final via Catalyst).
     *
     * Cross-engine hardening: the discounted-price sum and the discount
-    * average go through DECIMAL(18,4) and are emitted UNROUNDED. Their
-    * true values live on grids finer than any presentation rounding
-    * (4dp products; a 2dp mean over an arbitrary denominator), so
-    * groups land mathematically ON .5·10⁻ᵏ rounding boundaries — where
-    * the engines' round() implementations disagree even on identical
-    * inputs (Spark HALF_UP on the exact expansion vs DuckDB's
-    * multiply-first; observed on q20 at sf0.1). Quantizing each addend
-    * to decimal is deterministic (both engines quantize the SAME
-    * product double; a tie would need a dyadic ·5·10⁻⁵ value, which
-    * doesn't exist), decimal addition is exact, and the unscaled sums
-    * stay < 2^53 so the final double cast is exact — the raw doubles
-    * are bit-identical cross-engine with no rounding involved.
-    * sum_qty/avg_qty (integer-valued, exact in double) and
-    * sum_base_price (2dp summed, 2dp rounded — boundary is 0.005 away)
-    * cannot straddle and keep the fast double path.
+    * average use [[Exact.sumFixed]] (order-independent unscaled-BIGINT
+    * sums, emitted unrounded — see Exact's scaladoc for the full
+    * rationale). Their true values live on grids finer than any
+    * presentation rounding (4dp products; a 2dp mean over an arbitrary
+    * denominator), so groups land mathematically ON .5·10⁻ᵏ rounding
+    * boundaries where double sum order and round() tie-breaking both
+    * diverge across engines. sum_qty/avg_qty (integer-valued, exact in
+    * double) and sum_base_price (2dp summed, 2dp rounded — the boundary
+    * is 0.005 away) cannot straddle and keep the plain double path.
     */
   def q02(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -60,27 +54,27 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        Exact.sumFixed(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
-        (sum(col("l_discount").cast("decimal(18,4)")).cast("double")
-          / count(lit(1))).as("avg_disc"),
+        (Exact.sumFixed(col("l_discount"), 2) / count(lit(1)))
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q02Oracle: String =
-    """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-      |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |       round(avg(l_quantity), 2) AS avg_qty,
-      |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-      |         / count(*) AS avg_disc,
-      |       count(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |       round(sum(l_quantity), 2) AS sum_qty,
+       |       round(sum(l_extendedprice), 2) AS sum_base_price,
+       |       ${Exact.sumFixedSql("l_extendedprice * (1 - l_discount)", 4)}
+       |         AS sum_disc_price,
+       |       round(avg(l_quantity), 2) AS avg_qty,
+       |       ${Exact.sumFixedSql("l_discount", 2)} / count(*) AS avg_disc,
+       |       count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** q03: two-step inner equi-join chain with a selective region filter.
     * nation and region are tiny → Catalyst broadcasts them; the only
@@ -123,17 +117,18 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        // decimal-summed, unrounded: see q02's cross-engine note
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        // exact fixed-point sum, unrounded: see Exact's scaladoc
+        Exact.sumFixed(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
 
   val q04Oracle: String =
-    """SELECT n_name,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-      |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    s"""SELECT n_name,
+      |       ${Exact.sumFixedSql("l_extendedprice * (1 - l_discount)", 4)}
+      |         AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -356,9 +351,10 @@ object Relational {
       .agg(
         grouping(col("l_returnflag")).cast("long").as("g_flag"),
         grouping(col("l_linestatus")).cast("long").as("g_status"),
-        // decimal-summed, unrounded: see q02's cross-engine note
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        // exact fixed-point sum, unrounded: see Exact's scaladoc
+        Exact.sumFixed(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(
         col("g_flag"), col("g_status"),
@@ -366,11 +362,11 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
 
   val q12Oracle: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
       |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-      |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       ${Exact.sumFixedSql("l_extendedprice * (1 - l_discount)", 4)}
+      |         AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)

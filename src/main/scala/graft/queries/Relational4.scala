@@ -48,17 +48,18 @@ object Relational4 {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      // decimal-summed, unrounded: see q02's cross-engine note
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      // exact fixed-point sum, unrounded: see Exact's scaladoc
+      .agg(Exact.sumFixed(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q39Oracle: String =
-    """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-      |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |       ${Exact.sumFixedSql("l_extendedprice * (1 - l_discount)", 4)}
+      |         AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
