@@ -79,4 +79,53 @@ class ScaleProofSpec extends AnyFunSuite {
       s"range predicate did not push down:\n$scan")
     assert(q.count() > 0)
   }
+
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    // The 100 TB co-location story: both sides written bucketed+sorted
+    // on the join key join with no shuffle at all — at scale this turns
+    // the nightly fact⋈fact join from a full-network event into a
+    // file-local merge. (Bucket files are also pre-sorted, so the SMJ's
+    // per-partition sort is satisfied by the layout.)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    spark.sql("DROP TABLE IF EXISTS bkt_orders_sp")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem_sp")
+    try {
+      orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bkt_orders_sp")
+      lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("bkt_lineitem_sp")
+
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bkt_orders_sp")
+          .join(spark.table("bkt_lineitem_sp"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        assert(joined.queryExecution.toRdd.count() > 0)
+        val plan = joined.queryExecution.executedPlan.toString
+        val joinIdx = plan.indexOf("SortMergeJoin")
+        assert(joinIdx >= 0, s"expected a sort-merge join:\n${plan.take(3000)}")
+        // no Exchange anywhere below the join: both scans satisfy the
+        // hash-clustered requirement straight from the bucket layout,
+        // and the groupBy on the same key reuses it too
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n${plan.take(4000)}")
+
+        // and the result matches the plain (shuffling) join
+        val plain = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty,
+          "bucketed join result diverges from plain join")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_orders_sp")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem_sp")
+    }
+  }
 }
