@@ -46,7 +46,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Relational7" -> graft.queries.Relational7.queries.keys,
       "Relational8" -> graft.queries.Relational8.queries.keys,
       "PipelineOps3" -> graft.queries.PipelineOps3.queries.keys,
-      "Relational9" -> graft.queries.Relational9.queries.keys)
+      "Relational9" -> graft.queries.Relational9.queries.keys,
+      "SourceSink" -> graft.queries.SourceSink.queries.keys)
     val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
       "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
     val all = grid ++ packs.flatMap(_._2)
