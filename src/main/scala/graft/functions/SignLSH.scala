@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object SignLSH {
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
-  private[functions] def planeComponent(plane: Int, dim: Int): Double = {
+  /** Deterministic pseudo-random hyperplane component in [-1, 1).
+    * Public: q42 derives integer-quantized plane weights from it at
+    * query-build time (inlined as literals on both engines).
+    */
+  def planeComponent(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L +
       dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,54 +14,133 @@ object Similarity2 {
 
   // ---------------------------------------------------------------- q42
 
-  /** Embedding-cosine near-dup detection: for each vector in a
-    * deterministic 1/4 sample, its nearest neighbor within the sample and
-    * a duplicate flag at cosine ≥ 0.3. Output is one row per sample
-    * vector (never empty), so the operator's shape is scale-stable; at
-    * 100 TB the all-pairs leg is replaced by sign-LSH bucketing (random
-    * hyperplanes) with this exact scoring as the in-bucket verifier.
+  /** Sign-LSH parameters: 32 random hyperplanes banded 4×8 — a random
+    * (unrelated) pair collides in a band with p = 2⁻⁸, a cosine-0.9
+    * near-dup with p = (1 − arccos .9/π)⁸ ≈ 0.29 per band (≈ 74% over 4
+    * bands), so candidates ≪ n² while near-dups still collide.
+    */
+  private val NBits = 32
+  private val SigBands = 4
+  private val BitsPerBand = NBits / SigBands
+  private val Dims = 64
+  private val QScale = 10000.0 // embedding quantization: floor(x·10⁴)
+  private val WScale = 1000.0 // plane quantization: floor(w·10³)
+
+  /** Integer plane weights, derived from [[SignLSH.planeComponent]] at
+    * query-build time and inlined as LITERALS on both engines — the
+    * whole bucketing is int64 arithmetic (quantized embedding · integer
+    * plane), so signatures are bit-identical across Spark and DuckDB
+    * with no floating-point sign ambiguity near the hyperplane.
+    */
+  private lazy val planesQ: Array[Array[Long]] =
+    Array.tabulate(NBits, Dims)((j, d) =>
+      math.floor(graft.functions.SignLSH.planeComponent(j, d) * WScale).toLong)
+
+  /** Embedding near-dup detection, sign-LSH bucketed (the 100 TB shape —
+    * the round-3 all-pairs crossJoin formulation is gone): quantize each
+    * sample vector to int64 (`floor(x·10⁴)`), take 32 hyperplane signs
+    * in exact integer arithmetic, band them 4×8 into bucket keys, and
+    * self-join on (band, bucket) — candidates ≪ n², no crossJoin
+    * anywhere in the plan. Candidates are then verified with the exact
+    * codegen'd cosine and each vector keeps its best candidate
+    * (sim desc, id asc). Vectors whose buckets are all singletons emit
+    * NULL neighbors — one row per sample vector either way, so the
+    * output contract is scale-stable. The two band-explode sides are
+    * identical subtrees, so Spark reuses one exchange for both
+    * (ReusedExchange), same as q21.
     */
   def q42(spark: SparkSession, dir: String): DataFrame = {
     val sample = table(spark, dir, "embeddings")
       .filter(col("vec_id") % 4 === 0)
-    val a = sample.select(col("vec_id").as("vec_id"), col("embedding").as("ea"))
-    val b = sample.select(col("vec_id").as("nn_id"), col("embedding").as("eb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("nn_id"))
-    a.crossJoin(b)
-      .filter(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"),
+      .select(col("vec_id"), col("embedding"))
+    val xq = sample.withColumn("xq", expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${QScale}D) AS BIGINT))"))
+    def dotQ(j: Int): Column = aggregate(
+      zip_with(col("xq"), typedLit(planesQ(j).toSeq), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    def bandVal(b: Int): Column = (0 until BitsPerBand).map { i =>
+      when(dotQ(b * BitsPerBand + i) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bandStructs = (0 until SigBands).map(b =>
+      struct(lit(b).as("band_idx"), bandVal(b).as("bv")))
+    val bands = xq
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx").as("band_idx"),
+        col("band.bv").as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.bv") === col("b.bv") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct() // a pair can collide in several bands
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    val nn = cand
+      .join(sample.select(col("vec_id").as("va_id"), col("embedding").as("ea")),
+        col("va") === col("va_id"))
+      .join(sample.select(col("vec_id").as("vb_id"), col("embedding").as("eb")),
+        col("vb") === col("vb_id"))
+      .select(col("va"), col("vb"),
         round(VectorOps.cosineNative(col("ea"), col("eb")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn_id"), col("sim"),
+    sample.select(col("vec_id"))
+      .join(nn, col("vec_id") === col("va"), "left")
+      .select(col("vec_id"), col("vb").as("nn_id"), col("sim"),
         (col("sim") >= 0.3).as("is_near_dup"))
       .orderBy(col("vec_id"))
   }
 
-  val q42Oracle: String =
-    """WITH sample AS (
-      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
-      |pairs AS (
-      |  SELECT a.vec_id AS pid, b.vec_id AS nid,
-      |         a.embedding AS pe, b.embedding AS ne
-      |  FROM sample a, sample b WHERE a.vec_id <> b.vec_id),
-      |un AS (
-      |  SELECT pid, nid, CAST(unnest(pe) AS DOUBLE) AS x,
-      |         CAST(unnest(ne) AS DOUBLE) AS y
-      |  FROM pairs),
-      |sims AS (
-      |  SELECT pid, nid,
-      |         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
-      |           AS sim
-      |  FROM un GROUP BY pid, nid),
-      |nn AS (
-      |  SELECT pid, nid, sim,
-      |         row_number() OVER (PARTITION BY pid
-      |                            ORDER BY sim DESC, nid) AS rn
-      |  FROM sims)
-      |SELECT pid AS vec_id, nid AS nn_id, sim, sim >= 0.3 AS is_near_dup
-      |FROM nn WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  val q42Oracle: String = {
+    val wRows = (for {
+      j <- 0 until NBits
+      d <- 0 until Dims
+    } yield s"($j,${d + 1},${planesQ(j)(d)})").mkString(",")
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+       |w(j, d, wt) AS (VALUES $wRows),
+       |e AS (
+       |  SELECT vec_id,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${QScale}) AS BIGINT) AS xq,
+       |         generate_subscripts(embedding, 1) AS d
+       |  FROM sample),
+       |dots AS (
+       |  SELECT e.vec_id, w.j, sum(e.xq * w.wt) AS dot
+       |  FROM e JOIN w ON e.d = w.d GROUP BY e.vec_id, w.j),
+       |bands AS (
+       |  SELECT vec_id, CAST(j // $BitsPerBand AS INT) AS band_idx,
+       |         CAST(sum(CASE WHEN dot >= 0
+       |                  THEN (1 << CAST(j % $BitsPerBand AS INT))
+       |                  ELSE 0 END) AS BIGINT) AS bv
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bv = b.bv
+       |   AND a.vec_id <> b.vec_id),
+       |pairs AS (
+       |  SELECT c.va, c.vb, sa.embedding AS pe, sb.embedding AS ne
+       |  FROM cand c
+       |  JOIN sample sa ON c.va = sa.vec_id
+       |  JOIN sample sb ON c.vb = sb.vec_id),
+       |un AS (
+       |  SELECT va, vb, CAST(unnest(pe) AS DOUBLE) AS x,
+       |         CAST(unnest(ne) AS DOUBLE) AS y
+       |  FROM pairs),
+       |sims AS (
+       |  SELECT va, vb,
+       |         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+       |           AS sim
+       |  FROM un GROUP BY va, vb),
+       |nn AS (
+       |  SELECT va, vb, sim,
+       |         row_number() OVER (PARTITION BY va
+       |                            ORDER BY sim DESC, vb) AS rn
+       |  FROM sims)
+       |SELECT s.vec_id, nn.vb AS nn_id, nn.sim, nn.sim >= 0.3 AS is_near_dup
+       |FROM sample s LEFT JOIN nn ON s.vec_id = nn.va AND nn.rn = 1
+       |ORDER BY s.vec_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q43
 

@@ -38,6 +38,24 @@ class SignLSHSpec extends AnyFunSuite {
     assert(n > 16, s"only $n distinct buckets over 500 vectors")
   }
 
+  test("q42 is LSH-bucketed: no cartesian product, one row per sample vector") {
+    val df = graft.queries.Similarity2.q42(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoop"),
+      s"q42 must stay bucketed (equality joins only):\n$physical")
+    val nSample = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 4 === 0).count()
+    assert(df.count() == nSample,
+      "q42 contract: exactly one output row per sample vector")
+    // the LSH path must actually find neighbors for most vectors here —
+    // an over-tight bucketing that NULLs everything would pass the two
+    // asserts above while being useless
+    val withNn = df.filter(col("nn_id").isNotNull).count()
+    assert(withNn * 2 > nSample,
+      s"only $withNn/$nSample sample vectors found an LSH candidate")
+  }
+
   test("same-bucket pairs are more similar than cross-bucket pairs") {
     val b = bucketed.select(col("vec_id"), col("embedding"), col("lsh_bucket"))
     val pairs = b.as("x").join(b.as("y"), col("x.vec_id") < col("y.vec_id"))
