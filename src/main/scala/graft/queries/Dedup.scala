@@ -60,19 +60,28 @@ object Dedup {
           .cast("double") / NumHashes).as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** UNSORTED LSH candidate pairs with both signatures — shared by q21
-    * (which scores and sorts them) and q78 (which only needs the edge
-    * list; consuming q21 directly would drag its global ORDER BY
-    * range-exchange into the checkpoint for nothing).
+  /** Hot-bucket cap: max docs per (band, bucket) that enter the
+    * candidate self-join. A viral boilerplate string at 100 TB puts
+    * millions of docs in ONE bucket and makes the join quadratic in
+    * that bucket; the cap bounds any bucket's contribution to
+    * cap·(cap−1)/2 pairs. Kept deterministic (the cap keeps the
+    * lowest doc_ids) so reruns and the two self-join sides agree. At
+    * sf0.1 the largest bucket holds <, and asserts to hold <, 64 docs
+    * ([[DedupHotBucketSpec]]), so the cap provably never fires on the
+    * gated corpus — the oracle (uncapped) still hash-matches.
     */
-  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  val MaxBucketDocs = 256
+
+  /** Per-doc banded MinHash signatures (doc_id, sig, band_idx, bh) —
+    * one narrow projection: the native minhash_sig expression folds
+    * md5 + 16 universal hashes over each doc's shingle array in a
+    * single codegen'd pass (bit-identical to the explode → 16×min
+    * group-by it replaced — see MinHashSigSpec). No explode, no
+    * aggregation shuffle; the sig is carried through the band explode
+    * so the candidate join already has both signatures.
+    */
+  private[graft] def bandedSigs(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    // The whole signature is one narrow projection: the native
-    // minhash_sig expression folds md5 + 16 universal hashes over each
-    // doc's shingle array in a single codegen'd pass (bit-identical to
-    // the explode → 16×min group-by it replaced — see MinHashSigSpec).
-    // No explode, no aggregation shuffle; the sig is carried through the
-    // band explode so the candidate join already has both signatures.
     val sigs = docs
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
@@ -87,14 +96,42 @@ object Dedup {
         .map(r => element_at(col("sig"), b * RowsPerBand + r + 1).cast("string"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", rows: _*)).as("bh"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), col("sig"),
         explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_idx").as("band_idx"),
         col("band.bh").as("bh"))
-    // identical a/b subtrees -> Spark reuses one shuffle for both sides
-    bands.as("a")
-      .join(bands.as("b"),
+  }
+
+  /** UNSORTED LSH candidate pairs with both signatures — shared by q21
+    * (which scores and sorts them) and q78 (which only needs the edge
+    * list; consuming q21 directly would drag its global ORDER BY
+    * range-exchange into the checkpoint for nothing).
+    */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(spark, dir, MaxBucketDocs)
+
+  /** As above with an explicit hot-bucket cap (spec hook). The cap's
+    * row_number window partitions by exactly the join keys, so its
+    * exchange IS the join's exchange — capping costs one local
+    * per-bucket sort, no extra shuffle, and the identical a/b subtrees
+    * still collapse into one ReusedExchange.
+    */
+  def candidatePairs(spark: SparkSession, dir: String, maxBucketDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = bandedSigs(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("bh")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxBucketDocs)
+      .drop("rn")
+    // merge hint: the capped side's size ESTIMATE falls under the
+    // broadcast threshold, which would plan a BroadcastHashJoin and
+    // compute the signature subtree twice (once per side). Forcing SMJ
+    // keeps the identical a/b subtrees collapsing into ONE exchange
+    // (ReusedExchange) — and the cap window's (band_idx, bh, doc_id)
+    // sort already satisfies SMJ's ordering, so the join adds no work.
+    bands.as("a").hint("merge")
+      .join(bands.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
