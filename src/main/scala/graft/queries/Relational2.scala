@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -12,57 +13,143 @@ object Relational2 {
 
   // ---------------------------------------------------------------- q33
 
-  /** Exact interpolated percentiles per return flag, spelled as a
-    * window-rank pick instead of the `percentile()` aggregate: the
-    * built-in is a TypedImperativeAggregate whose partial state is a
-    * value→count map — with ~unique doubles (583k distinct / 600k rows
-    * at sf0.1) every partial buffer serializes a near-full copy of its
-    * input and the 3 final groups single-threadedly merge and sort all
-    * of it (2.2-2.8 s at sf0.1). Here one hash exchange on the flag
-    * feeds a per-group sort (row_number), the quantile rows are picked
-    * by position, and the follow-up groupBy reuses the window's
-    * partitioning (no second exchange). ~4× faster, same answer.
+  private val Quantiles = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
+  private val HistBins = 1024
+
+  /** Exact interpolated percentiles per return flag via distributed
+    * two-pass k-th selection — no per-group global sort anywhere, so
+    * parallelism is NOT bounded by the group count (the round-3
+    * window-rank form funneled all 600k rows through 3 reducers):
     *
-    * The interpolation `(1-frac)*lo + frac*hi` is bit-identical to the
-    * built-in's (verified exhaustively at sf0.01+sf0.1 — the algebraic
-    * twin `lo + frac*(hi-lo)` is NOT, off by 1 ULP on ~10% of picks).
-    * `0.25D` suffixes keep the SQL literals DOUBLE (bare `0.25` parses
-    * as DECIMAL and changes the arithmetic). Rounding stays at the
-    * group level only.
+    *  1. Pass 1: per-group (min, max, count), then a per-(group, bin)
+    *     histogram over 1024 equi-width bins — both are ordinary
+    *     map-side-partial hash aggregations over the full cluster. The
+    *     driver receives only groups×bins counts (bounded METADATA,
+    *     independent of data size — same trust model as AQE stats) and
+    *     locates, for each quantile, the bin holding positions
+    *     floor/ceil((n-1)·q) plus the rank of each within its bin.
+    *  2. Pass 2: re-scan ONLY rows in candidate bins (≤ 6 bins/group;
+    *     a conjunctive price-range predicate reaches the parquet scan
+    *     as a PushedFilter), row_number within (group, bin) — tiny
+    *     local sorts of ~n/1024 rows each — and keep the target ranks.
     *
-    * Scale note: like the aggregate form, parallelism is bounded by the
-    * group count (3 reducers carry the sorts). The 100 TB path for
-    * exact quantiles is a distributed k-th-selection; the sketch path
-    * (`percentile_approx`) is q38's territory.
+    * Picked lo/hi values join (broadcast) to a ≤18-row target map and
+    * fold into one row per group. The interpolation
+    * `(1-frac)*lo + frac*hi` and its operand doubles are the exact
+    * expressions the previous formulation used, so the result stays
+    * bit-identical to DuckDB's quantile_cont (the algebraic twin
+    * `lo + frac*(hi-lo)` is NOT — off by 1 ULP on ~10% of picks).
+    * Rounding stays at the group level only.
     */
   def q33(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v33")
-    def pick(q: String, tag: String): String =
-      s"""max(CASE WHEN pos = CAST(floor((n-1) * ${q}D) AS BIGINT) THEN p END) AS lo$tag,
-         |  max(CASE WHEN pos = CAST(ceil((n-1) * ${q}D) AS BIGINT) THEN p END) AS hi$tag""".stripMargin
-    def interp(q: String, tag: String): String =
-      s"round((1.0D - ((n-1) * ${q}D - floor((n-1) * ${q}D))) * lo$tag + " +
-        s"((n-1) * ${q}D - floor((n-1) * ${q}D)) * hi$tag, 4) AS p$tag"
-    spark.sql(
-      s"""WITH ranked AS (
-         |  SELECT l_returnflag, l_extendedprice AS p,
-         |         row_number() OVER (PARTITION BY l_returnflag
-         |                            ORDER BY l_extendedprice) - 1 AS pos,
-         |         count(*) OVER (PARTITION BY l_returnflag) AS n
-         |  FROM lineitem_v33),
-         |picks AS (
-         |  SELECT l_returnflag,
-         |  ${pick("0.25", "25")},
-         |  ${pick("0.5", "50")},
-         |  ${pick("0.75", "75")},
-         |  max(n) AS n
-         |  FROM ranked GROUP BY l_returnflag)
-         |SELECT l_returnflag,
-         |       ${interp("0.25", "25")},
-         |       ${interp("0.5", "50")},
-         |       ${interp("0.75", "75")},
-         |       n
-         |FROM picks ORDER BY l_returnflag""".stripMargin)
+    val rows = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
+
+    // pass 1a: per-group extent + count (3 rows to the driver)
+    val stats = rows.groupBy(col("flag"))
+      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+
+    // bin id, identical expression in pass 1b and pass 2: equi-width
+    // over [mn, mx], top value clamped into the last bin
+    def binCol: org.apache.spark.sql.Column = {
+      val branches = stats.toSeq.sortBy(_._1).map { case (f, (mn, mx, _)) =>
+        val w = (mx - mn) / HistBins
+        (col("flag") === f,
+          least(floor((col("p") - lit(mn)) / lit(w)), lit(HistBins - 1L)))
+      }
+      branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }
+    }
+
+    // pass 1b: histogram — groups×1024 counts back to the driver
+    val hist = rows.withColumn("bin", binCol)
+      .groupBy(col("flag"), col("bin")).agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) =>
+        f -> rs.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+      }
+
+    // driver: locate each quantile position's bin + in-bin rank
+    // targets: (flag, tag, role, bin, rank) tuples plus per-flag frac/n
+    val targets: Seq[(String, String, String, Long, Long)] =
+      stats.toSeq.sortBy(_._1).flatMap { case (f, (_, _, n)) =>
+        val cum = hist(f).scanLeft((Long.MinValue, 0L)) {
+          case ((_, acc), (bin, c)) => (bin, acc + c)
+        }.tail // (bin, cumulative count through bin)
+        def locate(pos: Long): (Long, Long) = {
+          val before = cum.takeWhile(_._2 <= pos)
+          val bin = if (before.length == cum.length) cum.last._1
+            else cum(before.length)._1
+          val cumBefore = if (before.isEmpty) 0L else before.last._2
+          (bin, pos - cumBefore)
+        }
+        Quantiles.flatMap { case (tag, q) =>
+          val exact = (n - 1) * q
+          val (loBin, loRank) = locate(math.floor(exact).toLong)
+          val (hiBin, hiRank) = locate(math.ceil(exact).toLong)
+          Seq((f, tag, "lo", loBin, loRank), (f, tag, "hi", hiBin, hiRank))
+        }
+      }
+    import spark.implicits._
+    val targetDf = targets.toDF("tflag", "tag", "role", "tbin", "rank")
+
+    // pass 2: only candidate bins survive the scan; the coarse price
+    // range below is parquet-pushable, the exact (flag, bin) set is a
+    // residual filter; per-(flag, bin) row_number sorts ~n/1024 rows
+    val candBins = targets.map(t => (t._1, t._4)).toSet
+    val loP = stats.map { case (f, (mn, mx, _)) =>
+      val w = (mx - mn) / HistBins
+      mn + candBins.filter(_._1 == f).map(_._2).min * w
+    }.min
+    val hiP = stats.map { case (f, (mn, mx, _)) =>
+      val w = (mx - mn) / HistBins
+      mn + (candBins.filter(_._1 == f).map(_._2).max + 1) * w
+    }.max
+    val binFilter = candBins.toSeq.sorted
+      .map { case (f, b) => col("flag") === f && col("bin") === b }
+      .reduce(_ || _)
+    val w33 = Window.partitionBy(col("flag"), col("bin")).orderBy(col("p"))
+    val picked = rows
+      .filter(col("p") >= loP && col("p") <= hiP)
+      .withColumn("bin", binCol)
+      .filter(binFilter)
+      .withColumn("rn", row_number().over(w33) - 1)
+      .join(broadcast(targetDf),
+        col("flag") === col("tflag") && col("bin") === col("tbin") &&
+          col("rn") === col("rank"))
+
+    // fold the ≤18 picked rows into one row per group and interpolate
+    // with the bit-pinned formula; frac/n enter as per-flag literals
+    val fracDf = stats.toSeq.sortBy(_._1).map { case (f, (_, _, n)) =>
+      val fr = Quantiles.map { case (_, q) =>
+        val exact = (n - 1) * q
+        exact - math.floor(exact)
+      }
+      (f, fr(0), fr(1), fr(2), n)
+    }.toDF("fflag", "frac25", "frac50", "frac75", "n")
+    val slots = Quantiles.flatMap { case (tag, _) =>
+      Seq(
+        max(when(col("tag") === tag && col("role") === "lo", col("p")))
+          .as(s"lo$tag"),
+        max(when(col("tag") === tag && col("role") === "hi", col("p")))
+          .as(s"hi$tag"))
+    }
+    picked.groupBy(col("flag"))
+      .agg(slots.head, slots.tail: _*)
+      .join(broadcast(fracDf), col("flag") === col("fflag"))
+      .select(
+        col("flag").as("l_returnflag") +:
+          Quantiles.map { case (tag, _) =>
+            round((lit(1.0) - col(s"frac$tag")) * col(s"lo$tag") +
+              col(s"frac$tag") * col(s"hi$tag"), 4).as(s"p$tag")
+          } :+ col("n"): _*)
+      .orderBy(col("l_returnflag"))
   }
 
   val q33Oracle: String =
