@@ -21,6 +21,21 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Runs `sql` with each (table → view) mapping temporarily registered,
+    * dropping every view before returning. `spark.sql` resolves the plan
+    * eagerly, so the returned DataFrame outlives the views — queries
+    * leave NO session-global catalog state behind (temp views that
+    * persist after a query are invisible shared state; see ADVICE r3).
+    */
+  def sqlWithViews(spark: SparkSession, sfDir: String,
+      mappings: (String, String)*)(sql: String): DataFrame = {
+    mappings.foreach { case (t, v) =>
+      table(spark, sfDir, t).createOrReplaceTempView(v)
+    }
+    try spark.sql(sql)
+    finally mappings.foreach { case (_, v) => spark.catalog.dropTempView(v) }
+  }
+
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 has no
     * native type for (PARQUET_TYPE_ILLEGAL by default). Read the raw
     * nanos as long (legacy conf) and floor-divide to microseconds —

@@ -34,7 +34,8 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression)
+    rightTs: Expression,
+    strictUnique: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -47,8 +48,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, strict) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +60,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression)
+    rightTs: Expression,
+    strictUnique: Boolean)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -125,6 +127,7 @@ case class AsOfJoinExec(
       // equals the current left key
       var cand: InternalRow = null
       var candKey: Long = 0L
+      var candTs: Long = 0L
 
       lIter.map { lRow =>
         val lkAny = lKeyB.eval(lRow)
@@ -148,8 +151,19 @@ case class AsOfJoinExec(
               if (rk < lk || (rk == lk && rt <= lt)) {
                 val row = rBuf.next()
                 if (rk == lk) { // newest-so-far match for this key
+                  // strict mode: a duplicate right (key, ts) that could
+                  // influence a result — both copies consumed while
+                  // matching this key — raises instead of tie-breaking.
+                  // (Ties never consumed, beyond every left ts, cannot
+                  // affect output and are deliberately not scanned for.)
+                  if (strictUnique && cand != null && candKey == lk &&
+                      candTs == rt) throw new IllegalStateException(
+                    s"as-of join: right side has duplicate (key=$lk, " +
+                      s"ts=$rt) rows and strictUnique is set — " +
+                      "deduplicate the right side on (key, ts) first")
                   cand = row.copy()
                   candKey = lk
+                  candTs = rt
                 }
               } else {
                 advance = false
@@ -188,7 +202,26 @@ object AsOf {
       leftKey: String,
       rightKey: String,
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs,
+      strictUnique = false)
+
+  /** As [[join]], with the right-side uniqueness precondition made
+    * STRUCTURAL: `strictUnique = true` raises mid-merge on any duplicate
+    * right (key, ts) pair that could influence a result, instead of
+    * applying the deterministic max-remaining-columns tie-break. Use it
+    * whenever results are compared across engines (DuckDB's ASOF makes
+    * no tie guarantee), as q74 does. The check is free: it looks only at
+    * rows the merge already consumes.
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      strictUnique: Boolean): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     val rPlan0 = right.queryExecution.analyzed
@@ -226,6 +259,7 @@ object AsOf {
       resolve(leftKey, lPlan, "left key", keyRole = true),
       resolve(rightKey, rPlan, "right key", keyRole = true),
       resolve(leftTs, lPlan, "left ts", keyRole = false),
-      resolve(rightTs, rPlan, "right ts", keyRole = false)))
+      resolve(rightTs, rPlan, "right ts", keyRole = false),
+      strictUnique))
   }
 }

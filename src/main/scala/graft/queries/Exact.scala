@@ -36,12 +36,32 @@ import org.apache.spark.sql.functions._
 object Exact {
 
   /** Exact sum of a fixed-point double expression with `scale` decimal
-    * digits, emitted as a bit-identical double. Non-negative inputs
-    * assumed (floor(+0.5) rounds half toward +∞).
+    * digits, emitted as a bit-identical double.
+    *
+    * Both preconditions are ENFORCED, not assumed (ADVICE r3 — a future
+    * corpus would otherwise silently produce off-by-one-ULP results):
+    * a negative addend raises per-row (floor(+0.5) rounds half toward
+    * +∞, which is only half-away-from-zero — the cross-engine-stable
+    * direction — for non-negative x), and a group sum at or beyond 2^53
+    * raises at the group level (the long→double conversion stops being
+    * exact there). Both guards live in lazy CASE branches: the hot path
+    * stays codegen'd integer adds, and the oracle twin needs no guard —
+    * valid data is unaffected and invalid data fails loudly instead of
+    * hash-mismatching.
     */
   def sumFixed(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
-    sum(floor(c * lit(f) + lit(0.5)).cast("long")).cast("double") / lit(f)
+    val addend = when(c < 0, raise_error(concat(
+      lit(s"sumFixed: negative addend "), c.cast("string"),
+      lit(" — floor(+0.5) quantization requires non-negative inputs"))))
+      .otherwise(floor(c * lit(f) + lit(0.5)).cast("long"))
+    val s = sum(addend)
+    when(abs(s) < lit(1L << 53), s.cast("double") / lit(f))
+      .otherwise(raise_error(concat(
+        lit("sumFixed: group sum "), s.cast("string"),
+        lit(s" exceeds 2^53 — long→double conversion no longer exact; " +
+          "pre-aggregate per partition or widen to two-level sums"))))
+      .cast("double")
   }
 
   /** DuckDB twin of [[sumFixed]] — keep the op sequence in lockstep. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 import graft.functions.CrossHash
 
 /** q59-q62: second round-2 pack — bounded per-group sampling, text
@@ -131,9 +131,8 @@ object PipelineOps2 {
     * default running frame makes last_value just the current row, the
     * classic trap). Values are picked, not computed, so they stay raw.
     */
-  def q62(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "orders").createOrReplaceTempView("orders_v62")
-    spark.sql(
+  def q62(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "orders" -> "orders_v62")(
       """SELECT o_custkey, o_orderkey,
         |       first_value(o_totalprice) OVER w AS first_price,
         |       last_value(o_totalprice) OVER
@@ -148,7 +147,6 @@ object PipelineOps2 {
         |WHERE o_custkey % 100 = 0
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
-  }
 
   val q62Oracle: String =
     """SELECT o_custkey, o_orderkey,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 
 /** q72-q73: data-quality operators for training-data curation —
   * repetition detection (duplicate-bigram ratio) and PII redaction.
@@ -63,9 +63,8 @@ object PipelineOps3 {
     * md5 of the redacted form certifies the exact output text
     * cross-engine.
     */
-  def q73(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "documents").createOrReplaceTempView("documents_v73")
-    spark.sql(
+  def q73(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "documents" -> "documents_v73")(
       """WITH aug AS (
         |  SELECT doc_id,
         |         concat(text, ' contact: user', CAST(doc_id AS STRING),
@@ -82,7 +81,6 @@ object PipelineOps3 {
         |           '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>'),
         |           '\\+[0-9][0-9-]{6,}', '<PHONE>')) AS redacted_md5
         |FROM aug ORDER BY doc_id""".stripMargin)
-  }
 
   val q73Oracle: String =
     """WITH aug AS (

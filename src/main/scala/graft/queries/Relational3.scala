@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 
 /** q36-q37: operators beyond plain joins/aggregates — an as-of join
   * (composed from built-ins per the custom-operator preference order:
@@ -61,9 +61,8 @@ object Relational3 {
     * hand-written rewrite would do; declared SQL keeps that optimization
     * Catalyst's job.
     */
-  def q37(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "orders").createOrReplaceTempView("orders_v")
-    spark.sql(
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "orders" -> "orders_v")(
       """SELECT o_custkey, count(*) AS n_above_personal_avg
         |FROM orders_v o
         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice)
@@ -71,7 +70,6 @@ object Relational3 {
         |                            WHERE i.o_custkey = o.o_custkey)
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin)
-  }
 
   val q37Oracle: String =
     """SELECT o_custkey, count(*) AS n_above_personal_avg

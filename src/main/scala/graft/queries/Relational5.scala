@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 
 /** q44-q45: time-range window frames and explicit GROUPING SETS —
   * the two window/grouping shapes q08/q12 don't cover.
@@ -18,9 +18,8 @@ object Relational5 {
     * takes numerics), so this goes through `spark.sql` — same text shape
     * as the DuckDB twin.
     */
-  def q44(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "orders").createOrReplaceTempView("orders_v44")
-    spark.sql(
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "orders" -> "orders_v44")(
       """SELECT o_custkey, o_orderkey,
         |       count(*) OVER w AS trailing_n,
         |       round(sum(o_totalprice) OVER w, 2) AS trailing_spend
@@ -29,7 +28,6 @@ object Relational5 {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |             RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
-  }
 
   val q44Oracle: String =
     """SELECT o_custkey, o_orderkey,
@@ -46,9 +44,8 @@ object Relational5 {
   /** Explicit GROUPING SETS mixing two independent single-column
     * groupings plus the grand total — not expressible as one ROLLUP/CUBE.
     */
-  def q45(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v45")
-    spark.sql(
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "lineitem" -> "lineitem_v45")(
       """SELECT l_returnflag, l_linestatus,
         |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
         |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
@@ -59,7 +56,6 @@ object Relational5 {
         |ORDER BY g_flag, g_status,
         |         l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin)
-  }
 
   val q45Oracle: String =
     """SELECT l_returnflag, l_linestatus,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 
 /** q49/q51/q53-q55: round-2 relational coverage — the `pivot()`
   * relational operator, CUBE, distribution window functions
@@ -54,9 +54,8 @@ object Relational6 {
     * shuffle via Catalyst's Expand. The band expression is computed in a
     * subquery so both engines cube over plain columns.
     */
-  def q51(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "customer").createOrReplaceTempView("customer_v51")
-    spark.sql(
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "customer" -> "customer_v51")(
       """WITH c AS (
         |  SELECT c_mktsegment, CAST(c_nationkey % 5 AS BIGINT) AS nation_band,
         |         c_acctbal
@@ -71,7 +70,6 @@ object Relational6 {
         |ORDER BY g_seg, g_band,
         |         c_mktsegment ASC NULLS FIRST,
         |         nation_band ASC NULLS FIRST""".stripMargin)
-  }
 
   val q51Oracle: String =
     """WITH c AS (
@@ -98,9 +96,8 @@ object Relational6 {
     * percent_rank/cume_dist are exact rational arithmetic over identical
     * ints, so the raw doubles are bit-equal cross-engine (no rounding).
     */
-  def q53(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "customer").createOrReplaceTempView("customer_v53")
-    spark.sql(
+  def q53(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "customer" -> "customer_v53")(
       """SELECT c_mktsegment, c_custkey,
         |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         |       percent_rank() OVER w AS pr,
@@ -109,7 +106,6 @@ object Relational6 {
         |WHERE c_custkey % 20 = 0
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin)
-  }
 
   val q53Oracle: String =
     """SELECT c_mktsegment, c_custkey,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 import graft.functions.CrossHash
 
 /** q63-q68: third round-2 pack — UNPIVOT/melt, lateral top-k per group,
@@ -57,10 +57,9 @@ object Relational7 {
     * the hood — same physical plan as the manual row_number rewrite, so
     * the declarative form costs nothing at scale.
     */
-  def q64(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "nation").createOrReplaceTempView("nation_v64")
-    table(spark, dir, "customer").createOrReplaceTempView("customer_v64")
-    spark.sql(
+  def q64(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir,
+      "nation" -> "nation_v64", "customer" -> "customer_v64")(
       """SELECT n.n_name, l.c_custkey, l.c_acctbal
         |FROM nation_v64 n,
         |LATERAL (
@@ -70,7 +69,6 @@ object Relational7 {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) l
         |ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey""".stripMargin)
-  }
 
   val q64Oracle: String =
     """SELECT n.n_name, l.c_custkey, l.c_acctbal
@@ -120,9 +118,8 @@ object Relational7 {
     * ~50x a clean cast — bounding keeps the bench honest about it without
     * letting it dominate.
     */
-  def q66(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "orders").createOrReplaceTempView("orders_v66")
-    spark.sql(
+  def q66(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "orders" -> "orders_v66")(
       """SELECT o_orderpriority,
         |       count(*) AS n,
         |       count(try_cast(substr(o_orderpriority, 1, 1) AS INT))
@@ -135,7 +132,6 @@ object Relational7 {
         |FROM orders_v66
         |WHERE o_orderkey % 5 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-  }
 
   val q66Oracle: String =
     """SELECT o_orderpriority,

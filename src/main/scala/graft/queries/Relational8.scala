@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 
 /** q70-q71: IGNORE NULLS carry-forward fill and ordered listagg — the
   * last two window/aggregation spellings the inventory lacked.
@@ -19,9 +19,8 @@ object Relational8 {
     * modifier `last_value(v) IGNORE NULLS`, DuckDB `last_value(v IGNORE
     * NULLS)` — same semantics.)
     */
-  def q70(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "events").createOrReplaceTempView("events_v70")
-    spark.sql(
+  def q70(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "events" -> "events_v70")(
       """SELECT user_id, event_id, v_sparse,
         |       last_value(v_sparse) IGNORE NULLS OVER
         |         (PARTITION BY user_id ORDER BY ts, event_id
@@ -33,7 +32,6 @@ object Relational8 {
         |           AS v_sparse
         |  FROM events_v70 WHERE user_id % 10 = 0)
         |ORDER BY user_id, event_id""".stripMargin)
-  }
 
   val q70Oracle: String =
     """SELECT user_id, event_id, v_sparse,
@@ -55,9 +53,8 @@ object Relational8 {
     * The explicit ORDER BY inside the aggregate is what makes it
     * deterministic; bare listagg concatenates in arrival order.
     */
-  def q71(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "customer").createOrReplaceTempView("customer_v71")
-    spark.sql(
+  def q71(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "customer" -> "customer_v71")(
       """SELECT c_mktsegment,
         |       listagg(CAST(c_custkey AS STRING), ',')
         |         WITHIN GROUP (ORDER BY c_custkey) AS keys,
@@ -65,7 +62,6 @@ object Relational8 {
         |FROM customer_v71
         |WHERE c_custkey % 199 = 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
-  }
 
   val q71Oracle: String =
     """SELECT c_mktsegment,
@@ -103,7 +99,8 @@ object Relational8 {
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .agg(max(col("event_id")).as("c_id"))
-    graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts",
+      strictUnique = true)
       .select(col("user_id"), col("p_id"), col("p_ts"),
         col("c_id"), col("c_ts"))
       .orderBy(col("user_id"), col("p_id"))
@@ -128,9 +125,8 @@ object Relational8 {
     * re-parsing (q41 covers the from_json schema-ful spelling). All
     * outputs are exact integers.
     */
-  def q75(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "events").createOrReplaceTempView("events_v75")
-    spark.sql(
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "events" -> "events_v75")(
       """WITH v AS (
         |  SELECT event_type,
         |         variant_get(parse_json(props), '$.k', 'int') AS k
@@ -142,7 +138,6 @@ object Relational8 {
         |       CAST(max(k) AS BIGINT) AS max_k,
         |       CAST(count(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
-  }
 
   val q75Oracle: String =
     """WITH v AS (

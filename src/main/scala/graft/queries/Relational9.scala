@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 
 /** q79-q81: round-3 surface widening — linear-regression aggregates,
   * the array lambda-HOF family, and a datetime-function gauntlet.
@@ -22,9 +22,8 @@ object Relational9 {
     * integer mean (exact in double on both sides, see Exact's
     * scaladoc) and stays raw.
     */
-  def q79(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v79")
-    spark.sql(
+  def q79(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "lineitem" -> "lineitem_v79")(
       """SELECT l_returnflag,
         |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
         |         AS n_pairs,
@@ -35,7 +34,6 @@ object Relational9 {
         |       regr_avgx(l_extendedprice, l_quantity) AS avg_x
         |FROM lineitem_v79
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
-  }
 
   val q79Oracle: String =
     """SELECT l_returnflag,
@@ -62,9 +60,8 @@ object Relational9 {
     * oracle-side coalesce; array_max of an empty filter result is NULL
     * on both engines and pinned to 0.
     */
-  def q80(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "documents").createOrReplaceTempView("documents_v80")
-    spark.sql(
+  def q80(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "documents" -> "documents_v80")(
       """SELECT doc_id,
         |  CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens,
         |  CAST(size(filter(split(lower(text), ' '), t -> length(t) >= 4))
@@ -79,7 +76,6 @@ object Relational9 {
         |  CAST(array_contains(split(lower(text), ' '), 'the') AS INT)
         |    AS has_the
         |FROM documents_v80 ORDER BY doc_id""".stripMargin)
-  }
 
   val q80Oracle: String =
     """SELECT doc_id,
@@ -108,9 +104,8 @@ object Relational9 {
     * (oracle adds 1); datediff is INT in Spark and BIGINT in DuckDB
     * (both cast); all date results compare as DATE.
     */
-  def q81(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "orders").createOrReplaceTempView("orders_v81")
-    spark.sql(
+  def q81(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "orders" -> "orders_v81")(
       """SELECT o_orderkey,
         |       CAST(o_orderdate AS DATE) AS d,
         |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
@@ -124,7 +119,6 @@ object Relational9 {
         |       CAST(quarter(o_orderdate) AS BIGINT) AS q
         |FROM orders_v81 WHERE o_orderkey % 50 = 0
         |ORDER BY o_orderkey""".stripMargin)
-  }
 
   val q81Oracle: String =
     """SELECT o_orderkey,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 
 /** q82-q86: string/conditional scalar gauntlets, max_by/min_by, and
   * CSV/JSON round-trip proofs that put the non-parquet sources and
@@ -21,9 +21,8 @@ object SourceSink {
     * ascii/chr. All names and semantics line up across engines
     * (both `instr` are 1-based, both pads truncate-or-fill).
     */
-  def q82(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "customer").createOrReplaceTempView("customer_v82")
-    spark.sql(
+  def q82(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "customer" -> "customer_v82")(
       """SELECT c_custkey,
         |       lpad(c_mktsegment, 12, '.') AS seg_l,
         |       rpad(c_mktsegment, 12, '.') AS seg_r,
@@ -39,7 +38,6 @@ object SourceSink {
         |       chr(CAST(65 + c_custkey % 26 AS INT)) AS key_chr
         |FROM customer_v82 WHERE c_custkey % 37 = 0
         |ORDER BY c_custkey""".stripMargin)
-  }
 
   val q82Oracle: String =
     """SELECT c_custkey,
@@ -64,9 +62,8 @@ object SourceSink {
     * chains, least/greatest (both engines skip NULLs), nested CASE.
     * Integer outputs only.
     */
-  def q83(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "orders").createOrReplaceTempView("orders_v83")
-    spark.sql(
+  def q83(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "orders" -> "orders_v83")(
       """SELECT o_orderkey,
         |       nullif(o_orderpriority, '1-URGENT') AS prio_nz,
         |       ifnull(nullif(o_orderpriority, '1-URGENT'), 'TOP')
@@ -84,7 +81,6 @@ object SourceSink {
         |            ELSE 0 END AS status_code
         |FROM orders_v83 WHERE o_orderkey % 50 = 0
         |ORDER BY o_orderkey""".stripMargin)
-  }
 
   val q83Oracle: String =
     """SELECT o_orderkey,
@@ -114,20 +110,32 @@ object SourceSink {
     * long with room; floor(+0.5) recovers exact cents, see Exact):
     * unique key ⇒ both engines pick the same row deterministically.
     */
-  def q84(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "orders").createOrReplaceTempView("orders_v84")
-    spark.sql(
+  def q84(spark: SparkSession, dir: String): DataFrame =
+    // the composite key is unique only while cents < 2^26 and
+    // o_orderkey < 2^24; beyond that orderkey would bleed into the cents
+    // field and tie-breaking silently diverges between engines (ADVICE
+    // r3) — so out-of-range rows raise instead of mismatching. The guard
+    // is Spark-side only: it never fires on valid data (where both
+    // engines agree), and on invalid data a loud engine error beats a
+    // silent oracle divergence.
+    sqlWithViews(spark, dir, "orders" -> "orders_v84")(
       """WITH o AS (
         |  SELECT o_custkey % 100 AS bucket, o_orderkey,
-        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 16777216
-        |           + o_orderkey AS ord
+        |         CASE WHEN o_orderkey < 16777216
+        |                   AND o_totalprice * 100 + 0.5 < 67108864
+        |              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                     * 16777216 + o_orderkey
+        |              ELSE CAST(raise_error(concat(
+        |                     'q84 composite ordering key overflow: o_orderkey=',
+        |                     CAST(o_orderkey AS STRING), ' o_totalprice=',
+        |                     CAST(o_totalprice AS STRING))) AS BIGINT)
+        |         END AS ord
         |  FROM orders_v84)
         |SELECT bucket,
         |       CAST(max_by(o_orderkey, ord) AS BIGINT) AS biggest_order,
         |       CAST(min_by(o_orderkey, ord) AS BIGINT) AS smallest_order,
         |       count(*) AS n
         |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin)
-  }
 
   val q84Oracle: String =
     """WITH o AS (
@@ -152,8 +160,21 @@ object SourceSink {
     * Floats are deliberately excluded: CSV prints decimal text, and
     * certifying doubles belongs to parquet (every other query).
     */
+  /** Fixed per-process scratch root for the round-trip sinks: a fresh
+    * `Files.createTempDirectory` per invocation leaked one /tmp dir per
+    * bench/verify run (ADVICE r3). A stable path + overwrite mode reuses
+    * the same directory across invocations; runs are single-process, so
+    * no concurrency hazard.
+    */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   def q85(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_csv_rt").toString
+    val out = scratchDir("csv_rt")
     table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("c_nationkey"))
@@ -189,7 +210,7 @@ object SourceSink {
     * a string here; the struct is built then re-read via the schema).
     */
   def q86(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_json_rt").toString
+    val out = scratchDir("json_rt")
     table(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         struct(col("event_id").as("id"),

@@ -90,6 +90,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.getString(0) == "exact", "ts <= boundary must be inclusive")
   }
 
+  test("strictUnique raises on influential duplicate right (key, ts) rows") {
+    import spark.implicits._
+    val left = Seq((1L, 200L)).toDF("k", "t")
+      .select(col("k"), timestamp_micros(col("t")).as("t"))
+    val right = Seq((1L, 100L, "a"), (1L, 100L, "b"))
+      .toDF("k2", "t2", "tag")
+      .select(col("k2"), timestamp_micros(col("t2")).as("t2"), col("tag"))
+    // default: deterministic max-remaining-columns tie-break
+    val lax = AsOf.join(left, right, "k", "k2", "t", "t2")
+      .select(col("tag")).head()
+    assert(lax.getString(0) == "b")
+    // strict: the duplicate is consumed while matching -> loud error
+    val e = intercept[Exception] {
+      AsOf.join(left, right, "k", "k2", "t", "t2", strictUnique = true)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate (key=1, ts=100")),
+      s"unexpected error: $e")
+    // strict with a unique right side stays silent
+    val uniq = Seq((1L, 100L, "only")).toDF("k2", "t2", "tag")
+      .select(col("k2"), timestamp_micros(col("t2")).as("t2"), col("tag"))
+    val ok = AsOf.join(left, uniq, "k", "k2", "t", "t2", strictUnique = true)
+      .select(col("tag")).head()
+    assert(ok.getString(0) == "only")
+  }
+
   test("left-only filters push below the as-of join into the scan") {
     val (purchases, clicks) = purchasesAndClicks()
     val filtered = AsOf.join(purchases, clicks,
