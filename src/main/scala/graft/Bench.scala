@@ -46,7 +46,12 @@ object Bench {
       case c => c.toString
     }
 
+    // optional subset (local iteration / headroom runs): comma-separated
+    // name substrings, e.g. SPARK_GRAFT_BENCH_QUERIES=q01,q21,q33
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
@@ -97,8 +102,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"iters":$iters,""" +
         s""""iter_totals":[${iterTotals.mkString(",")}],"sf":"${esc(sfDir)}"}"""
-    try Files.write(repoRoot.resolve(localFile), full.getBytes(StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $localFile: $e") }
+    // only a FULL sweep is the round artifact — a filtered subset run
+    // (headroom/iteration) must not clobber it
+    if (filter.isEmpty) {
+      try Files.write(repoRoot.resolve(localFile), full.getBytes(StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $localFile: $e") }
+    }
 
     println(full)
     // truncation-proof summary — ALWAYS the last line

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for headroom benchmarking: writes `copies`
+  * key-shifted copies of a source scale-factor directory (e.g. sf0.1 ×10
+  * ≈ sf1) so bench queries can be checked for super-linear blowup beyond
+  * the driver-provided corpora. Usage:
+  *
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  *
+  * Semantics per table:
+  *  - `region`/`nation` are dimensions — copied once, unshifted.
+  *  - Fact/entity keys (orderkey, custkey, partkey, suppkey, event_id,
+  *    user_id, doc_id, vec_id) shift by copy·10⁷, preserving every
+  *    cross-table join relationship within each copy.
+  *  - `documents.text` is word-shuffled per copy (seeded): replicating
+  *    text verbatim would make every doc a 10-way exact+near duplicate,
+  *    flooding LSH buckets with an artifact the real corpus doesn't
+  *    have; shuffling destroys the 3-shingle sets while keeping
+  *    length/token statistics identical.
+  *  - `embeddings.embedding` is rotated by copy positions — norm-
+  *    preserving but direction-changing, so copies aren't artificial
+  *    cosine near-dups.
+  *
+  * The output is bench-only data (never oracle-gated): distributions
+  * match the driver corpus per copy, cardinalities scale linearly.
+  */
+object ScaleUp {
+
+  private val Shift = 10_000_000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, dstDir, copiesStr) = args
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.local(cpus)
+    // events.ts is TIMESTAMP(NANOS): read the raw nanos as long and write
+    // them back as plain int64 — Tables.events handles both encodings
+    // (`ts div 1000` over long), so scaled dirs stay drop-in compatible
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    for (dim <- Seq("region", "nation"))
+      spark.read.parquet(s"$srcDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$dstDir/$dim.parquet")
+
+    keyCols.foreach { case (name, keys) =>
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      val scaled = (0 until copies).map { c =>
+        val shifted = keys.foldLeft(src)((df, k) =>
+          df.withColumn(k, col(k) + lit(c * Shift)))
+        name match {
+          case "documents" =>
+            shifted.withColumn("text",
+              array_join(shuffle(split(col("text"), " "), lit(c)), " "))
+          case "embeddings" if copies > 1 =>
+            val rot = c % 64
+            if (rot == 0) shifted
+            else shifted.withColumn("embedding",
+              concat(slice(col("embedding"), rot + 1, 64 - rot),
+                slice(col("embedding"), 1, rot)))
+          case _ => shifted
+        }
+      }.reduce(_ union _)
+      scaled.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$dstDir/$name.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
