@@ -293,52 +293,19 @@ object Dedup {
 
   /** Dedup CLUSTERING: connected components over the LSH candidate-pair
     * graph — the step after q21 that turns pairwise matches into "keep
-    * one doc per near-dup cluster". Min-label propagation: every node
-    * starts labeled with itself; each round takes the min of its own and
-    * all neighbors' labels; at fixpoint the label is the component
-    * minimum (deterministic regardless of iteration order).
-    *
-    * This is the engine's iterative-algorithm pattern: a driver loop of
-    * DataFrame joins with `localCheckpoint` truncating the lineage each
-    * round (otherwise the plan doubles per iteration and the optimizer
-    * revisits the whole history), and a convergence `count` as the exit
-    * condition. Diameter of near-dup clusters is tiny, so rounds ≪ the
-    * 20-round safety cap; at 100 TB the same loop runs with the
-    * alternating large-star/small-star optimization.
+    * one doc per near-dup cluster". Runs the alternating
+    * large-star/small-star contraction
+    * ([[graft.ops.ConnectedComponents]]): O(log n) rounds on any
+    * topology, vs the O(diameter) rounds of plain min-label
+    * propagation — the difference between 30 and 10M join rounds when a
+    * boilerplate chain links documents at 100 TB. Labels are the
+    * component minimum either way, so the WITH RECURSIVE closure oracle
+    * is unchanged.
     */
   def q78(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint() // the LSH subtree runs ONCE, not per iteration
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
-      rounds += 1
-    }
-    // a silent cap-out would emit WRONG labels that the closure-computing
-    // oracle rejects confusingly — surface it as the real failure instead
-    if (!converged) throw new IllegalStateException(
-      s"q78 label propagation did not converge in $rounds rounds — " +
-        "component diameter exceeds the cap; raise it or switch to " +
-        "large-star/small-star")
-    labels
+    val edges = candidatePairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.ops.ConnectedComponents.run(edges)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -360,17 +327,62 @@ object Dedup {
        |SELECT id AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+
+  /** End-to-end near-dup REMOVAL — the full pipeline a 100 TB corpus
+    * actually runs: LSH candidates (q21's machinery) → connected
+    * components (q78's) → keep the min-doc_id representative per
+    * cluster → anti-join the losers out of the corpus → per-lang
+    * survivor stats. The drop set is only the non-representative
+    * members of near-dup clusters — a small fraction of any real
+    * corpus — so it broadcasts and the 100 TB side never shuffles:
+    * the whole removal is one broadcast left-anti join.
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    val edges = candidatePairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val dropIds = graft.ops.ConnectedComponents.run(edges)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    table(spark, dir, "documents")
+      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("lang"))
+  }
+
+  val q87Oracle: String =
+    s"""WITH RECURSIVE ${q21CandCte},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM cand),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |walk(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id),
+       |labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+       |dropped AS (SELECT id FROM labels WHERE id <> label)
+       |SELECT d.lang, count(*) AS n_docs,
+       |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17 _),
     "q21_minhash_lsh" -> (q21 _),
     "q22_simhash" -> (q22 _),
     "q23_ngram_jaccard" -> (q23 _),
-    "q78_dedup_clusters" -> (q78 _))
+    "q78_dedup_clusters" -> (q78 _),
+    "q87_dedup_pipeline" -> (q87 _))
 
   val oracles: Map[String, String] = Map(
     "q17_dedup_exact" -> q17Oracle,
     "q21_minhash_lsh" -> q21Oracle,
     "q22_simhash" -> q22Oracle,
     "q23_ngram_jaccard" -> q23Oracle,
-    "q78_dedup_clusters" -> q78Oracle)
+    "q78_dedup_clusters" -> q78Oracle,
+    "q87_dedup_pipeline" -> q87Oracle)
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.CrossHash.h60Sql
+
+/** q88-q89: corpus-statistics and contamination operators for
+  * training-data curation — global top-k n-grams and train/test
+  * n-gram-overlap detection.
+  */
+object PipelineOps4 {
+
+  // ---------------------------------------------------------------- q88
+
+  /** Global top-20 word bigrams with counts — the corpus-statistics
+    * primitive behind boilerplate detection and stop-phrase lists.
+    * Scale shape: the bigram explode is a narrow projection; the count
+    * is a partial (map-side) + final hash aggregate keyed on the bigram
+    * string, and the top-k is TakeOrderedAndProject — per-partition
+    * heaps, only 20 rows per partition reach the driver-side merge; no
+    * global sort ever materializes. Tie-break is total (count desc,
+    * bigram asc) so the cut is deterministic cross-engine.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
+  val q88Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok, pos FROM (
+      |    SELECT doc_id,
+      |           unnest(string_split(text, ' ')) AS tok,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) t
+      |  WHERE tok <> ''),
+      |big AS (
+      |  SELECT tok || ' ' || lead(tok, 1) OVER w AS bigram
+      |  FROM toks
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |SELECT bigram, count(*) AS cnt
+      |FROM big WHERE bigram IS NOT NULL
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+
+  /** Train/test contamination check: which held-out docs (doc_id % 10
+    * = 7) share at least one 5-word shingle with the training split?
+    * The canonical eval-integrity scan before an LLM training run.
+    *
+    * Scale shape: shingles are hashed to 60 bits BEFORE the join, so
+    * the shuffle key is 8 bytes, never the shingle text; the train side
+    * is collapsed to distinct hashes (map-side combine) and the inner
+    * join on the hash is the semi-join — both sides hash-partitioned on
+    * the same key, one shuffle each. A false positive needs a 60-bit
+    * collision, and both engines compute the identical hash, so the
+    * result is still deterministic cross-engine. At 100 TB the train
+    * side's distinct-hash set can also seed a bloom filter pushed into
+    * the test-side scan as a prefilter.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, size(toks) - 5),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))"""
+            .stripMargin)).as("sh"))
+        .select(col("doc_id"),
+          expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
+    val docs = table(spark, dir, "documents")
+    val trainH = shingleHashes(docs.filter(col("doc_id") % 10 =!= 7))
+      .select(col("h")).distinct()
+    shingleHashes(docs.filter(col("doc_id") % 10 === 7))
+      .join(trainH, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t
+       |  WHERE tok <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+       |               || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+       |    FROM toks
+       |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+       |  WHERE shingle IS NOT NULL),
+       |hs AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM sh),
+       |train AS (SELECT DISTINCT h FROM hs WHERE doc_id % 10 <> 7),
+       |test AS (SELECT doc_id, h FROM hs WHERE doc_id % 10 = 7)
+       |SELECT t.doc_id, count(DISTINCT t.h) AS n_shared
+       |FROM test t JOIN train tr ON t.h = tr.h
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_ngram_topk" -> (q88 _),
+    "q89_contamination" -> (q89 _))
+
+  val oracles: Map[String, String] = Map(
+    "q88_ngram_topk" -> q88Oracle,
+    "q89_contamination" -> q89Oracle)
+}
