@@ -111,11 +111,44 @@ object PipelineOps4 {
        |FROM test t JOIN train tr ON t.h = tr.h
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+
+  /** Morton (z-order) key distribution over lineitem's
+    * (partkey, suppkey) plane: z-encode each row, then histogram the
+    * 256 top-level z-cells. The interleave is pure built-in bitwise
+    * arithmetic ([[graft.functions.ZOrder]]) — one narrow codegen'd
+    * projection feeding a partial+final hash agg on a 256-value key.
+    * The layout payoff (file skipping for 2-D box predicates when the
+    * table is range-written on z) is proven in ZOrderLayoutSpec; this
+    * query gates the encoding itself cross-engine.
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.functions.ZOrder.interleave16(
+      col("l_partkey") % 4096, col("l_suppkey") % 4096)
+    table(spark, dir, "lineitem")
+      .select(z.as("z"))
+      .groupBy(shiftrightunsigned(col("z"), 16).as("z_cell"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+      .orderBy(col("z_cell"))
+  }
+
+  val q90Oracle: String = {
+    val z = graft.functions.ZOrder.interleave16Sql(
+      "CAST(l_partkey % 4096 AS BIGINT)", "CAST(l_suppkey % 4096 AS BIGINT)")
+    s"""WITH zt AS (SELECT $z AS z FROM lineitem)
+       |SELECT z >> 16 AS z_cell, count(*) AS n, min(z) AS z_min,
+       |       max(z) AS z_max
+       |FROM zt GROUP BY z >> 16 ORDER BY z_cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_ngram_topk" -> (q88 _),
-    "q89_contamination" -> (q89 _))
+    "q89_contamination" -> (q89 _),
+    "q90_zorder" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
     "q88_ngram_topk" -> q88Oracle,
-    "q89_contamination" -> q89Oracle)
+    "q89_contamination" -> q89Oracle,
+    "q90_zorder" -> q90Oracle)
 }
