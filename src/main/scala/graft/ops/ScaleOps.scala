@@ -72,4 +72,44 @@ object ScaleOps {
       .saveAsTable(tableName)
     tableName
   }
+
+  /** Bloom-prefiltered semi-join: the pattern for "is this key in that
+    * OTHER big table" when the build side is too large to broadcast as
+    * a hash relation but fits as bloom BITS (~10 bits/key at 1% fpp vs
+    * ~50+ bytes/key for a hash table — a 200M-key blocklist is ~250 MB
+    * of bloom vs ~12 GB of hash relation).
+    *
+    * Build: one distributed partial+final BloomFilterAggregate over the
+    * build side — the same Catalyst machinery Spark's own
+    * InjectRuntimeFilter uses for shuffle-join runtime filters, exposed
+    * as an operator for the cross-table prefilters the optimizer cannot
+    * infer on its own. Exactly one serialized filter reaches the
+    * driver. Probe: `might_contain` evaluates INSIDE whole-stage
+    * codegen on the probe side's scan — rows drop before the shuffle.
+    * Bloom false positives are then removed by a real semi-join over
+    * the (pre-shrunk) survivor set, so the result is EXACT — identical
+    * rows to `big SEMI JOIN small`.
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(small(smallKey))), expectedItems)
+        .toAggregateExpression())
+    val bytes = small.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bytes == null) return big.limit(0) // empty build side: empty semi-join
+    val probe = ColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(bytes, BinaryType),
+      ColumnBridge.expression(xxhash64(big(bigKey)))))
+    val keys = small.select(small(smallKey)).distinct()
+    big.filter(probe).join(keys, big(bigKey) === keys(smallKey), "left_semi")
+  }
 }

@@ -142,13 +142,44 @@ object PipelineOps4 {
        |FROM zt GROUP BY z >> 16 ORDER BY z_cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q91
+
+  /** Bloom-prefiltered semi-join under the oracle gate: lineitems of
+    * high-value orders via [[graft.ops.ScaleOps.bloomSemiJoin]] — the
+    * bloom drops non-matching rows inside the probe side's scan stage
+    * before any shuffle, the exact semi-join then removes the bloom's
+    * false positives, so the oracle is the PLAIN `IN (subquery)`
+    * formulation. Aggregate output is all-integer (count / distinct
+    * counts), bit-equal cross-engine.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val hot = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+    graft.ops.ScaleOps.bloomSemiJoin(
+      table(spark, dir, "lineitem"), hot, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q91Oracle: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_totalprice > 150000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_ngram_topk" -> (q88 _),
     "q89_contamination" -> (q89 _),
-    "q90_zorder" -> (q90 _))
+    "q90_zorder" -> (q90 _),
+    "q91_bloom_semijoin" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
     "q88_ngram_topk" -> q88Oracle,
     "q89_contamination" -> q89Oracle,
-    "q90_zorder" -> q90Oracle)
+    "q90_zorder" -> q90Oracle,
+    "q91_bloom_semijoin" -> q91Oracle)
 }
