@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.KMeans
+
+/** Distributed Lloyd's k-means: recovers separable blobs, WCSS is
+  * monotonically non-increasing, and the fit is deterministic.
+  */
+class KMeansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 3 well-separated blobs in 4-d; blob = id % 3 so the 3 lowest-id
+    * seed vectors land in distinct blobs.
+    */
+  private def blobs() = {
+    import spark.implicits._
+    val centers = Array(
+      Array(0f, 0f, 0f, 0f),
+      Array(10f, 10f, 10f, 10f),
+      Array(-10f, 10f, -10f, 10f))
+    (0L until 180L).map { id =>
+      val c = centers((id % 3).toInt)
+      val jitter = (id % 7).toFloat * 0.01f
+      (id, c.map(_ + jitter))
+    }.toDF("id", "vec")
+  }
+
+  test("recovers 3 separable blobs and converges") {
+    val r = KMeans.fit(blobs(), "id", "vec", k = 3)
+    assert(r.iterations < 20, s"did not converge: ${r.iterations}")
+    assert(r.wcss.size == r.iterations)
+    r.wcss.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6, s"WCSS rose: $a -> $b")
+      case _ =>
+    }
+    val byBlob = r.assignments.collect()
+      .map(row => (row.getLong(0) % 3, row.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    // every blob maps to exactly one cluster, and the 3 clusters differ
+    assert(byBlob.values.forall(_.size == 1), s"split blob: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3, s"merged blobs: $byBlob")
+  }
+
+  test("fit is deterministic across runs") {
+    val a = KMeans.fit(blobs(), "id", "vec", k = 3)
+    val b = KMeans.fit(blobs(), "id", "vec", k = 3)
+    assert(a.centroids.map(_._2.toSeq).toSeq == b.centroids.map(_._2.toSeq).toSeq)
+    val ra = a.assignments.collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    val rb = b.assignments.collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    assert(ra == rb)
+  }
+
+  test("emptied clusters keep their centroid; k=1 degenerates cleanly") {
+    val r = KMeans.fit(blobs(), "id", "vec", k = 1)
+    assert(r.centroids.length == 1)
+    assert(r.assignments.collect().forall(_.getInt(2) == 0))
+  }
+}
