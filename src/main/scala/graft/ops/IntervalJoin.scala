@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed interval-overlap join — the equi-join reformulation of a
+  * predicate Spark can otherwise only plan as BroadcastNestedLoopJoin
+  * (the 100 TB scale-killer: every pair of partitions meets).
+  *
+  * `a.start <= b.end AND b.start <= a.end` has no equi key, so each
+  * side is exploded onto fixed-width time buckets (one row per bucket
+  * the interval touches) and the join runs as a plain shuffled
+  * equi-join on the bucket id with the overlap predicate as residual.
+  * A pair of overlapping intervals shares every bucket in
+  * [max(startBucket), min(endBucket)] — emitting the match ONLY in the
+  * first common bucket (`bucket == greatest(a.startBucket,
+  * b.startBucket)`) makes each pair appear exactly once with NO
+  * distinct/dedup shuffle afterwards.
+  *
+  * Tuning: `bucketWidth` ~ the typical interval length. Too small →
+  * explode amplification (rows × span/width); too large → residual
+  * filtering does the work. Both engines see identical semantics
+  * either way, it is purely a physical knob.
+  */
+object IntervalJoin {
+
+  /** All pairs (a row, b row) whose [startA, endA] and [startB, endB]
+    * (inclusive, integral) overlap. Column names across `a` and `b`
+    * must be disjoint; intervals must satisfy start <= end.
+    */
+  def overlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      startA: String,
+      endA: String,
+      startB: String,
+      endB: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def bucketed(df: DataFrame, s: String, e: String) = df.withColumn(
+      "__bucket",
+      explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))))
+    val ab = bucketed(a, startA, endA)
+    val bb = bucketed(b, startB, endB)
+      .withColumnRenamed("__bucket", "__bucket_b")
+    ab.join(bb,
+        col("__bucket") === col("__bucket_b") &&
+        col(startA) <= col(endB) && col(startB) <= col(endA) &&
+        col("__bucket") === greatest(
+          floor(col(startA) / bucketWidth).cast("long"),
+          floor(col(startB) / bucketWidth).cast("long")))
+      .drop("__bucket", "__bucket_b")
+  }
+}

@@ -171,15 +171,57 @@ object PipelineOps4 {
       |                     WHERE o_totalprice > 150000.0)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+
+  /** Pure interval-overlap join (NO equi key) via
+    * [[graft.ops.IntervalJoin.overlapJoin]]: overlap degree of
+    * high-value orders' fulfillment windows [orderdate, orderdate +
+    * orderkey%30 days]. Without the bucket reformulation Spark plans
+    * this as BroadcastNestedLoopJoin — IntervalJoinSpec pins the plan
+    * to the equi-join shape. The oracle runs DuckDB's native
+    * inequality join over the same windows.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000)
+    def windows(keyName: String, sName: String, eName: String) = base.select(
+      col("o_orderkey").as(keyName),
+      unix_date(col("o_orderdate").cast("date")).cast("long").as(sName),
+      (unix_date(col("o_orderdate").cast("date")) + col("o_orderkey") % 30)
+        .cast("long").as(eName))
+    graft.ops.IntervalJoin.overlapJoin(
+        windows("a_orderkey", "a_s", "a_e"),
+        windows("b_orderkey", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 16L)
+      .filter(col("a_orderkey") =!= col("b_orderkey"))
+      .groupBy(col("a_orderkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("a_orderkey"))
+  }
+
+  val q92Oracle: String =
+    """WITH hi AS (
+      |  SELECT o_orderkey,
+      |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+      |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |           + o_orderkey % 30 AS e
+      |  FROM orders WHERE o_totalprice > 450000)
+      |SELECT a.o_orderkey AS a_orderkey, count(*) AS n_overlaps
+      |FROM hi a JOIN hi b
+      |  ON a.o_orderkey <> b.o_orderkey AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY a.o_orderkey ORDER BY a_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_ngram_topk" -> (q88 _),
     "q89_contamination" -> (q89 _),
     "q90_zorder" -> (q90 _),
-    "q91_bloom_semijoin" -> (q91 _))
+    "q91_bloom_semijoin" -> (q91 _),
+    "q92_interval_overlap" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
     "q88_ngram_topk" -> q88Oracle,
     "q89_contamination" -> q89Oracle,
     "q90_zorder" -> q90Oracle,
-    "q91_bloom_semijoin" -> q91Oracle)
+    "q91_bloom_semijoin" -> q91Oracle,
+    "q92_interval_overlap" -> q92Oracle)
 }

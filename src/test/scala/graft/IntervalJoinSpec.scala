@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IntervalJoin
+
+/** Bucketed interval-overlap join: exact parity with the naive theta
+  * join (each pair exactly once), and the physical plan is an EQUI join
+  * on the bucket — not the nested-loop plan the raw predicate forces.
+  */
+class IntervalJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def intervals(prefix: String, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until 400).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i.toLong, s, s + rnd.nextInt(50).toLong)
+    }.toDF(s"${prefix}_id", s"${prefix}_s", s"${prefix}_e")
+  }
+
+  test("matches the naive theta join exactly, each pair once") {
+    val a = intervals("a", 1)
+    val b = intervals("b", 2)
+    for (width <- Seq(7L, 64L, 5000L)) {
+      val fast = IntervalJoin.overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", width)
+        .select(col("a_id"), col("b_id"))
+      val naive = a.join(b,
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select(col("a_id"), col("b_id"))
+      val f = fast.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val n = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(f.length == f.distinct.length, s"width=$width emitted dups")
+      assert(f.toSeq == n.toSeq, s"width=$width mismatch: ${f.length} vs ${n.length}")
+    }
+  }
+
+  test("plans as an equi join on the bucket, not a nested loop") {
+    val a = intervals("a", 3)
+    val b = intervals("b", 4)
+    val plan = IntervalJoin
+      .overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop in plan:\n$plan")
+    val naivePlan = a.join(b,
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"),
+      s"expected the raw predicate to nested-loop:\n$naivePlan")
+  }
+
+  test("point intervals and exact-touch boundaries") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 10L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((1L, 10L, 10L), (2L, 11L, 12L), (3L, 5L, 9L))
+      .toDF("b_id", "b_s", "b_e")
+    val got = IntervalJoin.overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", 4L)
+      .select(col("b_id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L)) // inclusive overlap: only the equal point
+  }
+}
