@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming NEAR-duplicate detection: the online twin of the batch
+  * MinHash+LSH pipeline (q21/q78/q87) — drop near-dup documents as they
+  * arrive instead of re-clustering the corpus nightly.
+  *
+  * Shape: every doc gets its 16-hash MinHash signature in a narrow
+  * stateless projection (the same native `minhash_sig` expression as
+  * batch, bit-identical); the first `BandRows` hashes form the LSH
+  * bucket key, and per-bucket `flatMapGroupsWithState` keeps the
+  * signatures seen so far. A new doc whose signature agrees with a
+  * stored one on >= `AgreeThreshold` of 16 hashes is flagged a
+  * duplicate of the EARLIEST such doc; otherwise it is kept and its
+  * signature joins the state.
+  *
+  * Single-band formulation: each doc lives in exactly one group, so
+  * keep/duplicate is decided in one place with no cross-group vote
+  * (production recall wants B parallel band-streams OR'd together —
+  * same operator, B times). State per bucket is capped at
+  * `MaxSigsPerBucket` signatures (keep-earliest, the deterministic
+  * choice — same rationale as the batch hot-bucket cap in
+  * `Dedup.MaxBucketDocs`); a production deployment adds an event-time
+  * TTL exactly like StatefulSessionize's timeout.
+  */
+object StreamingNearDup {
+
+  val NumHashes = 16
+  val BandRows = 4
+  val AgreeThreshold = 8
+  val MaxSigsPerBucket = 256
+
+  final case class DocSig(doc_id: Long, bucket: String, sig: Array[Long])
+  final case class SigEntry(docId: Long, sig: Array[Long])
+  final case class BucketState(sigs: List[SigEntry])
+  /** dup_of = -1 when the doc is kept. */
+  final case class DedupOut(doc_id: Long, kept: Boolean, dup_of: Long)
+
+  /** Stateless signature + bucket projection — works identically on a
+    * static or streaming DataFrame with (doc_id, text).
+    */
+  def signatures(docs: DataFrame): Dataset[DocSig] = {
+    import docs.sparkSession.implicits._
+    val bandCols = (0 until BandRows)
+      .map(r => element_at(col("sig"), r + 1).cast("string"))
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(expr(
+          """array_distinct(transform(sequence(0, size(toks)-3),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+            .stripMargin), NumHashes).as("sig"))
+      .select(col("doc_id"), md5(concat_ws(",", bandCols: _*)).as("bucket"),
+        col("sig"))
+      .as[DocSig]
+  }
+
+  def dedup(sigs: Dataset[DocSig]): Dataset[DedupOut] = {
+    import sigs.sparkSession.implicits._
+    sigs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, DedupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+
+  private def agreement(a: Array[Long], b: Array[Long]): Int =
+    a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+
+  private[streaming] def process(
+      bucket: String,
+      docs: Iterator[DocSig],
+      state: GroupState[BucketState]): Iterator[DedupOut] = {
+    var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
+    val out = Seq.newBuilder[DedupOut]
+    // doc_id order within the batch so keep/dup decisions don't depend
+    // on partition iteration order
+    docs.toSeq.sortBy(_.doc_id).foreach { d =>
+      // stored earliest-first: the first hit IS the earliest match
+      val hit = sigs.find(e => agreement(e.sig, d.sig) >= AgreeThreshold)
+      hit match {
+        case Some(e) =>
+          out += DedupOut(d.doc_id, kept = false, dup_of = e.docId)
+        case None =>
+          out += DedupOut(d.doc_id, kept = true, dup_of = -1L)
+          if (sigs.size < MaxSigsPerBucket)
+            sigs = sigs :+ SigEntry(d.doc_id, d.sig)
+      }
+    }
+    state.update(BucketState(sigs))
+    out.result().iterator
+  }
+}
