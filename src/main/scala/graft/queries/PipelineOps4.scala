@@ -211,12 +211,38 @@ object PipelineOps4 {
       |  ON a.o_orderkey <> b.o_orderkey AND a.s <= b.e AND b.s <= a.e
       |GROUP BY a.o_orderkey ORDER BY a_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+
+  /** Heavy-hitter tokens via the Space-Saving sketch
+    * ([[graft.functions.SpaceSaving]]) — the bounded-memory twin of an
+    * exact token count: each partition ships at most `capacity`
+    * (item, count, err) triples regardless of vocabulary size.
+    * Approximate and partitioning-dependent within its error bound, so
+    * it is in the declared oracle-free set (driver rows-only check,
+    * same policy as q38's sketches); the bounds themselves are asserted
+    * in SpaceSavingSpec, and at sf0.01 the capacity comfortably exceeds
+    * the heavy vocabulary so counts are exact.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val ss = udaf(new graft.functions.SpaceSaving(256))
+    table(spark, dir, "documents")
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("tok"))
+      .agg(ss(col("tok")).as("hits"))
+      .select(explode(col("hits")).as("h"))
+      .select(col("h.item").as("token"), col("h.count").as("est_count"),
+        col("h.err").as("err"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_ngram_topk" -> (q88 _),
     "q89_contamination" -> (q89 _),
     "q90_zorder" -> (q90 _),
     "q91_bloom_semijoin" -> (q91 _),
-    "q92_interval_overlap" -> (q92 _))
+    "q92_interval_overlap" -> (q92 _),
+    "q93_heavy_hitters" -> (q93 _))
 
   val oracles: Map[String, String] = Map(
     "q88_ngram_topk" -> q88Oracle,
