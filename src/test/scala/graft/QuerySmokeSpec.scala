@@ -47,7 +47,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Relational8" -> graft.queries.Relational8.queries.keys,
       "PipelineOps3" -> graft.queries.PipelineOps3.queries.keys,
       "Relational9" -> graft.queries.Relational9.queries.keys,
-      "SourceSink" -> graft.queries.SourceSink.queries.keys)
+      "SourceSink" -> graft.queries.SourceSink.queries.keys,
+      "PipelineOps4" -> graft.queries.PipelineOps4.queries.keys)
     val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
       "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
     val all = grid ++ packs.flatMap(_._2)
@@ -62,7 +63,7 @@ class QuerySmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list intentional: only engine-specific sketches/codecs
     assert(noOracle == Set("q38_approx_sketches", "q48_image_features",
-      "q69_audio_features"),
+      "q69_audio_features", "q93_heavy_hitters"),
       s"unexpected oracle-free queries: $noOracle")
   }
 
