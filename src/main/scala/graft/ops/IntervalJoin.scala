@@ -37,11 +37,18 @@ object IntervalJoin {
       endB: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // an inverted interval would silently generate a DESCENDING bucket
+    // sequence (Spark's sequence() auto-steps -1) and drop matches —
+    // enforce the documented precondition loudly instead
+    def checkedEnd(s: String, e: String) =
+      when(col(e) >= col(s), col(e)).otherwise(raise_error(concat(
+        lit(s"overlapJoin: interval end $e < start $s at "),
+        col(s).cast("string"))))
     def bucketed(df: DataFrame, s: String, e: String) = df.withColumn(
       "__bucket",
       explode(sequence(
         floor(col(s) / bucketWidth).cast("long"),
-        floor(col(e) / bucketWidth).cast("long"))))
+        floor(checkedEnd(s, e) / bucketWidth).cast("long"))))
     val ab = bucketed(a, startA, endA)
     val bb = bucketed(b, startB, endB)
       .withColumnRenamed("__bucket", "__bucket_b")

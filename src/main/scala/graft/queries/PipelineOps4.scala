@@ -155,8 +155,13 @@ object PipelineOps4 {
   def q91(spark: SparkSession, dir: String): DataFrame = {
     val hot = table(spark, dir, "orders")
       .filter(col("o_totalprice") > 150000.0)
+    // size the bloom to the build side (~45% of orders pass the price
+    // filter): an oversized filter costs MBs of partial-buffer merge
+    // and a plan-embedded literal for no fpp benefit — measured 3.9 s
+    // -> ~1 s at sf0.1 when sized to the actual cardinality
     graft.ops.ScaleOps.bloomSemiJoin(
-      table(spark, dir, "lineitem"), hot, "l_orderkey", "o_orderkey")
+      table(spark, dir, "lineitem"), hot, "l_orderkey", "o_orderkey",
+      expectedItems = 1 << 17)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         countDistinct(col("l_orderkey")).as("n_orders"))

@@ -59,6 +59,18 @@ class IntervalJoinSpec extends AnyFunSuite {
       s"expected the raw predicate to nested-loop:\n$naivePlan")
   }
 
+  test("inverted intervals fail loudly instead of silently dropping") {
+    import spark.implicits._
+    val bad = Seq((1L, 20L, 10L)).toDF("a_id", "a_s", "a_e")
+    val ok = Seq((1L, 0L, 100L)).toDF("b_id", "b_s", "b_e")
+    val ex = intercept[Exception] {
+      IntervalJoin.overlapJoin(bad, ok, "a_s", "a_e", "b_s", "b_e", 8L).count()
+    }
+    assert(ex.getMessage.contains("overlapJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("overlapJoin")),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("point intervals and exact-touch boundaries") {
     import spark.implicits._
     val a = Seq((1L, 10L, 10L)).toDF("a_id", "a_s", "a_e")
