@@ -20,11 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Single-band formulation: each doc lives in exactly one group, so
   * keep/duplicate is decided in one place with no cross-group vote
   * (production recall wants B parallel band-streams OR'd together —
-  * same operator, B times). State per bucket is capped at
-  * `MaxSigsPerBucket` signatures (keep-earliest, the deterministic
-  * choice — same rationale as the batch hot-bucket cap in
-  * `Dedup.MaxBucketDocs`); a production deployment adds an event-time
-  * TTL exactly like StatefulSessionize's timeout.
+  * same operator, B times). State per bucket is bounded BOTH ways:
+  * capped at `MaxSigsPerBucket` signatures (keep-earliest, the
+  * deterministic choice — same rationale as the batch hot-bucket cap
+  * in `Dedup.MaxBucketDocs`) AND expired by an event-time timeout once
+  * the watermark passes the bucket's last activity + `StateTtlMs`
+  * (same mechanism as StatefulSessionize) — so state is
+  * O(active buckets), not O(stream length). Callers must set a
+  * watermark on `ts` for the TTL to advance.
   */
 object StreamingNearDup {
 
@@ -32,31 +35,39 @@ object StreamingNearDup {
   val BandRows = 4
   val AgreeThreshold = 8
   val MaxSigsPerBucket = 256
+  val StateTtlMs: Long = 60 * 60 * 1000L
 
-  final case class DocSig(doc_id: Long, bucket: String, sig: Array[Long])
+  /** `ts` stays a TIMESTAMP (not epoch millis): the event-time tag from
+    * the caller's watermark must reach the stateful operator or Spark
+    * rejects EventTimeTimeout.
+    */
+  final case class DocSig(doc_id: Long, bucket: String, sig: Array[Long],
+      ts: java.sql.Timestamp)
   final case class SigEntry(docId: Long, sig: Array[Long])
-  final case class BucketState(sigs: List[SigEntry])
+  final case class BucketState(sigs: List[SigEntry], lastMs: Long)
   /** dup_of = -1 when the doc is kept. */
   final case class DedupOut(doc_id: Long, kept: Boolean, dup_of: Long)
 
   /** Stateless signature + bucket projection — works identically on a
-    * static or streaming DataFrame with (doc_id, text).
+    * static or streaming DataFrame with (doc_id, text, ts). Any
+    * watermark already set on `ts` is preserved (the projection keeps
+    * the column as `ts_ms` event time for the state TTL).
     */
   def signatures(docs: DataFrame): Dataset[DocSig] = {
     import docs.sparkSession.implicits._
     val bandCols = (0 until BandRows)
       .map(r => element_at(col("sig"), r + 1).cast("string"))
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("ts"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("ts"),
         graft.functions.MinHashSig.minhashSig(expr(
           """array_distinct(transform(sequence(0, size(toks)-3),
             |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
             .stripMargin), NumHashes).as("sig"))
       .select(col("doc_id"), md5(concat_ws(",", bandCols: _*)).as("bucket"),
-        col("sig"))
+        col("sig"), col("ts"))
       .as[DocSig]
   }
 
@@ -64,7 +75,7 @@ object StreamingNearDup {
     import sigs.sparkSession.implicits._
     sigs.groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketState, DedupOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process)
   }
 
   private def agreement(a: Array[Long], b: Array[Long]): Int =
@@ -74,11 +85,20 @@ object StreamingNearDup {
       bucket: String,
       docs: Iterator[DocSig],
       state: GroupState[BucketState]): Iterator[DedupOut] = {
-    var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
+    if (state.hasTimedOut) {
+      // the watermark passed last activity + TTL: near-dups of docs
+      // this old are accepted as fresh — the bounded-state tradeoff
+      state.remove()
+      return Iterator.empty
+    }
+    val st0 = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+    var sigs = st0.sigs
+    var lastMs = st0.lastMs
     val out = Seq.newBuilder[DedupOut]
     // doc_id order within the batch so keep/dup decisions don't depend
     // on partition iteration order
     docs.toSeq.sortBy(_.doc_id).foreach { d =>
+      lastMs = math.max(lastMs, d.ts.getTime)
       // stored earliest-first: the first hit IS the earliest match
       val hit = sigs.find(e => agreement(e.sig, d.sig) >= AgreeThreshold)
       hit match {
@@ -90,7 +110,8 @@ object StreamingNearDup {
             sigs = sigs :+ SigEntry(d.doc_id, d.sig)
       }
     }
-    state.update(BucketState(sigs))
+    state.update(BucketState(sigs, lastMs))
+    state.setTimeoutTimestamp(lastMs + StateTtlMs)
     out.result().iterator
   }
 }

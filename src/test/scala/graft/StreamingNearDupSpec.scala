@@ -1,5 +1,7 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -8,8 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingNearDup
 
 /** Streaming MinHash near-dup detection: near-dups are flagged against
-  * docs seen in EARLIER micro-batches (state works), distinct docs pass,
-  * and the signature projection is the batch-identical native expr.
+  * docs seen in EARLIER micro-batches (state works), distinct docs
+  * pass, and bucket state EXPIRES once the watermark passes its last
+  * activity + TTL (bounded state).
   */
 class StreamingNearDupSpec extends AnyFunSuite {
 
@@ -17,14 +20,19 @@ class StreamingNearDupSpec extends AnyFunSuite {
 
   private val docA = (1 to 40).map(i => s"alpha$i").mkString(" ")
   private val docANear = (1 to 39).map(i => s"alpha$i").mkString(" ") + " changed"
+  private val docANear2 = (1 to 39).map(i => s"alpha$i").mkString(" ") + " changedagain"
   private val docB = (1 to 40).map(i => s"beta$i").mkString(" ")
   private val docC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   test("near-dup lands in the same bucket with high agreement (precondition)") {
     import spark.implicits._
     val sigs = StreamingNearDup.signatures(
-      Seq((1L, docA), (3L, docANear), (2L, docB))
-        .toDF("doc_id", "text"))
+      Seq((1L, docA, ts("2024-01-01 10:00:00")),
+        (3L, docANear, ts("2024-01-01 10:01:00")),
+        (2L, docB, ts("2024-01-01 10:02:00")))
+        .toDF("doc_id", "text", "ts"))
       .collect().map(s => s.doc_id -> s).toMap
     assert(sigs(1L).bucket == sigs(3L).bucket,
       "craft docANear so its first-band minhashes match docA")
@@ -33,18 +41,29 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(sigs(1L).bucket != sigs(2L).bucket)
   }
 
-  test("flags near-dups across micro-batches, keeps distinct docs") {
+  test("flags near-dups across micro-batches; state expires after the TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, String)]
+    val input = MemoryStream[(Long, String, Timestamp)]
     val out = StreamingNearDup.dedup(
-      StreamingNearDup.signatures(input.toDF().toDF("doc_id", "text")))
+      StreamingNearDup.signatures(
+        input.toDF().toDF("doc_id", "text", "ts")
+          .withWatermark("ts", "10 minutes")))
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("neardup_out").start()
 
-    input.addData((1L, docA), (2L, docB))
+    input.addData((1L, docA, ts("2024-01-01 10:00:00")),
+      (2L, docB, ts("2024-01-01 10:00:30")))
     q.processAllAvailable()
-    input.addData((3L, docANear), (4L, docC), (5L, docB))
+    input.addData((3L, docANear, ts("2024-01-01 10:05:00")),
+      (4L, docC, ts("2024-01-01 10:06:00")),
+      (5L, docB, ts("2024-01-01 10:07:00")))
+    q.processAllAvailable()
+    // push the watermark far past bucket A's last activity + 1h TTL,
+    // then replay a near-dup of A: its state has expired -> kept
+    input.addData((6L, docC, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    input.addData((7L, docANear2, ts("2024-01-01 14:01:00")))
     q.processAllAvailable()
     q.stop()
 
@@ -56,5 +75,7 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(rows(3L) == ((false, 1L)), s"doc 3 should dup doc 1: ${rows(3L)}")
     assert(rows(4L) == ((true, -1L)))
     assert(rows(5L) == ((false, 2L)), s"exact dup of doc 2: ${rows(5L)}")
+    assert(rows(7L) == ((true, -1L)),
+      s"doc 7 arrives after bucket expiry and must be kept: ${rows(7L)}")
   }
 }
