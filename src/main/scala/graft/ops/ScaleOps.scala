@@ -90,12 +90,21 @@ object ScaleOps {
     * the (pre-shrunk) survivor set, so the result is EXACT — identical
     * rows to `big SEMI JOIN small`.
     */
-  def bloomSemiJoin(
+  /** The bloom PREFILTER alone: rows of `big` whose key might be in
+    * `small` (false positives possible — bloom fpp only; exactness
+    * comes from [[bloomSemiJoin]]'s verify join). Exposed separately so
+    * selectivity is testable and so callers can place the verify join
+    * after further narrowing. `expectedItems` MUST be sized to the
+    * build side's cardinality: an oversized filter wastes MBs of
+    * partial-buffer merge; an undersized one saturates (fpp → 1) and
+    * stops filtering.
+    */
+  def bloomProbe(
       big: DataFrame,
       small: DataFrame,
       bigKey: String,
       smallKey: String,
-      expectedItems: Long = 1000000L): DataFrame = {
+      expectedItems: Long): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -105,11 +114,34 @@ object ScaleOps {
         ColumnBridge.expression(xxhash64(small(smallKey))), expectedItems)
         .toAggregateExpression())
     val bytes = small.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    if (bytes == null) return big.limit(0) // empty build side: empty semi-join
+    if (bytes == null) return big.limit(0) // empty build side
     val probe = ColumnBridge.column(new BloomFilterMightContain(
       Literal.create(bytes, BinaryType),
       ColumnBridge.expression(xxhash64(big(bigKey)))))
-    val keys = small.select(small(smallKey)).distinct()
-    big.filter(probe).join(keys, big(bigKey) === keys(smallKey), "left_semi")
+    big.filter(probe)
   }
+
+  def bloomSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long): DataFrame = {
+    val keys = small.select(small(smallKey)).distinct()
+    bloomProbe(big, small, bigKey, smallKey, expectedItems)
+      .join(keys, big(bigKey) === keys(smallKey), "left_semi")
+  }
+
+  /** As above, sizing the bloom from the build side's measured count —
+    * one extra count job over `small` (cheap next to a mis-sized
+    * filter at any scale factor). Prefer the explicit-size overload
+    * when the caller already knows the cardinality.
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String): DataFrame =
+    bloomSemiJoin(big, small, bigKey, smallKey,
+      math.max(1L, small.count()))
 }

@@ -77,7 +77,7 @@ object PipelineOps4 {
             |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))"""
             .stripMargin)).as("sh"))
         .select(col("doc_id"),
-          expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
+          graft.functions.CrossHash.h60(col("sh")).as("h"))
     val docs = table(spark, dir, "documents")
     val trainH = shingleHashes(docs.filter(col("doc_id") % 10 =!= 7))
       .select(col("h")).distinct()
@@ -155,13 +155,13 @@ object PipelineOps4 {
   def q91(spark: SparkSession, dir: String): DataFrame = {
     val hot = table(spark, dir, "orders")
       .filter(col("o_totalprice") > 150000.0)
-    // size the bloom to the build side (~45% of orders pass the price
-    // filter): an oversized filter costs MBs of partial-buffer merge
-    // and a plan-embedded literal for no fpp benefit — measured 3.9 s
-    // -> ~1 s at sf0.1 when sized to the actual cardinality
+    // auto-sized overload: the bloom is sized from the build side's
+    // measured count at WHATEVER scale factor runs (a fixed literal
+    // saturates at larger sfs and stops filtering; the oversized 1M
+    // default measured 3.9 s vs 1.6 s at sf0.1 — sizing matters both
+    // directions)
     graft.ops.ScaleOps.bloomSemiJoin(
-      table(spark, dir, "lineitem"), hot, "l_orderkey", "o_orderkey",
-      expectedItems = 1 << 17)
+      table(spark, dir, "lineitem"), hot, "l_orderkey", "o_orderkey")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         countDistinct(col("l_orderkey")).as("n_orders"))

@@ -49,9 +49,17 @@ object StreamingNearDup {
   final case class DedupOut(doc_id: Long, kept: Boolean, dup_of: Long)
 
   /** Stateless signature + bucket projection — works identically on a
-    * static or streaming DataFrame with (doc_id, text, ts). Any
-    * watermark already set on `ts` is preserved (the projection keeps
-    * the column as `ts_ms` event time for the state TTL).
+    * static or streaming DataFrame with (doc_id, text, ts). The
+    * watermarked TIMESTAMP `ts` is carried through unchanged — the
+    * event-time tag on it is what lets the stateful operator use
+    * EventTimeTimeout.
+    *
+    * Docs too short for 3-word shingles fall back to ONE whole-text
+    * shingle, so every doc gets a keep/dup verdict (batch q87 keeps
+    * short docs too; dropping them here would make the online and
+    * batch pipelines disagree on the surviving corpus). For them the
+    * signature is a pure function of the full text: exact dups are
+    * flagged, anything else is kept.
     */
   def signatures(docs: DataFrame): Dataset[DocSig] = {
     import docs.sparkSession.implicits._
@@ -60,11 +68,12 @@ object StreamingNearDup {
     docs
       .select(col("doc_id"), col("ts"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
-      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("ts"),
         graft.functions.MinHashSig.minhashSig(expr(
-          """array_distinct(transform(sequence(0, size(toks)-3),
-            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+          """CASE WHEN size(toks) >= 3
+            |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+            |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+            |  ELSE array(concat_ws(' ', toks)) END"""
             .stripMargin), NumHashes).as("sig"))
       .select(col("doc_id"), md5(concat_ws(",", bandCols: _*)).as("bucket"),
         col("sig"), col("ts"))

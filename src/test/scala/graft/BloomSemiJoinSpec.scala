@@ -12,11 +12,7 @@ import graft.ops.ScaleOps
   */
 class BloomSemiJoinSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(4)
 
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -43,12 +39,18 @@ class BloomSemiJoinSpec extends AnyFunSuite {
     assert(ScaleOps.bloomSemiJoin(lineitem, none, "l_orderkey", "o_orderkey").isEmpty)
   }
 
-  test("bloom prefilter is selective (drops most non-matching keys)") {
+  test("bloom prefilter ALONE is selective (drops most non-matching keys)") {
     import spark.implicits._
-    // disjoint key spaces: build = [0, 1000), probe = [1000, 101000)
+    // disjoint key spaces: build = [0, 1000), probe = [1000, 101000).
+    // Measured BEFORE the verify join — every probe survivor here is a
+    // bloom false positive, so this pins the fpp, not the exact result
     val small = spark.range(0, 1000).toDF("k")
     val big = spark.range(1000, 101000).toDF("k")
-    val survivors = ScaleOps.bloomSemiJoin(big, small, "k", "k").count()
-    assert(survivors == 0L)
+    val falsePositives =
+      ScaleOps.bloomProbe(big, small, "k", "k", expectedItems = 1000).count()
+    assert(falsePositives < 100000 / 20,
+      s"bloom passed $falsePositives of 100000 non-matching keys (fpp > 5%)")
+    // and the full operator still returns the exact (empty) semi-join
+    assert(ScaleOps.bloomSemiJoin(big, small, "k", "k").count() == 0L)
   }
 }

@@ -14,11 +14,7 @@ import graft.ops.ConnectedComponents
   */
 class ConnectedComponentsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(4)
 
   /** Reference answer: plain union-find over the same edges. */
   private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {

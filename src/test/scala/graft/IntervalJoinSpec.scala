@@ -12,11 +12,7 @@ import graft.ops.IntervalJoin
   */
 class IntervalJoinSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(4)
 
   private def intervals(prefix: String, seed: Int) = {
     import spark.implicits._

@@ -10,11 +10,7 @@ import graft.ops.KMeans
   */
 class KMeansSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(4)
 
   /** 3 well-separated blobs in 4-d; blob = id % 3 so the 3 lowest-id
     * seed vectors land in distinct blobs.

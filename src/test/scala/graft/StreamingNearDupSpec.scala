@@ -78,4 +78,28 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(rows(7L) == ((true, -1L)),
       s"doc 7 arrives after bucket expiry and must be kept: ${rows(7L)}")
   }
+
+  test("short docs get verdicts too: exact dups flagged, others kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingNearDup.dedup(
+      StreamingNearDup.signatures(
+        input.toDF().toDF("doc_id", "text", "ts")
+          .withWatermark("ts", "10 minutes")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_short").start()
+    input.addData((1L, "hello world", ts("2024-01-01 10:00:00")),
+      (2L, "bye", ts("2024-01-01 10:00:10")))
+    q.processAllAvailable()
+    input.addData((3L, "hello world", ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("neardup_short")
+      .select(col("doc_id"), col("kept"), col("dup_of"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"every doc needs a verdict: $rows")
+    assert(rows(1L) == ((true, -1L)) && rows(2L) == ((true, -1L)))
+    assert(rows(3L) == ((false, 1L)), s"exact short dup: ${rows(3L)}")
+  }
 }

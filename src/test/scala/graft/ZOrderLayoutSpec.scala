@@ -16,11 +16,7 @@ import graft.ops.ScaleOps
   */
 class ZOrderLayoutSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(4)
 
   /** 256×256 uniform grid, one row per cell. */
   private def grid(): DataFrame = {
