@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -52,14 +52,18 @@ object KMeans {
       cents.toSeq.toDF("cent_id", "cemb")
     }
 
+    // Grouping on `id` alone — the vector rides inside the min-struct
+    // (dist, cent_id) is already a unique total order per group, so the
+    // trailing vec never participates in the comparison) instead of
+    // hashing 64 floats per row as part of the grouping key.
     def assign(cents: Array[(Int, Array[Float])]): DataFrame =
       data.crossJoin(broadcast(centDf(cents)))
-        .select(col("id"), col("vec"),
+        .select(col("id"),
           struct(VectorOps.l2Sq(col("vec"), col("cemb")).as("dist"),
-            col("cent_id").as("cent_id")).as("dc"))
-        .groupBy(col("id"), col("vec"))
+            col("cent_id").as("cent_id"), col("vec").as("vec")).as("dc"))
+        .groupBy(col("id"))
         .agg(min(col("dc")).as("best"))
-        .select(col("id"), col("vec"),
+        .select(col("id"), col("best.vec").as("vec"),
           col("best.cent_id").as("cluster"), col("best.dist").as("dist"))
 
     var cents: Array[(Int, Array[Float])] = data
@@ -99,5 +103,96 @@ object KMeans {
       iters += 1
     }
     Result(assign(cents), cents, iters, wcss.result())
+  }
+
+  final case class QResult(
+      assignments: DataFrame, // (id, cluster)
+      centroids: Array[(Int, Array[Long])],
+      scale: Long)
+
+  /** Lloyd's k-means in EXACT int64 arithmetic — the bit-reproducible
+    * trainer (q94's path under the cross-engine hash gate, and the right
+    * call at 100 TB where a rerun must produce the same codebook
+    * regardless of partitioning or row order):
+    *
+    *   - vectors are quantized once: `floor(x · scale)` per element;
+    *   - assignment distance is integer squared L2 (`Σ (xq − cq)²` over
+    *     int64 — exact, order-independent), ties break toward the lower
+    *     centroid id;
+    *   - the update is `floor(sum / count)` per dimension, computed as a
+    *     double divide + floor: sums stay ≤ ~2⁵³ by the quantization
+    *     budget, and the quotient is a rational with denominator = the
+    *     cluster size, far (≥ 1/n) from any half-ulp boundary — so the
+    *     floor is deterministic on every IEEE-754 engine;
+    *   - exactly `iters` update rounds run (no convergence epsilon — a
+    *     float threshold would reintroduce order sensitivity), then one
+    *     final assignment against the settled codebook;
+    *   - an emptied cluster keeps its previous centroid.
+    *
+    * Same distributed shape as [[fit]]: broadcast k-row codebook,
+    * min-struct partial+final aggregation, posexplode update whose
+    * shuffle carries ≤ k × dim × partitions partial sums; only the
+    * k × dim codebook reaches the driver each round.
+    *
+    * Seeding = the k lowest-id vectors (cent_id 0..k−1 in ascending id
+    * order), the same deterministic init as [[fit]].
+    */
+  def fitQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Long = 10000L): QResult = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = df.sparkSession
+    val data = df.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
+          .as("xq"))
+      .localCheckpoint()
+
+    def centDf(cents: Array[(Int, Array[Long])]): DataFrame = {
+      import spark.implicits._
+      cents.toSeq.toDF("cent_id", "cq")
+    }
+
+    def intDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+
+    def assign(cents: Array[(Int, Array[Long])]): DataFrame =
+      data.crossJoin(broadcast(centDf(cents)))
+        .select(col("id"),
+          struct(intDist(col("xq"), col("cq")).as("dist"),
+            col("cent_id").as("cent_id"), col("xq").as("xq")).as("dc"))
+        .groupBy(col("id"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("id"), col("best.xq").as("xq"),
+          col("best.cent_id").as("cluster"))
+
+    var cents: Array[(Int, Array[Long])] = data
+      .orderBy(col("id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r: Row, i) => (i, r.getSeq[Long](1).toArray) }
+    require(cents.length == k, s"need >= $k rows to seed $k centroids")
+    val dim = cents.head._2.length
+    var round = 0
+    while (round < iters) {
+      val upd = assign(cents)
+        .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = upd.groupBy(_.getInt(0)).map { case (c, rows) =>
+        val v = new Array[Long](dim)
+        rows.foreach(r =>
+          v(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+        (c, v)
+      }
+      cents = cents.map { case (c, old) => (c, next.getOrElse(c, old)) }
+      round += 1
+    }
+    QResult(assign(cents).select(col("id"), col("cluster")), cents, scale)
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 import graft.functions.VectorOps
+import graft.ops.KMeans
 
 /** Similarity-search operators over `embedding: array<float>` columns
   * (SURVEY.md §2.3 E3): brute-force cosine top-k (q19) as the exact
@@ -185,13 +186,129 @@ object Similarity {
       |       min(norm) AS min_norm, max(norm) AS max_norm
       |FROM norms GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmScale = 10000L
+
+  /** The trained IVF pipeline end-to-end under the hash gate:
+    * [[KMeans.fitQuantized]] fits a k=8 codebook on the embeddings in
+    * EXACT int64 arithmetic (3 fixed Lloyd rounds, floor(x·10⁴)
+    * quantization, floor(sum/count) updates — bit-reproducible on any
+    * IEEE engine regardless of partitioning), then probes 10–14 search
+    * only their own trained cluster with the exact codegen'd cosine.
+    * Unlike q24 (fixed stand-in codebook), the codebook here is the
+    * trainer's actual output; the oracle unrolls the same three
+    * iterations as DuckDB CTEs, so train → index → search is verified
+    * cross-engine, not just spec-gated.
+    */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val km = KMeans.fitQuantized(emb, "vec_id", "embedding",
+      k = KmK, iters = KmIters, scale = KmScale)
+    val clusters = km.assignments
+      .join(emb, col("id") === col("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val probes = clusters.filter(col("vec_id").between(10, 14))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("cluster").as("pcluster"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes
+      .join(clusters.as("c"),
+        col("pcluster") === col("c.cluster") &&
+        col("c.vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
+        col("pcluster").cast("long").as("cluster"),
+        round(VectorOps.cosineNative(col("pe"), col("c.embedding")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** One unrolled Lloyd round: assign to nearest centroid by integer
+    * squared L2 (ties → lower cent_id), recompute each dimension as
+    * floor(sum/count), emptied clusters keep the previous centroid.
+    */
+  private def kmIterCtes(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (
+       |  SELECT eq.vec_id, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+       |  FROM eq JOIN $prev c ON eq.d = c.d
+       |  GROUP BY eq.vec_id, c.cent_id),
+       |asg$i AS (
+       |  SELECT vec_id, cent_id AS cluster FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cent_id) AS rn
+       |    FROM a$i) t
+       |  WHERE rn = 1),
+       |u$i AS (
+       |  SELECT g.cluster AS cent_id, eq.d,
+       |         CAST(floor(CAST(sum(eq.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       |  FROM asg$i g JOIN eq ON g.vec_id = eq.vec_id
+       |  GROUP BY g.cluster, eq.d),
+       |c$i AS (
+       |  SELECT c.cent_id, c.d, COALESCE(u.x, c.x) AS x
+       |  FROM $prev c LEFT JOIN u$i u
+       |    ON c.cent_id = u.cent_id AND c.d = u.d)""".stripMargin
+  }
+
+  val q94Oracle: String =
+    s"""WITH eq AS (
+       |  SELECT vec_id,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $KmScale) AS BIGINT) AS x,
+       |         generate_subscripts(embedding, 1) AS d
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cent_id, d, x FROM eq
+       |  WHERE vec_id < $KmK),
+       |${(1 to KmIters).map(kmIterCtes).mkString(",\n")},
+       |aF AS (
+       |  SELECT eq.vec_id, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+       |  FROM eq JOIN c$KmIters c ON eq.d = c.d
+       |  GROUP BY eq.vec_id, c.cent_id),
+       |asgF AS (
+       |  SELECT vec_id, cent_id AS cluster FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cent_id) AS rn
+       |    FROM aF) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT a.vec_id AS probe_id, e.embedding AS pe, a.cluster
+       |  FROM asgF a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  WHERE a.vec_id BETWEEN 10 AND 14),
+       |spairs AS (
+       |  SELECT p.probe_id AS pid, a.vec_id AS nid,
+       |         p.pe AS pe, e.embedding AS ne, p.cluster
+       |  FROM probes p
+       |  JOIN asgF a ON a.cluster = p.cluster AND a.vec_id <> p.probe_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id),
+       |${cosineCtes("spairs", "ssims")},
+       |ranked AS (
+       |  SELECT s.pid, s.nid, sp.cluster, round(s.sim, 6) AS sim,
+       |         row_number() OVER (PARTITION BY s.pid
+       |                            ORDER BY round(s.sim, 6) DESC, s.nid) AS rnk
+       |  FROM ssims s
+       |  JOIN (SELECT DISTINCT pid, cluster FROM spairs) sp ON s.pid = sp.pid)
+       |SELECT pid AS probe_id, nid AS neighbor_id,
+       |       CAST(cluster AS BIGINT) AS cluster, sim,
+       |       CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_sim_topk" -> (q19 _),
     "q24_ann_ivf" -> (q24 _),
-    "q30_embedding_stats" -> (q30 _))
+    "q30_embedding_stats" -> (q30 _),
+    "q94_ivf_trained" -> (q94 _))
 
   val oracles: Map[String, String] = Map(
     "q19_sim_topk" -> q19Oracle,
     "q24_ann_ivf" -> q24Oracle,
-    "q30_embedding_stats" -> q30Oracle)
+    "q30_embedding_stats" -> q30Oracle,
+    "q94_ivf_trained" -> q94Oracle)
 }

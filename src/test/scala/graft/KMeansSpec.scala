@@ -58,4 +58,51 @@ class KMeansSpec extends AnyFunSuite {
     assert(r.centroids.length == 1)
     assert(r.assignments.collect().forall(_.getInt(2) == 0))
   }
+
+  test("fitQuantized recovers the blobs and is partitioning-invariant") {
+    // The float trainer is deterministic per physical plan but its avg
+    // is FP-order-sensitive in principle; the quantized trainer must
+    // produce the IDENTICAL codebook under any repartitioning/row order
+    // — that is its contract (and what lets q94 sit under the oracle).
+    val base = blobs()
+    val a = KMeans.fitQuantized(base, "id", "vec", k = 3, iters = 3)
+    val b = KMeans.fitQuantized(
+      base.repartition(13).sortWithinPartitions(org.apache.spark.sql.functions.col("id").desc),
+      "id", "vec", k = 3, iters = 3)
+    assert(a.centroids.map(_._2.toSeq).toSeq == b.centroids.map(_._2.toSeq).toSeq)
+    val ra = a.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val rb = b.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(ra == rb)
+    // and it still solves the clustering problem
+    val byBlob = ra.map { case (id, c) => (id % 3, c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byBlob.values.forall(_.size == 1), s"split blob: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3, s"merged blobs: $byBlob")
+  }
+
+  test("fitQuantized centroids match a driver-side exact-integer Lloyd") {
+    // Independent single-threaded reimplementation over the same rows —
+    // the distributed trainer must agree bit-for-bit.
+    val rows = blobs().collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val scale = 10000L
+    val q = rows.map { case (id, v) => (id, v.map(x => math.floor(x.toDouble * scale).toLong)) }
+    var cents = q.take(3).zipWithIndex.map { case ((_, v), i) => (i, v.clone()) }
+    for (_ <- 1 to 3) {
+      val asg = q.map { case (id, x) =>
+        val best = cents.map { case (c, ce) =>
+          (x.zip(ce).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }.min
+        (id, x, best._2)
+      }
+      cents = cents.map { case (c, old) =>
+        val members = asg.filter(_._3 == c).map(_._2)
+        if (members.isEmpty) (c, old)
+        else (c, Array.tabulate(old.length)(d =>
+          math.floor(members.map(_(d)).sum.toDouble / members.length).toLong))
+      }
+    }
+    val dist = KMeans.fitQuantized(blobs(), "id", "vec", k = 3, iters = 3)
+    assert(dist.centroids.map(_._2.toSeq).toSeq == cents.map(_._2.toSeq).toSeq)
+  }
 }
