@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * Engine pattern notes (same as q78's original loop): a driver loop of
   * declarative per-round plans with `localCheckpoint` truncating
   * lineage (the plan would otherwise double per round), convergence
-  * decided from a one-row checksum aggregate (count + sum of
+  * decided from a one-row checksum aggregate (count + xor of
   * xxhash64(src,dst) — order-insensitive, so it is a pure function of
   * the edge SET), and a loud failure on cap-out rather than silently
-  * wrong labels.
+  * wrong labels. Checkpoints are LAZY: the checksum is the round's only
+  * action, and materializing the checkpoint happens inside that same
+  * job — one job per round, not a checkpoint job plus a checksum job.
   */
 object ConnectedComponents {
 
@@ -83,8 +85,10 @@ object ConnectedComponents {
     */
   def runWithStats(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     // materialize the input ONCE — the upstream subtree (for q78, the
-    // whole LSH candidate join) must not re-execute per derivation
-    val raw = edges.select(col("src"), col("dst")).localCheckpoint()
+    // whole LSH candidate join) must not re-execute per derivation.
+    // Lazy: init's checksum job below computes raw, persists it, and
+    // persists init, all in one pass.
+    val raw = edges.select(col("src"), col("dst")).localCheckpoint(false)
     // nodes are taken BEFORE the self-loop filter: a self-loop-only node
     // is incident to an edge and labels as its own singleton component
     val nodes = raw.select(col("src").as("id"))
@@ -95,14 +99,14 @@ object ConnectedComponents {
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var cur = init
     var sig = checksum(cur)
     var rounds = 0
-    var converged = cur.isEmpty // edgeless graph: nothing to contract
+    var converged = sig._1 == 0L // edgeless graph: nothing to contract
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nextSig = checksum(next)
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val nextSig = checksum(next) // one action: persists next + fingerprints
       converged = nextSig == sig
       cur = next
       sig = nextSig

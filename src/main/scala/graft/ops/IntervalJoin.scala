@@ -20,9 +20,46 @@ import org.apache.spark.sql.functions._
   * Tuning: `bucketWidth` ~ the typical interval length. Too small →
   * explode amplification (rows × span/width); too large → residual
   * filtering does the work. Both engines see identical semantics
-  * either way, it is purely a physical knob.
+  * either way, it is purely a physical knob. The no-width overload
+  * derives it from the data ([[autoBucketWidth]]) so a corpus with
+  * 1000× wider intervals cannot silently explode.
   */
 object IntervalJoin {
+
+  /** Median interval length across both sides (one cheap two-column
+    * aggregate — pruned scan + a single approx_percentile sketch, the
+    * same derive-the-knob-from-the-data pattern as
+    * [[ScaleOps.bloomSemiJoin]]'s auto-sizing). With width ≈ p50
+    * length, a typical interval touches ≤ 2 buckets, so the explode
+    * factor stays O(1) whatever the time unit or corpus regime.
+    */
+  def autoBucketWidth(
+      a: DataFrame,
+      b: DataFrame,
+      startA: String,
+      endA: String,
+      startB: String,
+      endB: String): Long = {
+    def lens(df: DataFrame, s: String, e: String) =
+      df.select((col(e).cast("long") - col(s).cast("long") + 1L).as("len"))
+    val p50 = lens(a, startA, endA).unionAll(lens(b, startB, endB))
+      .agg(expr("approx_percentile(len, 0.5, 100)").as("p50"))
+      .head()
+    if (p50.isNullAt(0)) 1L else math.max(1L, p50.getLong(0))
+  }
+
+  /** [[overlapJoin]] with `bucketWidth` auto-derived from the median
+    * interval length of the actual inputs.
+    */
+  def overlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      startA: String,
+      endA: String,
+      startB: String,
+      endB: String): DataFrame =
+    overlapJoin(a, b, startA, endA, startB, endB,
+      autoBucketWidth(a, b, startA, endA, startB, endB))
 
   /** All pairs (a row, b row) whose [startA, endA] and [startB, endB]
     * (inclusive, integral) overlap. Column names across `a` and `b`

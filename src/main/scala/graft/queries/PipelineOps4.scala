@@ -194,10 +194,13 @@ object PipelineOps4 {
       unix_date(col("o_orderdate").cast("date")).cast("long").as(sName),
       (unix_date(col("o_orderdate").cast("date")) + col("o_orderkey") % 30)
         .cast("long").as(eName))
+    // auto-sized overload: bucketWidth ≈ the measured p50 window length
+    // (a hard-coded width breaks silently when interval scale changes —
+    // 1000× wider intervals would explode 1000× more bucket rows)
     graft.ops.IntervalJoin.overlapJoin(
         windows("a_orderkey", "a_s", "a_e"),
         windows("b_orderkey", "b_s", "b_e"),
-        "a_s", "a_e", "b_s", "b_e", bucketWidth = 16L)
+        "a_s", "a_e", "b_s", "b_e")
       .filter(col("a_orderkey") =!= col("b_orderkey"))
       .groupBy(col("a_orderkey"))
       .agg(count(lit(1)).as("n_overlaps"))

@@ -67,6 +67,41 @@ class IntervalJoinSpec extends AnyFunSuite {
       s"unexpected error: ${ex.getMessage}")
   }
 
+  test("auto width tracks the interval scale — no explode blowup on wide corpora") {
+    import spark.implicits._
+    // Same corpus shape at two time scales 1000x apart. A hard-coded
+    // width tuned for the narrow regime would explode ~1000 bucket rows
+    // per wide interval; the auto width must land near the p50 length
+    // in BOTH regimes, keeping the explode factor O(1).
+    def corpus(prefix: String, seed: Int, unit: Long) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 300).map { i =>
+        val s = rnd.nextInt(2000).toLong * unit
+        (i.toLong, s, s + (10 + rnd.nextInt(40)).toLong * unit)
+      }.toDF(s"${prefix}_id", s"${prefix}_s", s"${prefix}_e")
+    }
+    for (unit <- Seq(1L, 1000L)) {
+      val a = corpus("a", 5, unit)
+      val b = corpus("b", 6, unit)
+      val w = IntervalJoin.autoBucketWidth(a, b, "a_s", "a_e", "b_s", "b_e")
+      // p50 length is in [10*unit, 50*unit]; width must follow the scale
+      assert(w >= 10 * unit && w <= 50 * unit,
+        s"unit=$unit: auto width $w not in the p50 range")
+      val auto = IntervalJoin.overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e")
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val naive = a.join(b, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(auto.length == auto.distinct.length, s"unit=$unit emitted dups")
+      assert(auto.toSeq == naive.toSeq, s"unit=$unit mismatch")
+    }
+    // degenerate inputs don't divide by zero / NPE
+    val empty = Seq.empty[(Long, Long, Long)].toDF("a_id", "a_s", "a_e")
+    assert(IntervalJoin.autoBucketWidth(
+      empty, empty.toDF("b_id", "b_s", "b_e"), "a_s", "a_e", "b_s", "b_e") == 1L)
+  }
+
   test("point intervals and exact-touch boundaries") {
     import spark.implicits._
     val a = Seq((1L, 10L, 10L)).toDF("a_id", "a_s", "a_e")
