@@ -17,10 +17,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * duplicate of the EARLIEST such doc; otherwise it is kept and its
   * signature joins the state.
   *
-  * Single-band formulation: each doc lives in exactly one group, so
-  * keep/duplicate is decided in one place with no cross-group vote
-  * (production recall wants B parallel band-streams OR'd together —
-  * same operator, B times). State per bucket is bounded BOTH ways:
+  * Two formulations share the operator:
+  *   - single-band ([[signatures]] → [[dedup]]): each doc lives in
+  *     exactly one group, keep/dup decided in one place — cheapest, but
+  *     recall is limited to one band's collisions;
+  *   - multi-band ([[signaturesBanded]] → [[dedupBanded]] →
+  *     [[combineBanded]]): each doc explodes onto `NumBands` band
+  *     buckets (band index baked into the bucket key, so the SAME
+  *     stateful operator processes all bands as disjoint key ranges),
+  *     and a doc is a duplicate iff ANY band matched it — the OR is a
+  *     per-doc windowed min/bool-and aggregation, exactly the batch
+  *     LSH candidate rule, so streaming recall matches batch q21/q87
+  *     candidate recall (StreamingNearDupSpec measures both). A doc
+  *     dropped by one band may still seed another band's state; a later
+  *     dup_of can therefore point at a dropped doc — chain links, the
+  *     same transitivity batch resolves with connected components.
+  *
+  * State per bucket is bounded BOTH ways:
   * capped at `MaxSigsPerBucket` signatures (keep-earliest, the
   * deterministic choice — same rationale as the batch hot-bucket cap
   * in `Dedup.MaxBucketDocs`) AND expired by an event-time timeout once
@@ -33,6 +46,7 @@ object StreamingNearDup {
 
   val NumHashes = 16
   val BandRows = 4
+  val NumBands = 4 // NumBands * BandRows == NumHashes: bands tile the signature
   val AgreeThreshold = 8
   val MaxSigsPerBucket = 256
   val StateTtlMs: Long = 60 * 60 * 1000L
@@ -47,6 +61,11 @@ object StreamingNearDup {
   final case class BucketState(sigs: List[SigEntry], lastMs: Long)
   /** dup_of = -1 when the doc is kept. */
   final case class DedupOut(doc_id: Long, kept: Boolean, dup_of: Long)
+  /** Per-band verdict — carries the event-time `ts` so the OR-combine
+    * can run as a downstream windowed streaming aggregation.
+    */
+  final case class BandVerdict(doc_id: Long, kept: Boolean, dup_of: Long,
+      ts: java.sql.Timestamp)
 
   /** Stateless signature + bucket projection — works identically on a
     * static or streaming DataFrame with (doc_id, text, ts). The
@@ -87,8 +106,111 @@ object StreamingNearDup {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process)
   }
 
+  /** Like [[signatures]] but one row per (doc, band): band `b` buckets
+    * on hashes [b·BandRows, (b+1)·BandRows) of the same 16-hash
+    * signature, with the band index baked into the bucket key so bands
+    * occupy disjoint key ranges of one stateful operator.
+    */
+  def signaturesBanded(
+      docs: DataFrame, numBands: Int = NumBands): Dataset[DocSig] = {
+    import docs.sparkSession.implicits._
+    require(numBands >= 1 && numBands * BandRows <= NumHashes,
+      s"numBands=$numBands does not tile $NumHashes hashes in rows of $BandRows")
+    val bucketCols = (0 until numBands).map { b =>
+      val rows = (0 until BandRows)
+        .map(r => element_at(col("sig"), b * BandRows + r + 1).cast("string"))
+      md5(concat_ws(",", lit(b.toString) +: rows: _*))
+    }
+    docs
+      .select(col("doc_id"), col("ts"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), col("ts"),
+        graft.functions.MinHashSig.minhashSig(expr(
+          """CASE WHEN size(toks) >= 3
+            |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+            |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+            |  ELSE array(concat_ws(' ', toks)) END"""
+            .stripMargin), NumHashes).as("sig"))
+      .select(col("doc_id"), explode(array(bucketCols: _*)).as("bucket"),
+        col("sig"), col("ts"))
+      .as[DocSig]
+  }
+
+  /** Per-band verdicts: a doc appears once per band, flagged iff THAT
+    * band's bucket held a high-agreement signature. OR them with
+    * [[combineBanded]] for the final keep/drop.
+    */
+  def dedupBanded(sigs: Dataset[DocSig]): Dataset[BandVerdict] = {
+    import sigs.sparkSession.implicits._
+    sigs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processBanded)
+  }
+
+  /** OR of the per-band verdicts: dup iff any band matched; dup_of is
+    * the smallest matched doc id across bands (deterministic). All B
+    * verdicts of a doc share its event timestamp, so grouping on
+    * (window(ts), doc_id) reunites exactly that doc's bands; the window
+    * closes — and the verdict emits — once the watermark passes it.
+    * The watermark is re-declared here (`delay`): the event-time tag
+    * does not survive through flatMapGroupsWithState's new Dataset.
+    * Works identically on a static Dataset (no window wait).
+    *
+    * Spark's global-watermark check rejects ANY
+    * flatMapGroupsWithState → stateful-op chain because a stateful op
+    * may emit rows older than the watermark. This one cannot:
+    * [[processBanded]] stamps each verdict with the input row's OWN
+    * event time, so the aggregation sees exactly the source's lateness
+    * profile — never anything older — and the check is disabled for
+    * the session with that justification.
+    */
+  def combineBanded(perBand: Dataset[BandVerdict],
+      windowLen: String = "1 minute",
+      delay: String = "10 minutes"): DataFrame = {
+    val src = if (perBand.isStreaming) {
+      perBand.sparkSession.conf
+        .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+      perBand.withWatermark("ts", delay)
+    } else perBand
+    src
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(min(col("kept")).as("kept"),
+        coalesce(min(when(col("dup_of") >= 0L, col("dup_of"))), lit(-1L))
+          .as("dup_of"))
+      .select(col("doc_id"), col("kept"), col("dup_of"))
+  }
+
   private def agreement(a: Array[Long], b: Array[Long]): Int =
     a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+
+  /** Core per-bucket loop: verdict each doc against the stored
+    * signatures (earliest-first, so the first hit is the earliest
+    * match), insert novel ones up to the cap, refresh the TTL clock.
+    * Returns (doc, earliest match if any) in doc_id order.
+    */
+  private def verdictLoop(
+      docs: Iterator[DocSig],
+      state: GroupState[BucketState]): Seq[(DocSig, Option[Long])] = {
+    val st0 = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+    var sigs = st0.sigs
+    var lastMs = st0.lastMs
+    val out = Seq.newBuilder[(DocSig, Option[Long])]
+    // doc_id order within the batch so keep/dup decisions don't depend
+    // on partition iteration order
+    docs.toSeq.sortBy(_.doc_id).foreach { d =>
+      lastMs = math.max(lastMs, d.ts.getTime)
+      sigs.find(e => agreement(e.sig, d.sig) >= AgreeThreshold) match {
+        case Some(e) => out += ((d, Some(e.docId)))
+        case None =>
+          out += ((d, None))
+          if (sigs.size < MaxSigsPerBucket)
+            sigs = sigs :+ SigEntry(d.doc_id, d.sig)
+      }
+    }
+    state.update(BucketState(sigs, lastMs))
+    state.setTimeoutTimestamp(lastMs + StateTtlMs)
+    out.result()
+  }
 
   private[streaming] def process(
       bucket: String,
@@ -100,27 +222,23 @@ object StreamingNearDup {
       state.remove()
       return Iterator.empty
     }
-    val st0 = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
-    var sigs = st0.sigs
-    var lastMs = st0.lastMs
-    val out = Seq.newBuilder[DedupOut]
-    // doc_id order within the batch so keep/dup decisions don't depend
-    // on partition iteration order
-    docs.toSeq.sortBy(_.doc_id).foreach { d =>
-      lastMs = math.max(lastMs, d.ts.getTime)
-      // stored earliest-first: the first hit IS the earliest match
-      val hit = sigs.find(e => agreement(e.sig, d.sig) >= AgreeThreshold)
-      hit match {
-        case Some(e) =>
-          out += DedupOut(d.doc_id, kept = false, dup_of = e.docId)
-        case None =>
-          out += DedupOut(d.doc_id, kept = true, dup_of = -1L)
-          if (sigs.size < MaxSigsPerBucket)
-            sigs = sigs :+ SigEntry(d.doc_id, d.sig)
-      }
+    verdictLoop(docs, state).iterator.map {
+      case (d, Some(of)) => DedupOut(d.doc_id, kept = false, dup_of = of)
+      case (d, None) => DedupOut(d.doc_id, kept = true, dup_of = -1L)
     }
-    state.update(BucketState(sigs, lastMs))
-    state.setTimeoutTimestamp(lastMs + StateTtlMs)
-    out.result().iterator
+  }
+
+  private[streaming] def processBanded(
+      bucket: String,
+      docs: Iterator[DocSig],
+      state: GroupState[BucketState]): Iterator[BandVerdict] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    verdictLoop(docs, state).iterator.map {
+      case (d, Some(of)) => BandVerdict(d.doc_id, kept = false, dup_of = of, ts = d.ts)
+      case (d, None) => BandVerdict(d.doc_id, kept = true, dup_of = -1L, ts = d.ts)
+    }
   }
 }

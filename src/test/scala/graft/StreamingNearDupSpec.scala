@@ -79,6 +79,107 @@ class StreamingNearDupSpec extends AnyFunSuite {
       s"doc 7 arrives after bucket expiry and must be kept: ${rows(7L)}")
   }
 
+  // ------------------------------------------------------- multi-band
+
+  /** Seeded near-dup corpus: 10 bases of 40 unique words; 12 variants
+    * mutate 1–6 words at scattered positions. Which band catches which
+    * pair depends on where the mutated shingles land in the minhash —
+    * exactly the recall gap multi-band exists to close.
+    */
+  private def seededCorpus: (Seq[(Long, String, Timestamp)], Seq[(Long, String, Timestamp)], Map[Long, Long]) = {
+    def tokens(d: Int) = (1 to 40).map(i => s"w${d}_$i").toVector
+    def doc(toks: Vector[String]) = toks.mkString(" ")
+    val bases = (1 to 10).map(d => (d.toLong, doc(tokens(d)), ts("2024-01-01 10:00:00")))
+    val muts: Seq[(Int, Seq[Int])] = Seq(
+      (1, Seq(0)), (1, Seq(20)), (2, Seq(5, 35)), (2, Seq(0, 1)),
+      (3, Seq(10, 11, 12)), (3, Seq(2, 18, 33)), (4, Seq(0, 13, 26, 39)),
+      (4, Seq(7, 8, 21, 22)), (5, Seq(3, 9, 15, 27, 31)),
+      (5, Seq(0, 1, 2, 3, 4)), (6, Seq(6, 12, 19, 25, 32, 38)),
+      (6, Seq(30, 31, 32, 33, 34, 35)))
+    val variants = muts.zipWithIndex.map { case ((base, pos), i) =>
+      val t = pos.foldLeft(tokens(base))((acc, p) => acc.updated(p, s"mut${i}_$p"))
+      ((101 + i).toLong, doc(t), ts("2024-01-01 10:05:00"))
+    }
+    val truth = muts.zipWithIndex.map { case ((base, _), i) => (101 + i).toLong -> base.toLong }.toMap
+    (bases, variants, truth)
+  }
+
+  /** Batch 4-band LSH candidate recall on the same corpus: same-bucket
+    * pairs with >= AgreeThreshold agreeing hashes — the upper bound the
+    * streaming OR must reach.
+    */
+  private def batchDetected(all: Seq[(Long, String, Timestamp)], truth: Map[Long, Long]): Set[Long] = {
+    import spark.implicits._
+    val sigs = StreamingNearDup.signaturesBanded(all.toDF("doc_id", "text", "ts")).toDF()
+    val agree = expr("size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v))")
+    val pairs = sigs.select(col("doc_id").as("a_id"), col("bucket"), col("sig").as("a_sig"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("bucket"), col("sig").as("b_sig")), "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), agree.as("agree"))
+      .filter(col("agree") >= StreamingNearDup.AgreeThreshold)
+      .select(col("a_id"), col("b_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.keySet.filter { v =>
+      pairs.exists { case (a, b) =>
+        (b == v && (a == truth(v) || truth.get(a).contains(truth(v)))) ||
+          (a == v && (b == truth(v) || truth.get(b).contains(truth(v))))
+      }
+    }
+  }
+
+  test("multi-band OR recall >= batch LSH candidate recall > single-band recall") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (bases, variants, truth) = seededCorpus
+    val batchHit = batchDetected(bases ++ variants, truth)
+    assert(batchHit.nonEmpty, "seed corpus produced no batch candidates — retune")
+
+    def runStream(banded: Boolean): Map[Long, (Boolean, Long)] = {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val src = input.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "10 minutes")
+      val out = if (banded)
+        StreamingNearDup.combineBanded(
+          StreamingNearDup.dedupBanded(StreamingNearDup.signaturesBanded(src)))
+      else
+        StreamingNearDup.dedup(StreamingNearDup.signatures(src)).toDF()
+      val name = if (banded) "nd_banded" else "nd_single"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      input.addData(bases: _*)
+      q.processAllAvailable()
+      input.addData(variants: _*)
+      q.processAllAvailable()
+      // sentinel far past every window + watermark delay: flushes the
+      // combine aggregation's open windows
+      input.addData((9999L, "flush sentinel doc", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).select(col("doc_id"), col("kept"), col("dup_of"))
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    }
+
+    val multi = runStream(banded = true)
+    val single = runStream(banded = false)
+    def detected(rows: Map[Long, (Boolean, Long)]): Set[Long] =
+      truth.keySet.filter(v => rows.get(v).exists { case (kept, of) =>
+        !kept && (of == truth(v) || truth.get(of).contains(truth(v)))
+      })
+    val multiHit = detected(multi)
+    val singleHit = detected(single)
+    info(s"recall: multi=${multiHit.size}/${truth.size} " +
+      s"batch=${batchHit.size}/${truth.size} single=${singleHit.size}/${truth.size}")
+    // every base must be kept in both modes
+    bases.foreach { case (id, _, _) =>
+      assert(multi(id) == ((true, -1L)), s"base $id dropped in multi-band")
+      assert(single(id) == ((true, -1L)), s"base $id dropped in single-band")
+    }
+    assert(multiHit.size >= batchHit.size,
+      s"multi-band recall ${multiHit.size} below batch candidate recall ${batchHit.size}")
+    assert(multiHit.size > singleHit.size,
+      s"multi-band (${multiHit.size}) must beat single-band (${singleHit.size}) on this corpus")
+  }
+
   test("short docs get verdicts too: exact dups flagged, others kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
