@@ -131,6 +131,43 @@ object MicroBench {
         .write.format("noop").mode("overwrite").save()
     }
     println(f"[microbench] asof operator vs window: ${asofComposed / asofNative}%.2fx")
+
+    // Space-Saving buffer: TreeSet-indexed mutable buffer vs the
+    // previous persistent-Map + O(capacity) minBy-per-eviction shape,
+    // on a high-cardinality stream (every insert past warm-up evicts).
+    val n = 2_000_000
+    val cap = 256
+    def ssStream(i: Int): String = {
+      // zipf-ish: low ids frequent, long tail of singletons
+      val r = (i * 2654435761L & 0x7fffffffL) % 1000
+      if (r < 200) s"hot_$r" else s"tail_${i}"
+    }
+    val fast = time("ss_indexed") {
+      val agg = new graft.functions.SpaceSaving(cap)
+      var buf = agg.zero
+      var i = 0
+      while (i < n) { buf = agg.reduce(buf, ssStream(i)); i += 1 }
+      require(agg.finish(buf).nonEmpty)
+    }
+    val naive = time("ss_scan") {
+      // the former formulation, inlined: immutable map copied per row,
+      // min found by scanning all `cap` entries on each eviction
+      var m = Map.empty[String, (Long, Long)]
+      var i = 0
+      while (i < n) {
+        val item = ssStream(i)
+        m.get(item) match {
+          case Some((c, e)) => m = m.updated(item, (c + 1, e))
+          case None if m.size < cap => m = m.updated(item, (1L, 0L))
+          case None =>
+            val (mi, (mc, _)) = m.minBy { case (it, (c, _)) => (c, it) }
+            m = m - mi + (item -> (mc + 1, mc))
+        }
+        i += 1
+      }
+      require(m.nonEmpty)
+    }
+    println(f"[microbench] space-saving buffer speedup: ${naive / fast}%.2fx")
     spark.stop()
   }
 }

@@ -24,6 +24,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * deployment), which is why the op is spec-gated on its bounds rather
   * than hash-matched against an oracle (same policy as the q38
   * sketches).
+  *
+  * Buffer layout (the Stream-Summary role): a mutable item → cell hash
+  * map plus a (count, item)-ordered index, so the per-row update is
+  * O(log capacity) — remove/reinsert the touched key — and the min
+  * eviction reads the index head instead of an O(capacity) scan, with
+  * NO per-row persistent-map copying. Eviction semantics are unchanged:
+  * min count, lexicographically-smallest item on ties, so the summary
+  * stays a pure function of the input multiset order. The index is
+  * rebuilt lazily after (de)serialization — Kryo ships only the map.
   */
 class SpaceSaving(capacity: Int)
     extends Aggregator[String, SpaceSaving.Buf, Seq[SpaceSaving.Hit]] {
@@ -31,22 +40,11 @@ class SpaceSaving(capacity: Int)
   import SpaceSaving._
   require(capacity >= 1, s"capacity must be >= 1: $capacity")
 
-  override def zero: Buf = Buf(Map.empty, evicted = false)
+  override def zero: Buf = new Buf(mutable.HashMap.empty, false)
 
   override def reduce(buf: Buf, item: String): Buf = {
-    val m = buf.counts
-    m.get(item) match {
-      case Some(c) =>
-        buf.copy(counts = m.updated(item, Cell(c.count + 1, c.err)))
-      case None if m.size < capacity =>
-        buf.copy(counts = m.updated(item, Cell(1L, 0L)))
-      case None =>
-        // evict the min-count item (ties: lexicographically smallest so
-        // the result is a pure function of the input multiset order)
-        val (minItem, minCell) = m.minBy { case (i, c) => (c.count, i) }
-        Buf(m - minItem + (item -> Cell(minCell.count + 1, minCell.count)),
-          evicted = true)
-    }
+    buf.add(item, capacity)
+    buf
   }
 
   override def merge(a: Buf, b: Buf): Buf = {
@@ -65,7 +63,7 @@ class SpaceSaving(capacity: Int)
       i -> Cell(count, err)
     }.toSeq
     val kept = merged.sortBy { case (i, c) => (-c.count, i) }.take(capacity)
-    Buf(kept.toMap, evicted =
+    new Buf(mutable.HashMap.from(kept),
       a.evicted || b.evicted || merged.size > capacity)
   }
 
@@ -80,7 +78,44 @@ class SpaceSaving(capacity: Int)
 }
 
 object SpaceSaving {
-  final case class Cell(count: Long, err: Long)
-  final case class Buf(counts: Map[String, Cell], evicted: Boolean)
+  final case class Cell(var count: Long, var err: Long)
   final case class Hit(item: String, count: Long, err: Long)
+
+  /** Mutable Space-Saving buffer. `order` mirrors `counts` as a
+    * (count, item)-sorted set; it is transient (Kryo's field serializer
+    * skips it) and rebuilt on first use after deserialization.
+    */
+  final class Buf(
+      val counts: mutable.HashMap[String, Cell],
+      var evicted: Boolean) extends Serializable {
+
+    @transient private var order: mutable.TreeSet[(Long, String)] = _
+
+    private def index: mutable.TreeSet[(Long, String)] = {
+      if (order == null) {
+        order = mutable.TreeSet.empty[(Long, String)]
+        counts.foreach { case (i, c) => order.add((c.count, i)) }
+      }
+      order
+    }
+
+    def add(item: String, capacity: Int): Unit = counts.get(item) match {
+      case Some(c) =>
+        index.remove((c.count, item))
+        c.count += 1
+        index.add((c.count, item))
+      case None if counts.size < capacity =>
+        counts.update(item, Cell(1L, 0L))
+        index.add((1L, item))
+      case None =>
+        // evict the min-count item (ties: lexicographically smallest so
+        // the result is a pure function of the input multiset order)
+        val min @ (minCount, minItem) = index.head
+        index.remove(min)
+        counts.remove(minItem)
+        counts.update(item, Cell(minCount + 1, minCount))
+        index.add((minCount + 1, item))
+        evicted = true
+    }
+  }
 }
