@@ -26,10 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Median interval length across both sides (one cheap two-column
-    * aggregate — pruned scan + a single approx_percentile sketch, the
-    * same derive-the-knob-from-the-data pattern as
-    * [[ScaleOps.bloomSemiJoin]]'s auto-sizing). With width ≈ p50
+  /** Row cap per side for [[autoBucketWidth]]'s knob derivation:
+    * 2 × 65536 longs ≈ 1 MB on the driver, plenty for a p50.
+    */
+  val AutoWidthSampleRows: Int = 1 << 16
+
+  /** Median interval length across both sides, derived from a
+    * row-count-capped scan: `head(sampleRows)` per side plans as
+    * CollectLimit, which executes partitions incrementally and stops
+    * once the cap is filled — O(sample) rows read whatever the corpus
+    * size (the previous full-input `approx_percentile` pass cost
+    * O(corpus) at 100 TB for a knob whose value only needs to be in
+    * the right decade). Inputs at or under the cap are read in full,
+    * so small corpora keep an exact median for free; above it the p50
+    * comes from the first files the scan touches — acceptable bias for
+    * a purely physical knob (bucket width never changes join
+    * semantics), same derive-from-the-data pattern as
+    * [[ScaleOps.bloomSemiJoin]]'s auto-sizing. With width ≈ p50
     * length, a typical interval touches ≤ 2 buckets, so the explode
     * factor stays O(1) whatever the time unit or corpus regime.
     */
@@ -39,13 +52,18 @@ object IntervalJoin {
       startA: String,
       endA: String,
       startB: String,
-      endB: String): Long = {
-    def lens(df: DataFrame, s: String, e: String) =
+      endB: String,
+      sampleRows: Int = AutoWidthSampleRows): Long = {
+    def sampleLens(df: DataFrame, s: String, e: String): Array[Long] =
       df.select((col(e).cast("long") - col(s).cast("long") + 1L).as("len"))
-    val p50 = lens(a, startA, endA).unionAll(lens(b, startB, endB))
-      .agg(expr("approx_percentile(len, 0.5, 100)").as("p50"))
-      .head()
-    if (p50.isNullAt(0)) 1L else math.max(1L, p50.getLong(0))
+        .where(col("len").isNotNull)
+        .head(sampleRows).map(_.getLong(0))
+    val lens = sampleLens(a, startA, endA) ++ sampleLens(b, startB, endB)
+    if (lens.isEmpty) 1L
+    else {
+      java.util.Arrays.sort(lens)
+      math.max(1L, lens(lens.length / 2))
+    }
   }
 
   /** [[overlapJoin]] with `bucketWidth` auto-derived from the median

@@ -179,15 +179,30 @@ object KMeans {
     val dim = cents.head._2.length
     var round = 0
     while (round < iters) {
+      // max(abs(v)) rides the same shuffle as the sum: n·maxAbs bounds
+      // |Σv|, so the driver-side guard below proves — per (cluster, dim),
+      // per round — that the int64 sum cannot have wrapped (bound < 2⁶³)
+      // AND that the double divide is exact (bound < 2⁵³). Breaching the
+      // quantization budget fails loudly instead of silently training a
+      // non-reproducible codebook (the Spark long sum wraps without
+      // error in non-ANSI mode; the DuckDB oracle sums in HUGEINT).
       val upd = assign(cents)
         .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+          max(abs(col("v"))).as("ma"))
         .collect()
       val next = upd.groupBy(_.getInt(0)).map { case (c, rows) =>
         val v = new Array[Long](dim)
-        rows.foreach(r =>
-          v(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+        rows.foreach { r =>
+          val (s, n, ma) = (r.getLong(2), r.getLong(3), r.getLong(4))
+          require(BigInt(n) * BigInt(ma) < (BigInt(1) << 53),
+            s"fitQuantized budget breached: cluster ${r.getInt(0)} dim " +
+              s"${r.getInt(1)} has n=$n max|xq|=$ma — n·max|xq| must stay " +
+              s"< 2^53 for the int64 sum and exact floor; lower `scale` " +
+              s"or pre-aggregate")
+          v(r.getInt(1)) = math.floor(s.toDouble / n).toLong
+        }
         (c, v)
       }
       cents = cents.map { case (c, old) => (c, next.getOrElse(c, old)) }

@@ -263,8 +263,13 @@ object Similarity {
        |         generate_subscripts(embedding, 1) AS d
        |  FROM embeddings),
        |c0 AS (
-       |  SELECT CAST(vec_id AS INT) AS cent_id, d, x FROM eq
-       |  WHERE vec_id < $KmK),
+       |  -- seed = rank among the k lowest vec_ids (cent_id 0..k-1), the
+       |  -- exact fitQuantized contract — NOT `vec_id < k`, which only
+       |  -- coincides when ids are contiguous from 0
+       |  SELECT CAST(rnk - 1 AS INT) AS cent_id, d, x FROM (
+       |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) AS rnk
+       |    FROM eq) s
+       |  WHERE rnk <= $KmK),
        |${(1 to KmIters).map(kmIterCtes).mkString(",\n")},
        |aF AS (
        |  SELECT eq.vec_id, c.cent_id,

@@ -160,24 +160,48 @@ object StreamingNearDup {
     * flatMapGroupsWithState → stateful-op chain because a stateful op
     * may emit rows older than the watermark. This one cannot:
     * [[processBanded]] stamps each verdict with the input row's OWN
-    * event time, so the aggregation sees exactly the source's lateness
-    * profile — never anything older — and the check is disabled for
-    * the session with that justification.
+    * event time (and drops rows already older than the watermark), so
+    * the aggregation sees exactly the source's lateness profile —
+    * never anything older. Starting the streaming query therefore
+    * requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false`; this builder does NOT touch session conf — wrap
+    * the `.start()` in [[withStatefulChainUnchecked]], which scopes the
+    * override and restores the prior value, so unrelated streaming
+    * queries keep Spark's fail-fast guard.
     */
   def combineBanded(perBand: Dataset[BandVerdict],
       windowLen: String = "1 minute",
       delay: String = "10 minutes"): DataFrame = {
-    val src = if (perBand.isStreaming) {
-      perBand.sparkSession.conf
-        .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-      perBand.withWatermark("ts", delay)
-    } else perBand
+    val src = if (perBand.isStreaming) perBand.withWatermark("ts", delay)
+    else perBand
     src
       .groupBy(window(col("ts"), windowLen), col("doc_id"))
       .agg(min(col("kept")).as("kept"),
         coalesce(min(when(col("dup_of") >= 0L, col("dup_of"))), lit(-1L))
           .as("dup_of"))
       .select(col("doc_id"), col("kept"), col("dup_of"))
+  }
+
+  /** Runs `body` (which should `.start()` — and, to be race-free, also
+    * await — the banded streaming query) with Spark's stateful-operator
+    * correctness check disabled, restoring the caller's prior setting
+    * afterwards. The check is a start-time plan rejection of ANY
+    * flatMapGroupsWithState → stateful-agg chain; [[combineBanded]]'s
+    * chain is provably safe (verdicts carry the source row's own event
+    * time), but the override must not leak to unrelated queries in the
+    * same session — a later, genuinely unsafe chain deserves the
+    * fail-fast.
+    */
+  def withStatefulChainUnchecked[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def agreement(a: Array[Long], b: Array[Long]): Int =
@@ -228,6 +252,16 @@ object StreamingNearDup {
     }
   }
 
+  /** Banded verdicts drop rows already older than the watermark BEFORE
+    * they touch state: flatMapGroupsWithState itself processes late
+    * rows, but [[combineBanded]]'s window aggregation would discard
+    * their verdicts as late anyway — without this filter such docs
+    * would mutate bucket state yet silently receive no verdict. With
+    * it, a too-late doc neither pollutes state nor emits (documented:
+    * banded mode gives late docs NO verdict, unlike single-band
+    * [[dedup]] which always emits one). Batch runs have no watermark —
+    * nothing is dropped there.
+    */
   private[streaming] def processBanded(
       bucket: String,
       docs: Iterator[DocSig],
@@ -236,7 +270,10 @@ object StreamingNearDup {
       state.remove()
       return Iterator.empty
     }
-    verdictLoop(docs, state).iterator.map {
+    val wm = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => Long.MinValue }
+    val live = docs.filter(_.ts.getTime >= wm)
+    verdictLoop(live, state).iterator.map {
       case (d, Some(of)) => BandVerdict(d.doc_id, kept = false, dup_of = of, ts = d.ts)
       case (d, None) => BandVerdict(d.doc_id, kept = true, dup_of = -1L, ts = d.ts)
     }

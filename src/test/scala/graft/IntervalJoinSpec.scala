@@ -102,6 +102,31 @@ class IntervalJoinSpec extends AnyFunSuite {
       empty, empty.toDF("b_id", "b_s", "b_e"), "a_s", "a_e", "b_s", "b_e") == 1L)
   }
 
+  test("auto width's capped scan still lands the knob (O(sample), not O(corpus))") {
+    import spark.implicits._
+    // cap (64) far below the corpus (300 rows/side) forces the sampled
+    // path; iid lengths mean the first-rows bias is immaterial and the
+    // sampled p50 must land in the same decade as the exact one
+    def corpus(prefix: String, seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 300).map { i =>
+        val s = rnd.nextInt(2000).toLong
+        (i.toLong, s, s + (10 + rnd.nextInt(40)).toLong)
+      }.toDF(s"${prefix}_id", s"${prefix}_s", s"${prefix}_e")
+    }
+    val a = corpus("a", 7)
+    val b = corpus("b", 8)
+    val exact = IntervalJoin.autoBucketWidth(a, b, "a_s", "a_e", "b_s", "b_e")
+    val sampled = IntervalJoin.autoBucketWidth(
+      a, b, "a_s", "a_e", "b_s", "b_e", sampleRows = 64)
+    assert(sampled >= 10 && sampled <= 50,
+      s"sampled width $sampled outside the length range")
+    assert(exact >= 10 && exact <= 50, s"exact width $exact outside the range")
+    // a sub-cap input is read in full: the sampled path IS the exact path
+    assert(IntervalJoin.autoBucketWidth(a, b, "a_s", "a_e", "b_s", "b_e",
+      sampleRows = 10000) == exact)
+  }
+
   test("point intervals and exact-touch boundaries") {
     import spark.implicits._
     val a = Seq((1L, 10L, 10L)).toDF("a_id", "a_s", "a_e")

@@ -74,4 +74,24 @@ class QuerySmokeSpec extends AnyFunSuite {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  /** ADVICE r3→r5: SQL-formulated queries must not leave their temp
+    * views in the session catalog (`Tables.sqlWithViews` drops them in
+    * a finally). Build AND execute the judged set, then diff the
+    * catalog — execution after the drop also proves `spark.sql`
+    * resolved the plan eagerly, so the views were never load-bearing
+    * past build time. The one deliberate session-level side effect is
+    * the `nanosAsLong` read conf (documented in Tables.events).
+    */
+  test("sql-backed queries leave no temp views behind (session hygiene)") {
+    def tempViews: Set[String] = spark.catalog.listTables().collect()
+      .filter(_.isTemporary).map(_.name).toSet
+    val before = tempViews
+    Seq("q33_percentiles", "q79_regression_agg", "q80_hof_gauntlet",
+      "q81_datetime_gauntlet", "q82_string_gauntlet",
+      "q83_conditional_gauntlet", "q84_argmax")
+      .foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    val leaked = tempViews -- before
+    assert(leaked.isEmpty, s"leaked temp views: ${leaked.mkString(", ")}")
+  }
 }

@@ -144,22 +144,34 @@ class StreamingNearDupSpec extends AnyFunSuite {
       else
         StreamingNearDup.dedup(StreamingNearDup.signatures(src)).toDF()
       val name = if (banded) "nd_banded" else "nd_single"
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      input.addData(bases: _*)
-      q.processAllAvailable()
-      input.addData(variants: _*)
-      q.processAllAvailable()
-      // sentinel far past every window + watermark delay: flushes the
-      // combine aggregation's open windows
-      input.addData((9999L, "flush sentinel doc", ts("2024-01-01 13:00:00")))
-      q.processAllAvailable()
-      q.stop()
+      // the banded chain needs the stateful-chain check scoped OFF just
+      // for this query's start; the helper restores the session conf
+      def drive(): Unit = {
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        input.addData(bases: _*)
+        q.processAllAvailable()
+        input.addData(variants: _*)
+        q.processAllAvailable()
+        // sentinel far past every window + watermark delay: flushes the
+        // combine aggregation's open windows
+        input.addData((9999L, "flush sentinel doc", ts("2024-01-01 13:00:00")))
+        q.processAllAvailable()
+        q.stop()
+      }
+      if (banded) StreamingNearDup.withStatefulChainUnchecked(spark)(drive())
+      else drive()
       spark.table(name).select(col("doc_id"), col("kept"), col("dup_of"))
         .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
     }
 
     val multi = runStream(banded = true)
+    // the scoped override must not leak: the session keeps its default
+    // fail-fast guard for unrelated streaming queries
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      .forall(_ == "true"),
+      "withStatefulChainUnchecked leaked the conf override")
     val single = runStream(banded = false)
     def detected(rows: Map[Long, (Boolean, Long)]): Set[Long] =
       truth.keySet.filter(v => rows.get(v).exists { case (kept, of) =>
