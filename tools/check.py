@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [--json <artifact.json>]
 
 Reads each parquet result written by graft.Verify plus outDir/oracle_sql.json,
 runs every oracle statement in DuckDB with views registered over the sfDir
 parquet tables, and value-compares (columns sorted by name, exact values).
+
+--json records the sweep as a committable artifact (per-query verdicts +
+summary) — the standing sf0.1 gate (CORRECTNESS_SF01_r{N}.json) is this
+script's output, not a hand-written claim.
 """
 import json
 import sys
@@ -79,6 +83,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -108,6 +115,20 @@ def main():
         for p in problems:
             print(f"  - {p}")
     print(f"\n{len(ok)} passed, {len(fail)} failed")
+    if json_out:
+        artifact = {
+            "sf_dir": sf_dir,
+            "passed": len(ok),
+            "failed": len(fail),
+            "queries": {
+                **{name: {"status": "PASS"} for name, _ in ok},
+                **{name: {"status": "FAIL", "problems": probs}
+                   for name, probs in fail},
+            },
+        }
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if fail else 0)
 
 
