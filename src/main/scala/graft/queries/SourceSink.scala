@@ -106,13 +106,16 @@ object SourceSink {
   /** max_by/min_by (DuckDB: arg_max/arg_min) — "which order was the
     * biggest" without a self-join or window. Ties on raw o_totalprice
     * are possible, so the ordering key is the exact composite
-    * cents·2²⁴ + orderkey (cents < 2²⁶, keys < 2²³ at sf0.1 — fits a
-    * long with room; floor(+0.5) recovers exact cents, see Exact):
-    * unique key ⇒ both engines pick the same row deterministically.
+    * cents·2³⁶ + orderkey (cents < 2²⁶ so the product stays ≤ 2⁶²;
+    * floor(+0.5) recovers exact cents, see Exact): unique key ⇒ both
+    * engines pick the same row deterministically. The 2³⁶ orderkey
+    * field (≈ 6.9 × 10¹⁰) covers ~sf10000 key ranges — the round-4
+    * 2²⁴ field overflowed on the sf1 headroom corpus's shifted keys,
+    * caught by the guard below.
     */
   def q84(spark: SparkSession, dir: String): DataFrame =
     // the composite key is unique only while cents < 2^26 and
-    // o_orderkey < 2^24; beyond that orderkey would bleed into the cents
+    // o_orderkey < 2^36; beyond that orderkey would bleed into the cents
     // field and tie-breaking silently diverges between engines (ADVICE
     // r3) — so out-of-range rows raise instead of mismatching. The guard
     // is Spark-side only: it never fires on valid data (where both
@@ -121,10 +124,10 @@ object SourceSink {
     sqlWithViews(spark, dir, "orders" -> "orders_v84")(
       """WITH o AS (
         |  SELECT o_custkey % 100 AS bucket, o_orderkey,
-        |         CASE WHEN o_orderkey < 16777216
+        |         CASE WHEN o_orderkey < 68719476736
         |                   AND o_totalprice * 100 + 0.5 < 67108864
         |              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-        |                     * 16777216 + o_orderkey
+        |                     * 68719476736 + o_orderkey
         |              ELSE CAST(raise_error(concat(
         |                     'q84 composite ordering key overflow: o_orderkey=',
         |                     CAST(o_orderkey AS STRING), ' o_totalprice=',
@@ -140,7 +143,7 @@ object SourceSink {
   val q84Oracle: String =
     """WITH o AS (
       |  SELECT o_custkey % 100 AS bucket, o_orderkey,
-      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 16777216
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 68719476736
       |           + o_orderkey AS ord
       |  FROM orders)
       |SELECT bucket,
