@@ -105,4 +105,23 @@ class KMeansSpec extends AnyFunSuite {
     val dist = KMeans.fitQuantized(blobs(), "id", "vec", k = 3, iters = 3)
     assert(dist.centroids.map(_._2.toSeq).toSeq == cents.map(_._2.toSeq).toSeq)
   }
+
+  test("fitQuantized fails loudly when the quantization budget is breached") {
+    // The sneaky failure mode is NOT int64 overflow (ANSI makes that
+    // loud on its own): it's a per-(cluster,dim) sum that FITS int64
+    // but exceeds 2^53, where floor(sum/count) through a double can be
+    // off by one and engines silently train different codebooks.
+    // Vectors at ~1e12 with scale=1e4 give |xq| ~ 1e16 (> 2^53/n) while
+    // every distance and sum stays comfortably inside int64.
+    import spark.implicits._
+    val big = (0L until 60L).map(id => (id, Array.fill(2)(1e12f)))
+      .toDF("id", "vec")
+    val ex = intercept[Exception] {
+      KMeans.fitQuantized(big, "id", "vec", k = 3, iters = 1)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("budget breached")),
+      s"expected the budget guard, got: ${ex.getMessage}")
+  }
 }
