@@ -127,6 +127,26 @@ class IntervalJoinSpec extends AnyFunSuite {
       sampleRows = 10000) == exact)
   }
 
+  test("auto width reads O(sample) rows, not the corpus (CollectLimit proof)") {
+    // a per-row accumulator counts how many input rows the derivation
+    // actually evaluates: head(cap) must stop after the first partition
+    // or two of a 10M-row side, never scan it all
+    val acc = spark.sparkContext.longAccumulator("rows_seen")
+    val counted = org.apache.spark.sql.functions.udf { (s: Long) =>
+      acc.add(1L); s
+    }
+    import spark.implicits._
+    val big = spark.range(10_000_000L)
+      .select(col("id").as("a_id"), counted(col("id")).as("a_s"),
+        (counted(col("id")) + 5L).as("a_e"))
+    val w = IntervalJoin.autoBucketWidth(
+      big, big.toDF("b_id", "b_s", "b_e"), "a_s", "a_e", "b_s", "b_e")
+    assert(w == 6L, s"constant-length intervals must derive width 6, got $w")
+    assert(acc.value < 2_000_000L,
+      s"autoBucketWidth evaluated ${acc.value} of 20M rows — the capped " +
+        "scan is not short-circuiting")
+  }
+
   test("point intervals and exact-touch boundaries") {
     import spark.implicits._
     val a = Seq((1L, 10L, 10L)).toDF("a_id", "a_s", "a_e")
