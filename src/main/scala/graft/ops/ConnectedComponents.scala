@@ -80,10 +80,28 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxRounds: Int = 50): DataFrame =
     runWithStats(edges, maxRounds)._1
 
+  /** As [[run]], also returning the number of NON-representative nodes
+    * (nodes whose label differs from their id). Free: the converged
+    * edge list is a star forest — every dropped node appears exactly
+    * once as a src — so the loop's own convergence checksum already
+    * counted it; no extra job runs. Lets consumers size the removal
+    * join (broadcast vs shuffle) without re-counting the labels.
+    */
+  def runWithDropCount(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Long) = {
+    val (labels, _, dropped) = runImpl(edges, maxRounds)
+    (labels, dropped)
+  }
+
   /** As [[run]], also returning the number of large+small alternations
     * until fixpoint (spec hook for the O(log n) convergence claim).
     */
   def runWithStats(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    val (labels, rounds, _) = runImpl(edges, maxRounds)
+    (labels, rounds)
+  }
+
+  private def runImpl(
+      edges: DataFrame, maxRounds: Int): (DataFrame, Int, Long) = {
     // materialize the input ONCE — the upstream subtree (for q78, the
     // whole LSH candidate join) must not re-execute per derivation.
     // Lazy: init's checksum job below computes raw, persists it, and
@@ -118,6 +136,10 @@ object ConnectedComponents {
     val starMap = cur.groupBy(col("src")).agg(min(col("dst")).as("root"))
     val labels = nodes.join(starMap, col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("label"))
-    (labels, rounds)
+    // sig._1 is the fixpoint edge count == dropped-node count: the
+    // converged list is a star forest (largeStar and smallStar both map
+    // a star forest to itself, leaf by leaf), so src values are unique
+    // and each edge is one non-min node pointing at its component min
+    (labels, rounds, sig._1)
   }
 }

@@ -329,23 +329,50 @@ object Dedup {
 
   // ---------------------------------------------------------------- q87
 
+  /** Broadcast cap for [[removeDropped]]: 4M ids ≈ 32 MB of longs on
+    * every executor — comfortably inside default broadcast budgets at
+    * 1000 executors, far above any real corpus's non-representative
+    * fraction at this scale.
+    */
+  val MaxBroadcastDropIds: Long = 4_000_000L
+
+  /** Anti-join the drop set out of the corpus, picking the join
+    * strategy from the drop set's MEASURED size: a real corpus's
+    * non-representative ids are a small fraction (broadcast left-anti,
+    * the 100 TB side never shuffles), but a pathological all-dup corpus
+    * makes the drop set ~the corpus itself — broadcasting that OOMs
+    * every executor (the round-4 watch-list hole). `dropCount` comes
+    * free from the CC loop's convergence checksum
+    * ([[graft.ops.ConnectedComponents.runWithDropCount]] — no extra
+    * job); oversized sets fall back to a shuffle hash join, hinted so
+    * Spark's own size estimate can't re-broadcast them.
+    */
+  private[graft] def removeDropped(
+      corpus: DataFrame,
+      dropIds: DataFrame,
+      dropCount: Long,
+      maxBroadcast: Long = MaxBroadcastDropIds): DataFrame =
+    if (dropCount <= maxBroadcast)
+      corpus.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    else
+      corpus.join(dropIds.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+
   /** End-to-end near-dup REMOVAL — the full pipeline a 100 TB corpus
     * actually runs: LSH candidates (q21's machinery) → connected
     * components (q78's) → keep the min-doc_id representative per
     * cluster → anti-join the losers out of the corpus → per-lang
-    * survivor stats. The drop set is only the non-representative
-    * members of near-dup clusters — a small fraction of any real
-    * corpus — so it broadcasts and the 100 TB side never shuffles:
-    * the whole removal is one broadcast left-anti join.
+    * survivor stats. The removal is one [[removeDropped]] left-anti
+    * join, broadcast or shuffled by the drop set's measured size.
     */
   def q87(spark: SparkSession, dir: String): DataFrame = {
     val edges = candidatePairs(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val dropIds = graft.ops.ConnectedComponents.run(edges)
+    val (labels, nDropped) =
+      graft.ops.ConnectedComponents.runWithDropCount(edges)
+    val dropIds = labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
-    table(spark, dir, "documents")
-      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    removeDropped(table(spark, dir, "documents"), dropIds, nDropped)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
       .orderBy(col("lang"))

@@ -3,6 +3,7 @@ package graft
 import scala.util.Random
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.ConnectedComponents
@@ -72,5 +73,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(ConnectedComponents.run(empty).isEmpty)
+  }
+
+  test("runWithDropCount's free count equals the labelled non-representatives") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // random graph + a long chain + singleton self-loops: mixed topology
+    val edges = (Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)) ++
+      (100L until 140L).map(i => (i, i + 1)) ++ Seq((200L, 200L), (201L, 201L)))
+      .toDF("src", "dst")
+    val (labels, dropped) = ConnectedComponents.runWithDropCount(edges)
+    val fromLabels = labels.filter(col("id") =!= col("label")).count()
+    assert(dropped == fromLabels,
+      s"checksum-derived count $dropped != labelled count $fromLabels")
+    // self-loop singletons are their own representative: never counted
+    val singles = labels.filter(col("id").isin(200L, 201L)).collect()
+    assert(singles.forall(r => r.getLong(0) == r.getLong(1)))
   }
 }

@@ -66,4 +66,28 @@ class DedupHotBucketSpec extends AnyFunSuite {
       new Directory(dir.toFile).deleteRecursively()
     }
   }
+
+  test("q87's removal joins by measured drop size: broadcast small, shuffle big") {
+    import spark.implicits._
+    val corpus = (0L until 1000L).map(i => (i, s"lang${i % 3}"))
+      .toDF("doc_id", "lang")
+    val drop = (0L until 1000L by 2).toDF("doc_id")
+    // real-corpus regime: the drop set fits the cap -> broadcast hint
+    val small = Dedup.removeDropped(corpus, drop, dropCount = 500L)
+    assert(small.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "in-cap drop set must broadcast (corpus side never shuffles)")
+    // pathological regime: over the cap -> hinted shuffle join, and the
+    // hint must survive planning so nothing re-broadcasts the big set
+    val big = Dedup.removeDropped(corpus, drop, dropCount = 500L,
+      maxBroadcast = 10L)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastHashJoin"),
+      s"over-cap drop set must not broadcast:\n$bigPlan")
+    // both strategies keep exactly the odd ids
+    val expected = (1L until 1000L by 2).toSeq
+    for (df <- Seq(small, big))
+      assert(df.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+        .toSeq == expected)
+  }
 }
