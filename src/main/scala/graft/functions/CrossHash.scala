@@ -23,9 +23,16 @@ object CrossHash {
   /** Large prime modulus for the universal-hash family. */
   val P: Long = 1000000007L
 
-  /** 60-bit integer hash of a string column, identical across engines. */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit integer hash of a string column, identical across engines.
+    * Since round 6 this routes through the native [[H60]] expression —
+    * same md5, no hex-string round-trip, one codegen'd call — which is
+    * bit-identical to the documented built-in chain
+    * `conv(substr(md5(x), 1, 15), 16, 10)` by construction.
+    */
+  def h60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(H60(ColumnBridge.expression(c)))
+  }
 
   /** The same 60 bits assembled from a raw md5 digest: bytes 0-6 in
     * full plus the high nibble of byte 7 ≡ the first 15 hex chars
