@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarity, H60, MinGramHash, MinHashSig, SimHash64}
+import graft.functions.{CosineSimilarity, H60, H60Array, MinGramHash, MinHashSig, SimHash64}
 
 /** Engine extension point: registers graft's native functions with a
   * session. Either install at build time —
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(MinGramHash.descriptor)
     e.injectFunction(MinHashSig.descriptor)
     e.injectFunction(H60.descriptor)
+    e.injectFunction(H60Array.descriptor)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
@@ -26,7 +27,8 @@ object GraftExtensions {
   /** Idempotent post-hoc registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Seq(CosineSimilarity.descriptor, SimHash64.descriptor,
-      MinGramHash.descriptor, MinHashSig.descriptor, H60.descriptor).foreach {
+      MinGramHash.descriptor, MinHashSig.descriptor, H60.descriptor,
+      H60Array.descriptor).foreach {
       case (ident, _, builder) =>
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "built-in")

@@ -49,6 +49,72 @@ case class H60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Element-wise [[H60]] over an array<string> — the codegen'd form of
+  * `transform(arr, t -> conv(substr(md5(t), 1, 15), 16, 10))`.
+  *
+  * Spark's higher-order functions are CodegenFallback: the lambda body
+  * runs interpreted per ELEMENT, so a per-token hash inside `transform`
+  * pays four interpreted expression nodes plus a hex-string round-trip
+  * for every token of every document. This expression is one native
+  * call per ROW: a single digest loop over the array, null elements
+  * passed through as null (matching `transform`'s null semantics).
+  * q22's token-hash projection uses it; the SimHash fold stays in
+  * [[SimHash64]].
+  */
+case class H60Array(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"h60_array requires array<string>, got $t")
+  }
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _ => ArrayType(LongType, containsNull = true)
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h60_array"
+
+  override def nullSafeEval(input: Any): Any =
+    H60Array.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.H60Array.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): H60Array =
+    copy(child = newChild)
+}
+
+object H60Array {
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("h60_array"),
+    new ExpressionInfo(classOf[H60Array].getName, "h60_array"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"h60_array requires exactly 1 argument, got ${exprs.length}")
+      H60Array(exprs.head)
+    })
+
+  def h60Array(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(H60Array(ColumnBridge.expression(c)))
+  }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out(i) = H60.compute(arr.getUTF8String(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object H60 {
 
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -60,7 +126,7 @@ object H60 {
       H60(exprs.head)
     })
 
-  private val digests: ThreadLocal[MessageDigest] =
+  private[functions] val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** md5 over the column's UTF-8 bytes (exactly what Spark's `md5`

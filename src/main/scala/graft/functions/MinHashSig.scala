@@ -72,8 +72,9 @@ object MinHashSig {
       if (!shingles.isNullAt(i)) {
         val s = shingles.getUTF8String(i)
         md.reset()
-        val h = CrossHash.h60FromDigest(
-          md.digest(s.toString.getBytes(StandardCharsets.UTF_8)))
+        // UTF8String.getBytes IS the UTF-8 encoding — no String
+        // round-trip needed before digesting
+        val h = CrossHash.h60FromDigest(md.digest(s.getBytes))
         val hp = h % P
         var k = 0
         while (k < numHashes) {

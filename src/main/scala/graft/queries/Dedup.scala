@@ -193,8 +193,11 @@ object Dedup {
 
   // ---------------------------------------------------------------- q22
 
-  /** 60-bit SimHash per document — token hashing stays in built-in
-    * expressions, the 60-counter fold runs in the native codegen'd
+  /** 60-bit SimHash per document — token hashing runs in the native
+    * [[graft.functions.H60Array]] expression (one digest loop per row;
+    * the previous `transform` lambda paid four interpreted nodes + a
+    * hex round-trip per token, HOFs being CodegenFallback), and the
+    * 60-counter fold in the native codegen'd
     * [[graft.functions.SimHash64]] expression (the nested-HOF
     * formulation re-folds the array 60× through interpreted lambdas —
     * ~40× slower; see BASELINE.md). No row explosion, no shuffle. Bit b
@@ -204,10 +207,8 @@ object Dedup {
     */
   def q22(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .withColumn("hs", expr(
-        """transform(filter(split(text, ' '), t -> t <> ''),
-          |  t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"""
-          .stripMargin))
+      .withColumn("hs", graft.functions.H60Array.h60Array(
+        expr("filter(split(text, ' '), t -> t <> '')")))
       .withColumn("simhash", graft.functions.SimHash64.simhash64(col("hs")))
       .select(col("doc_id"), col("lang"), col("simhash"))
       .orderBy(col("doc_id"))

@@ -55,6 +55,22 @@ class H60Spec extends AnyFunSuite {
     }
   }
 
+  test("h60_array equals the transform-lambda formulation on the corpus") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("native", graft.functions.H60Array.h60Array(col("toks")))
+      .withColumn("lambda", expr(
+        "transform(toks, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))
+    assert(docs.filter(col("native") =!= col("lambda")).count() == 0)
+    // null elements pass through as null, like transform
+    import spark.implicits._
+    val withNulls = Seq(Seq("a", null, "b")).toDF("arr")
+      .withColumn("native", graft.functions.H60Array.h60Array(col("arr")))
+      .selectExpr("native[1] IS NULL AS mid_null", "size(native) AS n")
+      .head()
+    assert(withNulls.getBoolean(0) && withNulls.getInt(1) == 3)
+  }
+
   test("the Column API and the built-in chain agree on the real corpus") {
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("native", CrossHash.h60(col("text")))
