@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarity, H60, H60Array, MinGramHash, MinHashSig, SimHash64}
+import graft.functions.{CosineSimilarity, H60, H60Array, MinGramHash, MinHashSig, MinHashSigLongs, SimHash64, WordShingles60}
 
 /** Engine extension point: registers graft's native functions with a
   * session. Either install at build time —
@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(MinHashSig.descriptor)
     e.injectFunction(H60.descriptor)
     e.injectFunction(H60Array.descriptor)
+    e.injectFunction(WordShingles60.descriptor)
+    e.injectFunction(MinHashSigLongs.descriptor)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
@@ -28,7 +30,8 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     Seq(CosineSimilarity.descriptor, SimHash64.descriptor,
       MinGramHash.descriptor, MinHashSig.descriptor, H60.descriptor,
-      H60Array.descriptor).foreach {
+      H60Array.descriptor, WordShingles60.descriptor,
+      MinHashSigLongs.descriptor).foreach {
       case (ident, _, builder) =>
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "built-in")

@@ -106,4 +106,84 @@ object MinHashSig {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), n))
   }
+
+  /** The universal-hash min-fold over PRE-COMPUTED 60-bit hashes (the
+    * [[WordShingles60]] output) — skips the digest entirely. Duplicate
+    * hashes cannot change any minimum, so feeding the non-distinct
+    * window stream produces the same signature as the distinct shingle
+    * set did.
+    */
+  def computeFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val P = CrossHash.P
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val hp = hashes.getLong(i) % P
+        var k = 0
+        while (k < numHashes) {
+          val u = (CrossHash.hashA(k) * hp + CrossHash.hashB(k)) % P
+          if (u < mins(k)) mins(k) = u
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhashSigLongs(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MinHashSigLongs(ColumnBridge.expression(c), n))
+  }
+}
+
+/** [[MinHashSig]] over an array<long> of pre-computed 60-bit hashes —
+  * same pinned universal-hash family, no digest. Composed with
+  * [[WordShingles60]] it makes the whole signature stage
+  * (shingle → hash → n-way min-fold) native with zero intermediate
+  * strings: q21's formulation.
+  */
+case class MinHashSigLongs(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1 && numHashes <= CrossHash.hashA.length,
+    s"numHashes must be in [1, ${CrossHash.hashA.length}], got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_longs requires array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_longs"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.computeFromHashes(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashSig.computeFromHashes($a, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigLongs =
+    copy(child = newChild)
+}
+
+object MinHashSigLongs {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig_longs"),
+    new ExpressionInfo(classOf[MinHashSigLongs].getName, "minhash_sig_longs"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"minhash_sig_longs(hashes, n) requires 2 arguments, got ${exprs.length}")
+      val n = exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case e => throw new IllegalArgumentException(
+          s"minhash_sig_longs n must be an integer literal, got $e")
+      }
+      MinHashSigLongs(exprs.head, n)
+    })
 }

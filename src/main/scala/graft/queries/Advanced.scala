@@ -32,11 +32,9 @@ object Advanced {
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
-          .stripMargin)).as("shingle"))
-      .withColumn("h", CrossHash.h60(col("shingle")))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles60.wordShingles60(col("toks"), 3)))
+        .as("h"))
     val mh = udaf(new MinHashAggregator(SigWidth))
     shingleHashes
       .groupBy(col("doc_id"))

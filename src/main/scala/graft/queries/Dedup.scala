@@ -87,10 +87,14 @@ object Dedup {
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(expr(
-          """array_distinct(transform(sequence(0, size(toks)-3),
-            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
-            .stripMargin), NumHashes).as("sig"))
+        // round 6: the whole signature stage is native — WordShingles60
+        // streams token bytes into the digest (no shingle strings),
+        // MinHashSigLongs min-folds the pre-computed hashes. The old
+        // array_distinct is dropped: duplicates cannot change a min,
+        // so the signature is bit-identical (WordShingles60Spec).
+        graft.functions.MinHashSig.minhashSigLongs(
+          graft.functions.WordShingles60.wordShingles60(col("toks"), 3),
+          NumHashes).as("sig"))
     val bandStructs = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand)
         .map(r => element_at(col("sig"), b * RowsPerBand + r + 1).cast("string"))

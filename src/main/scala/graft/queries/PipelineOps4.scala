@@ -72,12 +72,12 @@ object PipelineOps4 {
       df.select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
         .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(0, size(toks) - 5),
-            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))"""
-            .stripMargin)).as("sh"))
-        .select(col("doc_id"),
-          graft.functions.CrossHash.h60(col("sh")).as("h"))
+        // round 6: shingle construction + hashing fused in the native
+        // WordShingles60 (no per-window concat_ws lambda, no shingle
+        // strings); array_distinct now dedups the 8-byte hashes
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.WordShingles60.wordShingles60(col("toks"), 5)))
+          .as("h"))
     val docs = table(spark, dir, "documents")
     val trainH = shingleHashes(docs.filter(col("doc_id") % 10 =!= 7))
       .select(col("h")).distinct()
