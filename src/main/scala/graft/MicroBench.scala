@@ -93,6 +93,37 @@ object MicroBench {
     }
     println(f"[microbench] min_gram_hash speedup: ${fpHof / fpNative}%.2fx")
 
+    // round-6 hash paths: the built-in md5-hex chain vs native H60, and
+    // the shingle transform-lambda vs the fused WordShingles60 stream
+    val h60Chain = time("h60_chain") {
+      docs.select(max(
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")))
+        .collect()
+    }
+    val h60Native = time("h60_native") {
+      docs.select(max(graft.functions.CrossHash.h60(col("text")))).collect()
+    }
+    println(f"[microbench] h60 speedup: ${h60Chain / h60Native}%.2fx")
+
+    val toksDf = docs
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 3).cache()
+    toksDf.count()
+    val shHof = time("shingle_hof") {
+      toksDf.select(max(expr(
+        """aggregate(
+          |  transform(sequence(0, size(toks)-3),
+          |    i -> cast(conv(substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 15), 16, 10) as bigint)),
+          |  cast(9223372036854775807 as bigint), (acc, h) -> least(acc, h))"""
+          .stripMargin))).collect()
+    }
+    val shNative = time("shingle_nat") {
+      toksDf.select(max(array_min(
+        graft.functions.WordShingles60.wordShingles60(col("toks"), 3))))
+        .collect()
+    }
+    println(f"[microbench] word_shingles60 speedup: ${shHof / shNative}%.2fx")
+
     // as-of join: custom operator vs window composition (union + carry
     // last click forward). The operator shuffles two SMALL filtered
     // sides; the composition shuffles the union and runs window state.
