@@ -148,14 +148,17 @@ object PipelineOps5 {
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = table(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
-    val guard = when(col("tf") * col("n_docs") > 4611686018427387L,
-      raise_error(lit("q97: tf*N breaches the 2^62 score budget")))
+    // the guard lives INSIDE the score expression (q84's pattern) — a
+    // standalone guard column would be dead code under column pruning.
+    // Bound: score <= tf·10⁶·N must stay < 2⁶², so tf·N < 2⁶²/10⁶
     val scored = tf.filter(col("doc_id") % 10 === 0)
       .join(df_, "term")
       .crossJoin(broadcast(nDocs))
-      .withColumn("_g", guard)
       .withColumn("score",
-        expr("tf * ((1000000 * n_docs) DIV df)"))
+        when(col("tf") * col("n_docs") > 4611686018427L,
+          raise_error(lit("q97: tf*N breaches the 2^62 score budget"))
+            .cast("long"))
+          .otherwise(expr("tf * ((1000000 * n_docs) DIV df)")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
@@ -336,7 +339,9 @@ object PipelineOps5 {
           length(col("text")) <= 5000 &&
           col("stop_tokens") * 10 <= col("n_tokens") * 6)
       .withColumn("fp",
-        CrossHash.h60(regexp_replace(lower(col("text")), "\\s+", " ")))
+        // explicit whitespace class: Java's \s and RE2's \s disagree on
+        // \x0B, and the fingerprint must be bit-identical cross-engine
+        CrossHash.h60(regexp_replace(lower(col("text")), "[ \t\n\r]+", " ")))
       .withColumn("smp",
         CrossHash.h60(concat(lit("cur:"), col("doc_id").cast("string"))) % 100)
     val w = org.apache.spark.sql.expressions.Window
@@ -362,7 +367,8 @@ object PipelineOps5 {
   }
 
   val q100Oracle: String = {
-    val fp = CrossHash.h60Sql("regexp_replace(lower(text), '\\s+', ' ', 'g')")
+    val fp = CrossHash.h60Sql(
+      "regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')")
     val smp = CrossHash.h60Sql("'cur:' || CAST(doc_id AS VARCHAR)")
     s"""WITH base AS (
        |  SELECT doc_id, text,

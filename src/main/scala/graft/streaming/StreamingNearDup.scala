@@ -140,11 +140,13 @@ object StreamingNearDup {
     * band's bucket held a high-agreement signature. OR them with
     * [[combineBanded]] for the final keep/drop.
     */
-  def dedupBanded(sigs: Dataset[DocSig]): Dataset[BandVerdict] = {
+  def dedupBanded(sigs: Dataset[DocSig],
+      windowLenMs: Long = 60000L): Dataset[BandVerdict] = {
     import sigs.sparkSession.implicits._
     sigs.groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketState, BandVerdict](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processBanded)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processBanded(windowLenMs))
   }
 
   /** OR of the per-band verdicts: dup iff any band matched; dup_of is
@@ -252,17 +254,23 @@ object StreamingNearDup {
     }
   }
 
-  /** Banded verdicts drop rows already older than the watermark BEFORE
-    * they touch state: flatMapGroupsWithState itself processes late
-    * rows, but [[combineBanded]]'s window aggregation would discard
-    * their verdicts as late anyway — without this filter such docs
-    * would mutate bucket state yet silently receive no verdict. With
-    * it, a too-late doc neither pollutes state nor emits (documented:
-    * banded mode gives late docs NO verdict, unlike single-band
-    * [[dedup]] which always emits one). Batch runs have no watermark —
-    * nothing is dropped there.
+  /** Banded verdicts drop too-late rows BEFORE they touch state:
+    * flatMapGroupsWithState itself processes late rows, but
+    * [[combineBanded]]'s window aggregation discards a verdict whose
+    * 1-minute window has already closed (window END <= watermark) —
+    * without this filter such docs would mutate bucket state yet
+    * silently receive no verdict. The cutoff is WINDOW-ALIGNED, not the
+    * raw watermark: a row with ts in [window_start(wm), wm) still lands
+    * in an open window and gets its verdict, so it must be processed
+    * (an `ts >= wm` filter would wrongly drop it — review finding,
+    * round 6). `windowLenMs` must equal [[combineBanded]]'s windowLen;
+    * both default to one minute. With the filter, a too-late doc
+    * neither pollutes state nor emits (documented: banded mode gives
+    * too-late docs NO verdict, unlike single-band [[dedup]] which
+    * always emits one). Batch runs have no watermark — nothing is
+    * dropped there.
     */
-  private[streaming] def processBanded(
+  private[streaming] def processBanded(windowLenMs: Long)(
       bucket: String,
       docs: Iterator[DocSig],
       state: GroupState[BucketState]): Iterator[BandVerdict] = {
@@ -272,7 +280,11 @@ object StreamingNearDup {
     }
     val wm = try state.getCurrentWatermarkMs()
     catch { case _: UnsupportedOperationException => Long.MinValue }
-    val live = docs.filter(_.ts.getTime >= wm)
+    // accepted ⟺ the row's window is still open ⟺ ts >= window_start(wm)
+    val cutoff =
+      if (wm == Long.MinValue) Long.MinValue
+      else Math.floorDiv(wm, windowLenMs) * windowLenMs
+    val live = docs.filter(_.ts.getTime >= cutoff)
     verdictLoop(live, state).iterator.map {
       case (d, Some(of)) => BandVerdict(d.doc_id, kept = false, dup_of = of, ts = d.ts)
       case (d, None) => BandVerdict(d.doc_id, kept = true, dup_of = -1L, ts = d.ts)

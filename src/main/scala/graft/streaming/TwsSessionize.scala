@@ -66,8 +66,10 @@ object TwsSessionize {
       rows.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
         cur match {
           case Some(s) if e.ts_ms - s.lastMs <= GapMs =>
-            cur = Some(s.copy(lastMs = math.max(s.lastMs, e.ts_ms),
-              nEvents = s.nEvents + 1))
+            // assign, don't max: the fMGWS twin regresses lastMs on a
+            // cross-batch late event (within gap, above watermark) and
+            // the parity contract says these APIs emit identical rows
+            cur = Some(s.copy(lastMs = e.ts_ms, nEvents = s.nEvents + 1))
           case other =>
             other.foreach(s => out += closed(userId, s))
             cur = Some(OpenSession(e.ts_ms, e.ts_ms, 1L, idx))

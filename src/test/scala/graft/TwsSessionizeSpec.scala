@@ -116,6 +116,40 @@ class TwsSessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-batch late events (within gap, above watermark) keep the APIs in parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 ends at m(20); batch 2 delivers a LATE event at m(10) —
+    // watermark (delay 30 min) is still behind it, so both APIs must
+    // process it, regress lastMs, and report the same duration
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[SessionEvent] =>
+           org.apache.spark.sql.Dataset[SessionOut]): Set[(Long, Long, Long, Long)] = {
+      val input = MemoryStream[SessionEvent]
+      val withTime = input.toDS()
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "30 minutes")
+        .as[SessionEvent]
+      val q = f(withTime).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      input.addData(SessionEvent(3, 1, m(0)), SessionEvent(3, 2, m(20)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(3, 3, m(10))) // late, within gap
+      q.processAllAvailable()
+      input.addData(SessionEvent(99, 4, m(500)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(99, 5, m(1000)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[SessionOut].collect().filter(_.user_id == 3L)
+        .map(s => (s.user_id, s.session_idx, s.n_events, s.duration_ms)).toSet
+    }
+    val tws = withRocksDb(run("tws_late", TwsSessionize.sessionize))
+    val fmgws = run("fmgws_late", StatefulSessionize.sessionize)
+    assert(tws == fmgws, s"late-event divergence: tws=$tws fmgws=$fmgws")
+    assert(tws.nonEmpty)
+  }
+
   test("tws and fMGWS sessionizers agree on a mixed randomized scenario") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -82,10 +82,17 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if a != "--json"]
     json_out = None
     if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+        idx = sys.argv.index("--json")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("usage: check.py <sfDir> <outDir> [--json <artifact.json>]")
+        json_out = sys.argv[idx + 1]
+        args.remove(json_out)
+    if len(args) != 2:
+        sys.exit("usage: check.py <sfDir> <outDir> [--json <artifact.json>]")
+    sf_dir, out_dir = args
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
