@@ -49,10 +49,14 @@ object Similarity2 {
     * identical subtrees, so Spark reuses one exchange for both
     * (ReusedExchange), same as q21.
     */
-  def q42(spark: SparkSession, dir: String): DataFrame = {
-    val sample = table(spark, dir, "embeddings")
-      .filter(col("vec_id") % 4 === 0)
-      .select(col("vec_id"), col("embedding"))
+  /** Sign-LSH band signatures for any `(vec_id, embedding)` frame — THE
+    * engine-side copy of the bucketing (quantize → integer hyperplane
+    * dots → [[SigBands]]×[[BitsPerBand]] banded sign bits). q42 (the
+    * index) and q103 (the recall evaluation of that index) both route
+    * through here, so the index under test and the index being graded
+    * can never fork. Pure narrow projection — no shuffle.
+    */
+  private[queries] def signBands(sample: DataFrame): DataFrame = {
     val xq = sample.withColumn("xq", expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${QScale}D) AS BIGINT))"))
     def dotQ(j: Int): Column = aggregate(
@@ -63,10 +67,16 @@ object Similarity2 {
     }.reduce(_ + _)
     val bandStructs = (0 until SigBands).map(b =>
       struct(lit(b).as("band_idx"), bandVal(b).as("bv")))
-    val bands = xq
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
+    xq.select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx").as("band_idx"),
         col("band.bv").as("bv"))
+  }
+
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val sample = table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val bands = signBands(sample)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -91,14 +101,16 @@ object Similarity2 {
       .orderBy(col("vec_id"))
   }
 
-  val q42Oracle: String = {
+  /** DuckDB twin of [[signBands]] as a CTE chain `w → e → dots → bands`
+    * over an existing `sample(vec_id, embedding)` CTE — shared verbatim
+    * by the q42 and q103 oracles (same single-copy rationale).
+    */
+  private[queries] val bandsCtesSql: String = {
     val wRows = (for {
       j <- 0 until NBits
       d <- 0 until Dims
     } yield s"($j,${d + 1},${planesQ(j)(d)})").mkString(",")
-    s"""WITH sample AS (
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
-       |w(j, d, wt) AS (VALUES $wRows),
+    s"""w(j, d, wt) AS (VALUES $wRows),
        |e AS (
        |  SELECT vec_id,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${QScale}) AS BIGINT) AS xq,
@@ -112,7 +124,13 @@ object Similarity2 {
        |         CAST(sum(CASE WHEN dot >= 0
        |                  THEN (1 << CAST(j % $BitsPerBand AS INT))
        |                  ELSE 0 END) AS BIGINT) AS bv
-       |  FROM dots GROUP BY 1, 2),
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
+  }
+
+  val q42Oracle: String = {
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+       |$bandsCtesSql,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        |  FROM bands a JOIN bands b
