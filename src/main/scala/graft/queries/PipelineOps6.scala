@@ -179,19 +179,24 @@ object PipelineOps6 {
     * recall/cost trade.
     *
     * Scale shape: the exact side is the EVALUATION, not the serving
-    * path — probes are a fixed small panel, broadcast against one
-    * narrow corpus scan (q19's declared-quadratic rationale); the
-    * candidate side is the bucketed join (never all-pairs); hits are a
-    * semi-join of two probe-keyed sets. At 100 TB the panel stays
-    * O(100) probes and the evaluation cost stays one corpus pass.
+    * path — the probe panel is CAPPED ([[RecallPanelCap]] on the id
+    * domain), so its size is a constant, not a corpus fraction, and
+    * the exact pass costs O(panel × corpus) = one broadcast-probe
+    * corpus scan no matter the scale (an uncapped %-sampled panel made
+    * the evaluation quadratic — the sf1 headroom run measured 100×
+    * pair growth at 10× data and this cap is the fix). The candidate
+    * side is the bucketed join (never all-pairs); hits are a semi-join
+    * of two probe-keyed sets.
     */
   val RecallK = 10
+  val RecallPanelCap = 4000L
 
   def q103(spark: SparkSession, dir: String): DataFrame = {
     val sample = table(spark, dir, "embeddings")
       .filter(col("vec_id") % 4 === 0)
       .select(col("vec_id"), col("embedding"))
-    val probes = sample.filter(col("vec_id") % 20 === 0)
+    val probes = sample
+      .filter(col("vec_id") % 20 === 0 && col("vec_id") < RecallPanelCap)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val exactTop = broadcast(probes)
       .crossJoin(sample.select(
@@ -205,7 +210,10 @@ object PipelineOps6 {
       .filter(col("rnk") <= RecallK)
       .select(col("probe_id"), col("neighbor_id"))
     val bands = Similarity2.signBands(sample)
-    val cand = bands.filter(col("vec_id") % 20 === 0).as("p")
+    // the probe-side bands are ≤ 4×panel rows (the cap again) —
+    // broadcast them so the corpus-side bands never shuffle
+    val cand = broadcast(bands
+      .filter(col("vec_id") % 20 === 0 && col("vec_id") < RecallPanelCap)).as("p")
       .join(bands.as("c"),
         col("p.band_idx") === col("c.band_idx") &&
         col("p.bv") === col("c.bv") &&
@@ -213,7 +221,8 @@ object PipelineOps6 {
       .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
     val nCand = cand.groupBy(col("probe_id")).agg(count(lit(1)).as("n_cand"))
-    val nHits = exactTop.join(cand, Seq("probe_id", "neighbor_id"))
+    // exactTop is ≤ panel×k rows by construction — broadcast the hits join
+    val nHits = broadcast(exactTop).join(cand, Seq("probe_id", "neighbor_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
     // both aggregates are ≤ |panel| rows — broadcast, don't sort-merge
     probes.select(col("probe_id"))
@@ -232,7 +241,7 @@ object PipelineOps6 {
        |${Similarity2.bandsCtesSql},
        |probes AS (
        |  SELECT vec_id AS probe_id, embedding AS pe
-       |  FROM sample WHERE vec_id % 20 = 0),
+       |  FROM sample WHERE vec_id % 20 = 0 AND vec_id < $RecallPanelCap),
        |pairs AS (
        |  SELECT p.probe_id AS pid, s.vec_id AS nid, p.pe, s.embedding AS ne
        |  FROM probes p JOIN sample s ON s.vec_id <> p.probe_id),
@@ -256,7 +265,7 @@ object PipelineOps6 {
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.bv = b.bv
        |   AND a.vec_id <> b.vec_id
-       |  WHERE a.vec_id % 20 = 0),
+       |  WHERE a.vec_id % 20 = 0 AND a.vec_id < $RecallPanelCap),
        |ncand AS (SELECT pid, count(*) AS n_cand FROM cand GROUP BY pid),
        |nhits AS (
        |  SELECT t.pid, count(*) AS n_hits
