@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** q110-q111: round-6 fifth widening — graph-adjacent curation ops:
+  * one-hop label propagation over the sign-LSH neighbor graph
+  * (evaluated against held-out labels, q103-style) and keyword-in-
+  * context span extraction.
+  */
+object PipelineOps8 {
+
+  // ---------------------------------------------------------------- q110
+
+  /** One-hop label propagation over the q42 sign-LSH graph, evaluated:
+    * vectors with vec_id % 5 == 3 act as the UNLABELED set (their true
+    * label is held out as ground truth); every other vector votes its
+    * label into each band bucket it shares with an unlabeled vector.
+    * Prediction = majority vote, ties to the smaller label — integer
+    * counts and an integer tie-break, so both engines elect the same
+    * label. Output: one row per unlabeled vector that has labeled
+    * neighbors, with vote counts and a correctness flag — the
+    * measurement a curation pipeline needs before trusting propagated
+    * labels at scale.
+    *
+    * Scale shape: band signatures are the same narrow projection q42
+    * and q103 use ([[Similarity2.signBands]] — third consumer, same
+    * single copy); the labeled→unlabeled vote join is bucketed (never
+    * all-pairs); votes aggregate per (vec, label) with the majority
+    * pick under WindowGroupLimit (rank 1 of ≤ 10 label rows); the
+    * ground-truth join is by vec_id, co-partitioned with the votes.
+    */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+    val bands = Similarity2.signBands(emb.select(col("vec_id"), col("embedding")))
+    val labeled = bands.join(
+      emb.filter(col("vec_id") % 5 =!= 3).select(col("vec_id"), col("label")),
+      "vec_id")
+    val unlabeled = bands
+      .filter(col("vec_id") % 5 === 3)
+      .select(col("vec_id").as("u_id"), col("band_idx"), col("bv"))
+    // a (labeled, unlabeled) pair sharing several bands votes ONCE
+    val votes = unlabeled
+      .join(labeled.select(col("vec_id").as("l_id"), col("band_idx"),
+        col("bv"), col("label")),
+        Seq("band_idx", "bv"))
+      .select(col("u_id"), col("l_id"), col("label"))
+      .distinct()
+      .groupBy(col("u_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = votes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("u_id"))
+          .orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("u_id").as("vec_id"), col("label").as("pred_label"),
+        col("n_votes"))
+    pred
+      .join(emb.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+      .select(col("vec_id"), col("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q110Oracle: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |${Similarity2.bandsCtesSql},
+       |lab AS (
+       |  SELECT b.vec_id AS l_id, b.band_idx, b.bv,
+       |         CAST(e.label AS BIGINT) AS label
+       |  FROM bands b JOIN embeddings e ON b.vec_id = e.vec_id
+       |  WHERE b.vec_id % 5 <> 3),
+       |unl AS (
+       |  SELECT vec_id AS u_id, band_idx, bv
+       |  FROM bands WHERE vec_id % 5 = 3),
+       |votes AS (
+       |  SELECT u_id, label, count(*) AS n_votes FROM (
+       |    SELECT DISTINCT u.u_id, l.l_id, l.label
+       |    FROM unl u JOIN lab l
+       |      ON u.band_idx = l.band_idx AND u.bv = l.bv) v
+       |  GROUP BY u_id, label),
+       |pred AS (
+       |  SELECT u_id, label, n_votes,
+       |         row_number() OVER (PARTITION BY u_id
+       |                            ORDER BY n_votes DESC, label) AS rk
+       |  FROM votes)
+       |SELECT p.u_id AS vec_id, p.label AS pred_label,
+       |       CAST(p.n_votes AS BIGINT) AS n_votes,
+       |       CAST(e.label AS BIGINT) AS true_label,
+       |       p.label = CAST(e.label AS BIGINT) AS correct
+       |FROM pred p JOIN embeddings e ON p.u_id = e.vec_id
+       |WHERE p.rk = 1 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q111
+
+  /** Keyword-in-context (KWIC) span extraction: for every occurrence of
+    * [[KwicNeedle]] (first [[KwicPerDoc]] per document), emit the
+    * 0-based token position and a ±[[KwicCtx]]-token context window —
+    * the audit view a curation team pulls before shipping a filter or
+    * redaction rule. Spans, not whole documents: the output is what a
+    * reviewer reads.
+    *
+    * Scale shape: posexplode is a narrow generate; the needle filter
+    * prunes to matching tokens BEFORE any shuffle; the per-doc cap is a
+    * literal row_number bound (WindowGroupLimit); context slicing is a
+    * pure projection on the already-carried token array.
+    */
+  val KwicNeedle = "data"
+  val KwicCtx = 3
+  val KwicPerDoc = 2
+
+  def q111(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("tok") === KwicNeedle)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("rk") <= KwicPerDoc)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        array_join(expr(
+          s"slice(toks, greatest(1, pos + 1 - $KwicCtx), " +
+            s"least(size(toks), pos + 1 + $KwicCtx) - greatest(1, pos + 1 - $KwicCtx) + 1)"),
+          " ").as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val q111Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, toks,
+       |         unnest(toks) AS tok,
+       |         generate_subscripts(toks, 1) AS pos1
+       |  FROM t),
+       |hits AS (
+       |  SELECT doc_id, toks, pos1,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos1) AS rk
+       |  FROM p WHERE tok = '$KwicNeedle')
+       |SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos,
+       |       array_to_string(
+       |         list_slice(toks, greatest(1, pos1 - $KwicCtx),
+       |                    least(len(toks), pos1 + $KwicCtx)), ' ') AS context
+       |FROM hits WHERE rk <= $KwicPerDoc ORDER BY doc_id, pos""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_label_prop" -> (q110 _),
+    "q111_kwic_spans" -> (q111 _))
+
+  val oracles: Map[String, String] = Map(
+    "q110_label_prop" -> q110Oracle,
+    "q111_kwic_spans" -> q111Oracle)
+}
