@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{PipelineOps7 => P7}
+
+/** Seeded property tests for the allocation/packing operators on
+  * randomized corpora the sf fixtures cannot produce: sparse doc_id
+  * domains with large gaps (empty prefix buckets), skewed source
+  * distributions, and degenerate token counts — the edges where a
+  * prefix-sum or apportionment bug would hide.
+  */
+class PipelineOps7PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def forAll[A](gen: Gen[A], n: Int = 8)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = Seed(777L)
+    var produced = 0
+    while (produced < n) {
+      gen.apply(params, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+    }
+  }
+
+  /** (doc_id, token-count, source) corpora with gappy ids and skew. */
+  private val corpusGen: Gen[List[(Long, Int, String)]] = for {
+    n <- Gen.choose(5, 120)
+    ids <- Gen.listOfN(n, Gen.choose(0L, 5000L)).map(_.distinct)
+    rows <- Gen.sequence[List[(Long, Int, String)], (Long, Int, String)](
+      ids.map { id =>
+        for {
+          ntok <- Gen.frequency(
+            5 -> Gen.choose(1, 80),
+            1 -> Gen.const(0), // empty doc
+            1 -> Gen.choose(400, 600)) // bigger than one shard budget? (B=2500, no)
+          src <- Gen.frequency(
+            6 -> Gen.const("big"),
+            2 -> Gen.oneOf("mid1", "mid2"),
+            1 -> Gen.const("tiny"))
+        } yield (id, ntok, src)
+      })
+  } yield rows
+
+  private def writeCorpus(rows: List[(Long, Int, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p7prop").toString
+    rows.map { case (id, ntok, src) =>
+      val text = (0 until ntok).map(i => s"t$i").mkString(" ")
+      (id, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q109: two-level prefix sum ≡ in-memory reference on gappy id domains") {
+    forAll(corpusGen) { rows =>
+      val dir = writeCorpus(rows)
+      // in-memory reference: flat cumsum in doc_id order
+      var cum = 0L
+      val expected = rows.sortBy(_._1).map { case (id, ntok, _) =>
+        val shard = cum / P7.ShardTokens
+        cum += ntok
+        (id, ntok.toLong, shard)
+      }.groupBy(_._3).map { case (shard, ds) =>
+        (shard, ds.size.toLong, ds.map(_._2).sum,
+          ds.map(_._1).min, ds.map(_._1).max)
+      }.toSeq.sortBy(_._1)
+      val got = P7.q109(spark, dir).collect().map(r =>
+        (r.getAs[Long]("shard_id"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tok_sum"), r.getAs[Long]("first_doc"),
+          r.getAs[Long]("last_doc"))).toSeq
+      assert(got == expected, s"corpus ids=${rows.map(_._1).sorted.take(10)}...")
+    }
+  }
+
+  test("q108: Hamilton quotas always sum to the budget, each within 1 of the share") {
+    forAll(corpusGen) { rows =>
+      val dir = writeCorpus(rows)
+      val out = P7.q108(spark, dir).collect()
+      val quotas = out.map(_.getAs[Long]("quota"))
+      val counts = out.map(_.getAs[Long]("n_total"))
+      val t = counts.sum
+      // sources smaller than their quota can't fill it — the fixture
+      // generator keeps every source ≥ its share only statistically, so
+      // assert the apportionment property on quotas, and fill only
+      // where c ≥ quota
+      assert(quotas.sum == P7.EvalBudget.toLong,
+        s"quotas ${quotas.toSeq} must sum to ${P7.EvalBudget}")
+      out.foreach { r =>
+        val share = P7.EvalBudget.toDouble * r.getAs[Long]("n_total") / t
+        val q = r.getAs[Long]("quota")
+        assert(q >= math.floor(share).toLong && q <= math.floor(share).toLong + 1)
+        if (r.getAs[Long]("n_total") >= q)
+          assert(r.getAs[Long]("n_selected") == q)
+      }
+    }
+  }
+}
