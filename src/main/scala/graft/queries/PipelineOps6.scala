@@ -198,28 +198,31 @@ object PipelineOps6 {
     val probes = sample
       .filter(col("vec_id") % 20 === 0 && col("vec_id") < RecallPanelCap)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    // the ranking key is floor(sim·10⁶): an exact integer from the same
+    // IEEE double both engines fold in the same order — floor has no
+    // HALF_UP boundary ambiguity, unlike round(), so this honors the
+    // module header's BIGINT-ranking-key contract
     val exactTop = broadcast(probes)
       .crossJoin(sample.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("ce")))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        round(VectorOps.cosineNative(col("pe"), col("ce")), 6).as("sim"))
+        floor(VectorOps.cosineNative(col("pe"), col("ce")) * lit(1000000d))
+          .cast("long").as("sim_q"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))))
+          .orderBy(col("sim_q").desc, col("neighbor_id"))))
       .filter(col("rnk") <= RecallK)
       .select(col("probe_id"), col("neighbor_id"))
     val bands = Similarity2.signBands(sample)
     // the probe-side bands are ≤ 4×panel rows (the cap again) —
-    // broadcast them so the corpus-side bands never shuffle
-    val cand = broadcast(bands
-      .filter(col("vec_id") % 20 === 0 && col("vec_id") < RecallPanelCap)).as("p")
-      .join(bands.as("c"),
-        col("p.band_idx") === col("c.band_idx") &&
-        col("p.bv") === col("c.bv") &&
-        col("p.vec_id") =!= col("c.vec_id"))
-      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"))
-      .distinct()
+    // broadcast them so the corpus-side bands never shuffle; pairing
+    // goes through the shared Similarity2.bucketPairs predicate
+    val cand = Similarity2.bucketPairs(
+      broadcast(bands.filter(
+        col("vec_id") % 20 === 0 && col("vec_id") < RecallPanelCap)),
+      bands)
+      .select(col("va").as("probe_id"), col("vb").as("neighbor_id"))
     val nCand = cand.groupBy(col("probe_id")).agg(count(lit(1)).as("n_cand"))
     // exactTop is ≤ panel×k rows by construction — broadcast the hits join
     val nHits = broadcast(exactTop).join(cand, Seq("probe_id", "neighbor_id"))
@@ -251,25 +254,21 @@ object PipelineOps6 {
        |  FROM pairs),
        |sims AS (
        |  SELECT pid, nid,
-       |         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
-       |           AS sim
+       |         CAST(floor(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+       |                    * 1000000) AS BIGINT) AS sim_q
        |  FROM un GROUP BY pid, nid),
        |exact AS (
        |  SELECT pid, nid,
        |         row_number() OVER (PARTITION BY pid
-       |                            ORDER BY sim DESC, nid) AS rnk
+       |                            ORDER BY sim_q DESC, nid) AS rnk
        |  FROM sims),
        |topk AS (SELECT pid, nid FROM exact WHERE rnk <= $RecallK),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS pid, b.vec_id AS nid
-       |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.bv = b.bv
-       |   AND a.vec_id <> b.vec_id
-       |  WHERE a.vec_id % 20 = 0 AND a.vec_id < $RecallPanelCap),
-       |ncand AS (SELECT pid, count(*) AS n_cand FROM cand GROUP BY pid),
+       |${Similarity2.candCteSql(
+            s"WHERE a.vec_id % 20 = 0 AND a.vec_id < $RecallPanelCap")},
+       |ncand AS (SELECT va, count(*) AS n_cand FROM cand GROUP BY va),
        |nhits AS (
        |  SELECT t.pid, count(*) AS n_hits
-       |  FROM topk t JOIN cand c ON t.pid = c.pid AND t.nid = c.nid
+       |  FROM topk t JOIN cand c ON t.pid = c.va AND t.nid = c.vb
        |  GROUP BY t.pid)
        |SELECT p.probe_id,
        |       CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
@@ -277,7 +276,7 @@ object PipelineOps6 {
        |       CAST((coalesce(nh.n_hits, 0) * 100) // $RecallK AS BIGINT)
        |         AS recall_pct
        |FROM probes p
-       |LEFT JOIN ncand nc ON p.probe_id = nc.pid
+       |LEFT JOIN ncand nc ON p.probe_id = nc.va
        |LEFT JOIN nhits nh ON p.probe_id = nh.pid
        |ORDER BY p.probe_id""".stripMargin
 
@@ -386,9 +385,13 @@ object PipelineOps6 {
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf_q", expr("(10000 * n_docs) DIV df"))
+      // guard arithmetic must itself be overflow-free in ANY mode: the
+      // threshold is a pure integer-division chain (never multiplies
+      // user-scaled values), conservative by one floor step — it can
+      // raise a hair early, never late, and never wraps
       .withColumn("s_q",
-        when(col("tf") * col("idf_q") >
-            lit(4611686018427387904L) / (lit(22L) * col("avgdl")),
+        when(col("tf") >
+            expr("4611686018427387904 DIV (22 * avgdl) DIV idf_q"),
           raise_error(lit("q105: tf*idf_q breaches the 2^62 score budget"))
             .cast("long"))
           .otherwise(expr(

@@ -97,8 +97,7 @@ object PipelineOps7 {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         expr("unix_timestamp(ts) DIV 86400").as("d"))
-      .groupBy(col("user_id"), col("d")).agg(count(lit(1)).as("_n"))
-      .select(col("user_id"), col("d"))
+      .distinct()
     byDay
       .withColumn("d0", min(col("d")).over(
         Window.partitionBy(col("user_id"))))

@@ -40,16 +40,11 @@ object PipelineOps8 {
     val labeled = bands.join(
       emb.filter(col("vec_id") % 5 =!= 3).select(col("vec_id"), col("label")),
       "vec_id")
-    val unlabeled = bands
-      .filter(col("vec_id") % 5 === 3)
-      .select(col("vec_id").as("u_id"), col("band_idx"), col("bv"))
-    // a (labeled, unlabeled) pair sharing several bands votes ONCE
-    val votes = unlabeled
-      .join(labeled.select(col("vec_id").as("l_id"), col("band_idx"),
-        col("bv"), col("label")),
-        Seq("band_idx", "bv"))
-      .select(col("u_id"), col("l_id"), col("label"))
-      .distinct()
+    val unlabeled = bands.filter(col("vec_id") % 5 === 3)
+    // a (labeled, unlabeled) pair sharing several bands votes ONCE —
+    // the shared bucketPairs dedup; the voter's label rides through it
+    val votes = Similarity2.bucketPairs(unlabeled, labeled)
+      .select(col("va").as("u_id"), col("label"))
       .groupBy(col("u_id"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
     val pred = votes

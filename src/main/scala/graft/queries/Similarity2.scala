@@ -72,18 +72,42 @@ object Similarity2 {
         col("band.bv").as("bv"))
   }
 
+  /** Bucket-collision pairs: left ⋈ right on (band_idx, bv) with id
+    * inequality, deduped so a pair colliding in several bands appears
+    * once. Right-side columns beyond the band triple survive the dedup
+    * (q110 carries the voter's label through). THE single copy of the
+    * pairing predicate — q42 (the index), q103 (its recall harness),
+    * and q110 (propagation over it) all pair through here, so the
+    * collision rule can never fork between the index and its consumers.
+    */
+  private[queries] def bucketPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val extra = right.columns.filterNot(Set("vec_id", "band_idx", "bv")).toSeq
+    left.as("a").join(right.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+      col("a.bv") === col("b.bv") &&
+      col("a.vec_id") =!= col("b.vec_id"))
+      .select((Seq(col("a.vec_id").as("va"), col("b.vec_id").as("vb")) ++
+        extra.map(c => col(s"b.$c"))): _*)
+      .distinct()
+  }
+
+  /** DuckDB twin of [[bucketPairs]] over the `bands` CTE as a `cand`
+    * CTE; `leftWhere` restricts the probe side (q103's panel).
+    */
+  private[queries] def candCteSql(leftWhere: String = ""): String =
+    s"""cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bv = b.bv
+       |   AND a.vec_id <> b.vec_id
+       |  $leftWhere)""".stripMargin
+
   def q42(spark: SparkSession, dir: String): DataFrame = {
     val sample = table(spark, dir, "embeddings")
       .filter(col("vec_id") % 4 === 0)
       .select(col("vec_id"), col("embedding"))
     val bands = signBands(sample)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.bv") === col("b.bv") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      .distinct() // a pair can collide in several bands
+    val cand = bucketPairs(bands, bands)
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
     val nn = cand
       .join(sample.select(col("vec_id").as("va_id"), col("embedding").as("ea")),
@@ -131,11 +155,7 @@ object Similarity2 {
     s"""WITH sample AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
        |$bandsCtesSql,
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.bv = b.bv
-       |   AND a.vec_id <> b.vec_id),
+       |${candCteSql()},
        |pairs AS (
        |  SELECT c.va, c.vb, sa.embedding AS pe, sb.embedding AS ne
        |  FROM cand c
