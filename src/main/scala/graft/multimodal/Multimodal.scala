@@ -34,6 +34,14 @@ final case class ImageFeatures(
     mean_luma: Double,
     decode_error: String)
 
+final case class ThumbFeatures(
+    asset_id: Long,
+    width: Int,
+    height: Int,
+    png_bytes: Long,
+    mean_luma: Double,
+    decode_error: String)
+
 final case class AudioFeatures(
     asset_id: Long,
     sample_rate: Double,
@@ -97,7 +105,7 @@ object Multimodal {
   }
 
   /** Seeded 16×12 RGB gradient PNG — pure function of the id. */
-  private[multimodal] def renderPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def renderPng(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -123,12 +131,13 @@ object Multimodal {
     */
   private val MaxDim = 16384
 
-  /** REAL image decode via the JDK's headless ImageIO. Returns Left with
-    * the failure reason for unreadable payloads (the quarantine pattern,
-    * never a task failure). Header dimensions are checked BEFORE the
-    * pixel buffer is allocated.
+  /** Bounded ImageIO read shared by [[decodeImage]] and [[resizeImage]]:
+    * header dimensions are checked BEFORE the pixel buffer is allocated
+    * (the MaxDim guard), failures come back as Left (quarantine
+    * pattern, never a task failure).
     */
-  def decodeImage(payload: Array[Byte]): Either[String, (Int, Int, Double)] =
+  private def readBounded(payload: Array[Byte])
+      : Either[String, java.awt.image.BufferedImage] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -142,28 +151,107 @@ object Multimodal {
         return Left(s"declared dimensions ${hw}x${hh} out of bounds")
       }
       val img = try reader.read(0) finally reader.dispose()
-      if (img == null) Left("unrecognized image format")
-      else {
-        var sum = 0.0
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            sum += 0.299 * r + 0.587 * g + 0.114 * b
-            x += 1
-          }
-          y += 1
-        }
-        val px = img.getWidth.toLong * img.getHeight
-        Right((img.getWidth, img.getHeight, sum / px))
-      }
+      if (img == null) Left("unrecognized image format") else Right(img)
     } catch {
       case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+
+  /** REAL image decode via the JDK's headless ImageIO. Returns Left with
+    * the failure reason for unreadable payloads.
+    */
+  def decodeImage(payload: Array[Byte]): Either[String, (Int, Int, Double)] =
+    readBounded(payload).map { img =>
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sum += 0.299 * r + 0.587 * g + 0.114 * b
+          x += 1
+        }
+        y += 1
+      }
+      val px = img.getWidth.toLong * img.getHeight
+      (img.getWidth, img.getHeight, sum / px)
+    }
+
+  /** REAL image resize: integer box-average downscale by an integer
+    * factor k — every target pixel is the floor of the exact integer
+    * mean of its k×k source block, per channel. Deliberately NOT
+    * Graphics2D/getScaledInstance: their interpolation is driven by
+    * implementation-defined rendering hints, while integer block means
+    * are bit-identical on every JVM — the same reproducibility contract
+    * as the rest of the engine. Trailing rows/columns that don't fill a
+    * block are dropped (target dims = floor(w/k) × floor(h/k)); the
+    * thumbnail re-encodes as PNG (lossless, so the determinism survives
+    * the round-trip). Left on unreadable input, zero target dims, or a
+    * non-positive factor.
+    */
+  def resizeImage(payload: Array[Byte], factor: Int)
+      : Either[String, (Int, Int, Array[Byte])] =
+    if (factor <= 0) Left(s"non-positive resize factor $factor")
+    else readBounded(payload).flatMap { img =>
+      val (tw, th) = (img.getWidth / factor, img.getHeight / factor)
+      if (tw == 0 || th == 0)
+        Left(s"factor $factor exceeds image dims ${img.getWidth}x${img.getHeight}")
+      else {
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val area = factor * factor
+        var ty = 0
+        while (ty < th) {
+          var tx = 0
+          while (tx < tw) {
+            var (rs, gs, bs) = (0, 0, 0)
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              while (dx < factor) {
+                val rgb = img.getRGB(tx * factor + dx, ty * factor + dy)
+                rs += (rgb >> 16) & 0xff
+                gs += (rgb >> 8) & 0xff
+                bs += rgb & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            out.setRGB(tx, ty,
+              ((rs / area) << 16) | ((gs / area) << 8) | (bs / area))
+            tx += 1
+          }
+          ty += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Right((tw, th, bos.toByteArray))
+      }
+    }
+
+  /** Batch thumbnailing: one `mapPartitions` pass — decode, box-average
+    * downscale, PNG re-encode, and features of the RESIZED pixels, all
+    * executor-side (payloads never visit the driver).
+    */
+  def extractThumbnails(assets: Dataset[MediaAsset], factor: Int,
+      parallelism: Int): Dataset[ThumbFeatures] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(parallelism, col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          resizeImage(a.payload, factor) match {
+            case Right((tw, th, png)) =>
+              val luma = decodeImage(png).map(_._3).getOrElse(0.0)
+              ThumbFeatures(a.asset_id, tw, th, png.length.toLong, luma, null)
+            case Left(err) =>
+              ThumbFeatures(a.asset_id, -1, -1, 0L, 0.0, err)
+          }
+        }
+      }
+  }
 
   /** Batch image decode: one `mapPartitions` pass, real pixels. */
   def extractImageFeatures(assets: Dataset[MediaAsset], parallelism: Int): Dataset[ImageFeatures] = {

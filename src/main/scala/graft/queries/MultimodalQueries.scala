@@ -64,10 +64,29 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** q112: the REAL image RESIZE pipeline as a declared query — the 64
+    * seeded PNGs of q48, box-average downscaled 4× on executors
+    * (integer block means — bit-deterministic, unlike Graphics2D
+    * interpolation), PNG re-encoded, and the features of the RESIZED
+    * pixels reported. Declared oracle-free like q48 (DuckDB has no
+    * image codec; the driver records the rows-only check); pixel-exact
+    * block means and byte-identical reruns are pinned in MultimodalSpec.
+    */
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.multimodal.Multimodal.syntheticImages(spark, 64)
+    graft.multimodal.Multimodal.extractThumbnails(assets, 4, 8)
+      .toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        col("png_bytes"), round(col("mean_luma"), 4).as("mean_luma"),
+        col("decode_error").isNotNull.as("failed"))
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_binary" -> (q29 _),
     "q48_image_features" -> (q48 _),
-    "q69_audio_features" -> (q69 _))
+    "q69_audio_features" -> (q69 _),
+    "q112_image_resize" -> (q112 _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_binary" -> q29Oracle)

@@ -177,4 +177,55 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.extractAudioFeatures(bad, 1).head()
     assert(f.decode_error != null && f.sample_rate == -1.0)
   }
+
+  test("resize: box-average thumbnails are pixel-exact against the render formula") {
+    val seed = 7L
+    val k = 4
+    val png = Multimodal.renderPng(seed, 16, 12)
+    val Right((tw, th, thumb)) = Multimodal.resizeImage(png, k)
+    assert(tw == 4 && th == 3)
+    // decode the thumbnail and check EVERY pixel against the integer
+    // block mean of the known render pattern
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(thumb))
+    def srcChan(x: Int, y: Int): (Int, Int, Int) = (
+      ((seed * 31 + x * 7 + y * 13) % 256).toInt,
+      ((seed * 17 + x * 3) % 256).toInt,
+      ((seed * 11 + y * 5) % 256).toInt)
+    for (ty <- 0 until th; tx <- 0 until tw) {
+      var (rs, gs, bs) = (0, 0, 0)
+      for (dy <- 0 until k; dx <- 0 until k) {
+        val (r, g, b) = srcChan(tx * k + dx, ty * k + dy)
+        rs += r; gs += g; bs += b
+      }
+      val rgb = img.getRGB(tx, ty)
+      assert(((rgb >> 16) & 0xff) == rs / (k * k), s"R at ($tx,$ty)")
+      assert(((rgb >> 8) & 0xff) == gs / (k * k), s"G at ($tx,$ty)")
+      assert((rgb & 0xff) == bs / (k * k), s"B at ($tx,$ty)")
+    }
+  }
+
+  test("resize: byte-identical reruns, dimension truncation, loud edge failures") {
+    val png = Multimodal.renderPng(3L, 15, 10) // 15 % 4 != 0: trailing cols drop
+    val Right((tw, th, a)) = Multimodal.resizeImage(png, 4)
+    val Right((_, _, b)) = Multimodal.resizeImage(png, 4)
+    assert(tw == 3 && th == 2, "target dims = floor(src/k)")
+    assert(java.util.Arrays.equals(a, b), "thumbnails are bit-reproducible")
+    assert(Multimodal.resizeImage(png, 0).isLeft, "non-positive factor rejected")
+    assert(Multimodal.resizeImage(png, 99).isLeft, "factor beyond dims rejected")
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 2).isLeft,
+      "corrupt payload quarantined")
+  }
+
+  test("q112: thumbnail features are the resized pixels' features") {
+    val out = graft.queries.MultimodalQueries.q112(spark, "unused").collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      assert(!r.getAs[Boolean]("failed"))
+      assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 3,
+        "16x12 synthetic images downscale 4x to 4x3")
+      assert(r.getAs[Long]("png_bytes") > 0)
+      val luma = r.getAs[Double]("mean_luma")
+      assert(luma > 0 && luma < 255)
+    }
+  }
 }

@@ -67,7 +67,7 @@ class QuerySmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list intentional: only engine-specific sketches/codecs
     assert(noOracle == Set("q38_approx_sketches", "q48_image_features",
-      "q69_audio_features", "q93_heavy_hitters"),
+      "q69_audio_features", "q93_heavy_hitters", "q112_image_resize"),
       s"unexpected oracle-free queries: $noOracle")
   }
 
