@@ -5,11 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
+import graft.functions.CrossHash
 
-/** q110-q111: round-6 fifth widening — graph-adjacent curation ops:
-  * one-hop label propagation over the sign-LSH neighbor graph
-  * (evaluated against held-out labels, q103-style) and keyword-in-
-  * context span extraction.
+/** q110-q113: round-6 fifth widening — graph-adjacent curation ops
+  * (one-hop label propagation over the sign-LSH neighbor graph,
+  * evaluated against held-out labels q103-style), keyword-in-context
+  * span extraction, and the corpus snapshot diff (CDC audit).
   */
 object PipelineOps8 {
 
@@ -147,11 +148,77 @@ object PipelineOps8 {
        |                    least(len(toks), pos1 + $KwicCtx)), ' ') AS context
        |FROM hits WHERE rk <= $KwicPerDoc ORDER BY doc_id, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+
+  /** Corpus snapshot diff — the CDC audit every dataset release runs:
+    * compare snapshot A (the documents table) against snapshot B (a
+    * deterministically derived next release: docs with id % 13 == 0
+    * deleted, id % 7 == 0 re-edited, and a batch of new ids appended)
+    * by content fingerprint, and report per-status row counts. The
+    * fingerprint is the 60-bit content hash, so "changed" means the
+    * TEXT changed, not that a row moved or was rewritten in place —
+    * the property that makes the diff storage-layout-independent.
+    *
+    * Scale shape: both sides are narrow scan→project (id, fp); the
+    * diff is ONE full-outer join co-partitioned on doc_id (the CDC
+    * shape — at 100 TB both snapshots bucket by id and the join is
+    * storage-partitioned with no extra shuffle); the report is a
+    * partial+final aggregate on a 4-value status domain.
+    */
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val a = table(spark, dir, "documents")
+      .select(col("doc_id"), CrossHash.h60(col("text")).as("fp_a"))
+    val base = table(spark, dir, "documents")
+    val b = base
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        CrossHash.h60(when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_b"))
+      .unionAll(base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          CrossHash.h60(concat(lit("new:"), col("text"))).as("fp_b")))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
+  val q113Oracle: String = {
+    val fpA = graft.functions.CrossHash.h60Sql("text")
+    val fpB = graft.functions.CrossHash.h60Sql(
+      "CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")
+    val fpNew = graft.functions.CrossHash.h60Sql("'new:' || text")
+    s"""WITH a AS (
+       |  SELECT doc_id, $fpA AS fp_a FROM documents),
+       |b AS (
+       |  SELECT doc_id, $fpB AS fp_b FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, $fpNew AS fp_b
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |d AS (
+       |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |         CASE WHEN a.fp_a IS NULL THEN 'added'
+       |              WHEN b.fp_b IS NULL THEN 'removed'
+       |              WHEN a.fp_a <> b.fp_b THEN 'changed'
+       |              ELSE 'unchanged' END AS status
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT status, count(*) AS n_docs,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM d GROUP BY status ORDER BY status""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_label_prop" -> (q110 _),
-    "q111_kwic_spans" -> (q111 _))
+    "q111_kwic_spans" -> (q111 _),
+    "q113_snapshot_diff" -> (q113 _))
 
   val oracles: Map[String, String] = Map(
     "q110_label_prop" -> q110Oracle,
-    "q111_kwic_spans" -> q111Oracle)
+    "q111_kwic_spans" -> q111Oracle,
+    "q113_snapshot_diff" -> q113Oracle)
 }

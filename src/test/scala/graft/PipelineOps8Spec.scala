@@ -39,6 +39,20 @@ class PipelineOps8Spec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q113: statuses partition the union of snapshots with exact counts") {
+    val ids = graft.Tables.table(spark, sfDir01, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = Map(
+      "added" -> ids.count(_ % 17 == 0).toLong,
+      "removed" -> ids.count(_ % 13 == 0).toLong,
+      "changed" -> ids.count(i => i % 13 != 0 && i % 7 == 0).toLong,
+      "unchanged" -> ids.count(i => i % 13 != 0 && i % 7 != 0).toLong)
+    val got = graft.queries.PipelineOps8.q113(spark, sfDir01).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
+    assert(got == expected.filter(_._2 > 0),
+      s"diff must classify every id exactly once: got $got expected $expected")
+  }
+
   test("q111: every span is anchored on the needle with a tight context") {
     import spark.implicits._
     val rows = P8.q111(spark, sfDir01).collect()
