@@ -15,9 +15,12 @@ import org.apache.spark.sql.SparkSession
   *     reported per-query time is the MEDIAN — a single contended
   *     iteration (round 3 showed 28× one-off spikes from host
   *     contention) no longer poisons the artifact.
-  *  2. The full JSON (medians + per-iteration totals + errors) is
-  *     printed as one line AND written to `BENCH_LOCAL_r<N>.json` in
-  *     the repo root, so the artifact survives any stdout truncation.
+  *  2. The FIRST stdout line is a compact complete JSON (per-query
+  *     medians at ms precision) sized to fit the driver's ~4 KB capture
+  *     cap (BENCH_r05/r06 showed the cap truncating a full-precision
+  *     line mid-way → "parsed": null). Full precision (+ per-iteration
+  *     totals + error messages) goes to `BENCH_LOCAL_r<N>.json` in the
+  *     repo root, immune to stdout truncation.
   *  3. A final SHORT line `{"metric":"total","value":N,"unit":"sec",
   *     "errors":K,"detail":"<file>"}` is printed last — small enough
   *     that no tail capture can cut it.
@@ -109,7 +112,17 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] could not write $localFile: $e") }
     }
 
-    println(full)
+    // The driver's stdout capture is CAPPED (~4 KB observed in
+    // BENCH_r05/r06: the capture ends mid-line and the trailing summary
+    // never arrives, leaving "parsed": null). So the one line the driver
+    // must parse goes FIRST, compact (ms precision — full nanosecond
+    // detail lives in the local artifact), and nothing else is printed
+    // between it and the short final summary.
+    val qsCompact = medians
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,""" +
+        s""""errors":${errors.size},"iters":$iters,"sf":"${esc(sfDir)}","detail":"${esc(localFile)}"}""")
     // truncation-proof summary — ALWAYS the last line
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"detail":"${esc(localFile)}"}""")
     spark.stop()

@@ -5,16 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [substringFilter] — the optional third arg
-    // restricts the dump to matching query names (local iteration aid;
-    // the driver always calls with exactly two args = full dump).
+    // args: <sfDir> <outDir> [filter] — the optional third arg restricts
+    // the dump to query names matching ANY comma-separated substring
+    // (same convention as SPARK_GRAFT_BENCH_QUERIES; local iteration
+    // aid — the driver always calls with exactly two args = full dump).
     val (sfDir, outDir) = (args(0), args(1))
     val nameFilter = args.lift(2)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) => nameFilter.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

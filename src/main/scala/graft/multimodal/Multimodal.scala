@@ -161,23 +161,30 @@ object Multimodal {
     */
   def decodeImage(payload: Array[Byte]): Either[String, (Int, Int, Double)] =
     readBounded(payload).map { img =>
-      var sum = 0.0
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xff
-          val g = (rgb >> 8) & 0xff
-          val b = rgb & 0xff
-          sum += 0.299 * r + 0.587 * g + 0.114 * b
-          x += 1
-        }
-        y += 1
-      }
-      val px = img.getWidth.toLong * img.getHeight
-      (img.getWidth, img.getHeight, sum / px)
+      (img.getWidth, img.getHeight, lumaOf(img))
     }
+
+  /** Mean BT.601 luma of a decoded image — shared by [[decodeImage]] and
+    * [[extractThumbnails]] (which computes features of the resized pixel
+    * buffer directly, never round-tripping through its own PNG).
+    */
+  private def lumaOf(img: java.awt.image.BufferedImage): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sum += 0.299 * r + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    sum / (img.getWidth.toLong * img.getHeight)
+  }
 
   /** REAL image resize: integer box-average downscale by an integer
     * factor k — every target pixel is the floor of the exact integer
@@ -193,6 +200,17 @@ object Multimodal {
     */
   def resizeImage(payload: Array[Byte], factor: Int)
       : Either[String, (Int, Int, Array[Byte])] =
+    resizeToImage(payload, factor).map { out =>
+      (out.getWidth, out.getHeight, encodePng(out))
+    }
+
+  /** Box-average downscale to a pixel buffer (shared by [[resizeImage]]
+    * and [[extractThumbnails]]). Block sums accumulate in Long: with
+    * MaxDim = 16384 the factor can reach 16384, and 255·factor² would
+    * overflow Int past factor 2901 — Long holds 255·16384² with room.
+    */
+  private def resizeToImage(payload: Array[Byte], factor: Int)
+      : Either[String, java.awt.image.BufferedImage] =
     if (factor <= 0) Left(s"non-positive resize factor $factor")
     else readBounded(payload).flatMap { img =>
       val (tw, th) = (img.getWidth / factor, img.getHeight / factor)
@@ -201,12 +219,12 @@ object Multimodal {
       else {
         val out = new java.awt.image.BufferedImage(
           tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val area = factor * factor
+        val area = factor.toLong * factor
         var ty = 0
         while (ty < th) {
           var tx = 0
           while (tx < tw) {
-            var (rs, gs, bs) = (0, 0, 0)
+            var (rs, gs, bs) = (0L, 0L, 0L)
             var dy = 0
             while (dy < factor) {
               var dx = 0
@@ -220,16 +238,20 @@ object Multimodal {
               dy += 1
             }
             out.setRGB(tx, ty,
-              ((rs / area) << 16) | ((gs / area) << 8) | (bs / area))
+              (((rs / area) << 16) | ((gs / area) << 8) | (bs / area)).toInt)
             tx += 1
           }
           ty += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        Right((tw, th, bos.toByteArray))
+        Right(out)
       }
     }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Batch thumbnailing: one `mapPartitions` pass — decode, box-average
     * downscale, PNG re-encode, and features of the RESIZED pixels, all
@@ -242,10 +264,14 @@ object Multimodal {
       .repartition(parallelism, col("asset_id"))
       .mapPartitions { it =>
         it.map { a =>
-          resizeImage(a.payload, factor) match {
-            case Right((tw, th, png)) =>
-              val luma = decodeImage(png).map(_._3).getOrElse(0.0)
-              ThumbFeatures(a.asset_id, tw, th, png.length.toLong, luma, null)
+          resizeToImage(a.payload, factor) match {
+            case Right(thumb) =>
+              // features come from the resized pixel buffer itself — no
+              // decode round-trip through the PNG we just encoded, so
+              // there is no second failure path to swallow
+              val png = encodePng(thumb)
+              ThumbFeatures(a.asset_id, thumb.getWidth, thumb.getHeight,
+                png.length.toLong, lumaOf(thumb), null)
             case Left(err) =>
               ThumbFeatures(a.asset_id, -1, -1, 0L, 0.0, err)
           }

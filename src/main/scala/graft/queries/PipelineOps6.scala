@@ -312,9 +312,15 @@ object PipelineOps6 {
         Window.partitionBy(col("term")).orderBy(col("doc_id"))))
       .filter(col("rn") <= IdxPostCap)
       .groupBy(col("term"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("posting"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postingArr"))
+    // The posting list is emitted as a space-joined string, not a raw
+    // array column: the output contract is scalar-only columns so any
+    // row-set comparator (hash, sort, pandas) can digest it. The
+    // array-form semantics (sorted, capped, distinct) are pinned by
+    // PipelineOps6Spec against the split of this string.
     dfreq.join(postings, "term")
-      .select(col("term"), col("df"), col("posting"))
+      .select(col("term"), col("df"),
+        array_join(col("postingArr"), " ").as("posting"))
       .orderBy(col("term"))
   }
 
@@ -332,7 +338,8 @@ object PipelineOps6 {
        |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
        |  FROM pairs),
        |pl AS (
-       |  SELECT term, list(doc_id ORDER BY doc_id) AS posting
+       |  SELECT term,
+       |         array_to_string(list(doc_id ORDER BY doc_id), ' ') AS posting
        |  FROM rk WHERE rn <= $IdxPostCap GROUP BY term)
        |SELECT df.term, df.df, pl.posting
        |FROM df JOIN pl USING (term) ORDER BY df.term""".stripMargin

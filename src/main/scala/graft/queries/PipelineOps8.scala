@@ -165,18 +165,35 @@ object PipelineOps8 {
     * storage-partitioned with no extra shuffle); the report is a
     * partial+final aggregate on a 4-value status domain.
     */
-  def q113(spark: SparkSession, dir: String): DataFrame = {
-    val a = table(spark, dir, "documents")
+  /** Snapshot A's fingerprint index: (doc_id, fp_a). Shared with the
+    * streaming twin ([[graft.streaming.SnapshotDiffStream]]) so both
+    * diffs compare the exact same derivation.
+    */
+  def snapshotA(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .select(col("doc_id"), CrossHash.h60(col("text")).as("fp_a"))
+
+  /** Snapshot B: the deterministically derived next release —
+    * (doc_id, fp_b). Shared with the streaming twin.
+    */
+  def snapshotB(spark: SparkSession, dir: String): DataFrame = {
     val base = table(spark, dir, "documents")
-    val b = base
+    base
       .filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
         CrossHash.h60(when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_b"))
+      // new ids are negated (-(id)-1) so they can NEVER collide with a
+      // real doc_id (ids are non-negative at every scale — an additive
+      // offset would collide once the corpus id span exceeds it)
       .unionAll(base.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           CrossHash.h60(concat(lit("new:"), col("text"))).as("fp_b")))
+  }
+
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val a = snapshotA(spark, dir)
+    val b = snapshotB(spark, dir)
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("fp_a").isNull, "added")
@@ -198,7 +215,7 @@ object PipelineOps8 {
        |b AS (
        |  SELECT doc_id, $fpB AS fp_b FROM documents WHERE doc_id % 13 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, $fpNew AS fp_b
+       |  SELECT -doc_id - 1 AS doc_id, $fpNew AS fp_b
        |  FROM documents WHERE doc_id % 17 = 0),
        |d AS (
        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.CrossHash
+
+/** q114-q116: round-7 widening — release-hygiene ops a training-data
+  * pipeline runs between corpus snapshots: deterministic train/val/test
+  * split assignment with a stratification audit, incremental exact
+  * dedup of a new release against the shipped corpus, and a tokenizer
+  * vocabulary-coverage (OOV-rate) audit. Round-6 discipline throughout:
+  * integer-only ranking/ratio keys (floor DIV, never round), literal
+  * top-k bounds, every query ends in a total ORDER BY.
+  */
+object PipelineOps9 {
+
+  // ---------------------------------------------------------------- q114
+
+  /** Train/val/test quota boundaries on a 1000-bucket hash domain:
+    * [0,900) train, [900,950) val, [950,1000) test.
+    */
+  val SplitTrainUpto = 900
+  val SplitValUpto = 950
+
+  /** Deterministic split assignment + stratification audit. Every doc
+    * hashes to a 1000-bucket domain via the salted content-independent
+    * key h60('split:' || doc_id) — id-based, so re-editing a doc's TEXT
+    * cannot migrate it across splits (the leakage rule: eval membership
+    * must survive re-crawls), and salted, so the split hash is
+    * independent of every other h60 use of doc_id. The audit reports,
+    * per (lang, split): doc count, exact per-mille share of the lang
+    * (integer floor DIV — both engines agree bit-for-bit), and the
+    * id-sum as a content pin.
+    *
+    * Scale shape: one narrow scan → hash → two-level aggregate on a
+    * (lang × 3) domain; the lang totals come from a second partial
+    * aggregate on the already-tiny (lang, split) counts (no window over
+    * the corpus, no second scan of the data).
+    */
+  /** The split of a doc id — a pure function of the id column alone
+    * (PinnedBy PipelineOps9Spec: no other column can influence it).
+    */
+  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = CrossHash.h60(concat(lit("split:"), docId.cast("string"))) % 1000
+    when(bucket < SplitTrainUpto, "train")
+      .when(bucket < SplitValUpto, "val")
+      .otherwise("test")
+  }
+
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), splitOf(col("doc_id")).as("split"))
+    val perSplit = assigned.groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    // lang totals: re-aggregate the (lang, split) counts — O(langs×3)
+    val perLang = perSplit.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("lang_total"))
+    perSplit.join(perLang, "lang")
+      .select(col("lang"), col("split"), col("n_docs"),
+        // integer floor division (Spark `div` ≡ DuckDB `//`) — never
+        // double `/`, whose rounding the two engines need not share
+        expr("1000 * n_docs div lang_total").as("share_permille"),
+        col("id_sum"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q114Oracle: String = {
+    val h = CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH assigned AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN $h % 1000 < $SplitTrainUpto THEN 'train'
+       |              WHEN $h % 1000 < $SplitValUpto THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |per_split AS (
+       |  SELECT lang, split, count(*) AS n_docs,
+       |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |  FROM assigned GROUP BY lang, split),
+       |per_lang AS (
+       |  SELECT lang, sum(n_docs) AS lang_total
+       |  FROM per_split GROUP BY lang)
+       |SELECT s.lang, s.split, s.n_docs,
+       |       CAST(1000 * s.n_docs // l.lang_total AS BIGINT) AS share_permille,
+       |       s.id_sum
+       |FROM per_split s JOIN per_lang l ON s.lang = l.lang
+       |ORDER BY s.lang, s.split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q115
+
+  /** Incremental exact dedup of a new release against the shipped
+    * corpus — "don't re-ingest what you already have", decided by
+    * CONTENT, not id. Each snapshot-B doc ([[PipelineOps8.snapshotB]] —
+    * the same derived release q113 diffs) is classified against
+    * snapshot A's fingerprint index:
+    *
+    *  - `dup_same_id`  — fp unchanged at the same id (the re-crawl)
+    *  - `dup_other_id` — fp exists in A only under DIFFERENT id(s)
+    *    (mirror/repost: novel id, stale content)
+    *  - `novel`        — content A has never shipped
+    *
+    * Output: per-status doc count + id-sum (the content pin).
+    *
+    * Scale shape: two hash joins, both on 8-byte keys — the same-id
+    * probe co-partitions by doc_id (the CDC layout), the content probe
+    * semi-joins B against A's DISTINCT fp set, co-partitioned by fp;
+    * at 100 TB the fp set is the dedup index a release pipeline already
+    * maintains, and a bloom pre-filter (q91's machinery) cuts the probe
+    * traffic before the shuffle. Statuses partition B by construction.
+    */
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    val a = PipelineOps8.snapshotA(spark, dir)
+    val b = PipelineOps8.snapshotB(spark, dir)
+    val withSame = b.join(a, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp_b"),
+        (col("fp_a").isNotNull && col("fp_a") === col("fp_b")).as("same_id"))
+    val aFps = a.select(col("fp_a").as("fp_b")).distinct()
+      .withColumn("in_a", lit(true))
+    withSame.join(aFps, Seq("fp_b"), "left")
+      .select(col("doc_id"),
+        when(col("same_id"), "dup_same_id")
+          .when(col("in_a").isNotNull, "dup_other_id")
+          .otherwise("novel").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
+  val q115Oracle: String = {
+    val fpA = CrossHash.h60Sql("text")
+    val fpB = CrossHash.h60Sql(
+      "CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")
+    val fpNew = CrossHash.h60Sql("'new:' || text")
+    s"""WITH a AS (
+       |  SELECT doc_id, $fpA AS fp_a FROM documents),
+       |b AS (
+       |  SELECT doc_id, $fpB AS fp_b FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id, $fpNew AS fp_b
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |cls AS (
+       |  SELECT b.doc_id,
+       |         CASE WHEN EXISTS (SELECT 1 FROM a
+       |                           WHERE a.doc_id = b.doc_id
+       |                             AND a.fp_a = b.fp_b) THEN 'dup_same_id'
+       |              WHEN EXISTS (SELECT 1 FROM a
+       |                           WHERE a.fp_a = b.fp_b) THEN 'dup_other_id'
+       |              ELSE 'novel' END AS status
+       |  FROM b)
+       |SELECT status, count(*) AS n_docs,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM cls GROUP BY status ORDER BY status""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q116
+
+  /** Vocabulary size for the OOV audit. */
+  val VocabSize = 400
+
+  /** Tokenizer vocabulary-coverage audit: build the top-[[VocabSize]]
+    * corpus vocabulary by TOKEN frequency (tie-break: term ascending —
+    * a total integer+string order, so both engines elect the identical
+    * vocabulary), then report per-lang token totals, out-of-vocabulary
+    * token counts, and the integer OOV per-mille — the go/no-go number
+    * for shipping a fixed-vocab tokenizer against a corpus.
+    *
+    * Scale shape: token explode → one (term) aggregate; the vocabulary
+    * is a literal top-k (TakeOrderedAndProject over the term domain,
+    * never the token stream) and joins back BROADCAST (VocabSize rows);
+    * the audit aggregate runs on the (lang) domain. The token explode
+    * is the only big pass and it is shared map-side work — no shuffle
+    * carries token-level rows except the (term, count) partial agg.
+    */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(VocabSize)
+      .select(col("term"))
+    toks.join(broadcast(vocab.withColumn("in_vocab", lit(true))),
+        Seq("term"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("1000 * n_oov div n_tokens").as("oov_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q116Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(list_filter(string_split(text, ' '),
+       |                                  t -> t <> '')) AS term
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, count(*) AS freq FROM toks GROUP BY term)
+       |  ORDER BY freq DESC, term LIMIT $VocabSize)
+       |SELECT lang, count(*) AS n_tokens,
+       |       count(CASE WHEN v.term IS NULL THEN 1 END) AS n_oov,
+       |       CAST(1000 * count(CASE WHEN v.term IS NULL THEN 1 END)
+       |            // count(*) AS BIGINT) AS oov_permille
+       |FROM toks t LEFT JOIN vocab v USING (term)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_split_assign" -> (q114 _),
+    "q115_incremental_dedup" -> (q115 _),
+    "q116_oov_rate" -> (q116 _))
+
+  val oracles: Map[String, String] = Map(
+    "q114_split_assign" -> q114Oracle,
+    "q115_incremental_dedup" -> q115Oracle,
+    "q116_oov_rate" -> q116Oracle)
+}

@@ -104,7 +104,11 @@ class PipelineOps6Spec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getAs[Long]("df")
-      val posting = r.getSeq[Long](r.fieldIndex("posting"))
+      // output contract: the posting column is a scalar string (so every
+      // row-set comparator can hash it); the array-form invariants are
+      // pinned against its split
+      val posting =
+        r.getAs[String]("posting").split(' ').toSeq.map(_.toLong)
       assert(df >= PipelineOps6.IdxMinDf)
       assert(posting.length ==
         math.min(PipelineOps6.IdxPostCap.toLong, df).toInt)

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{PipelineOps8, PipelineOps9 => P9}
+
+/** Pins the release-hygiene invariants behind q114-q116: split
+  * assignment is exhaustive/deterministic and its per-mille audit adds
+  * up, the incremental-dedup statuses partition snapshot B against
+  * independently-computed content membership, and the OOV audit's
+  * vocabulary is the exact top-k with consistent token accounting.
+  */
+class PipelineOps9Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir01 = "/root/testdata/sf0.01"
+
+  test("q114: splits partition every lang and the permille audit adds up") {
+    val rows = P9.q114(spark, sfDir01).collect()
+    assert(rows.nonEmpty)
+    val corpus = graft.Tables.table(spark, sfDir01, "documents")
+    val langTotals = corpus.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == langTotals.keySet, "every lang is audited")
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == langTotals(lang),
+        s"splits must partition lang $lang")
+      val permilles = rs.map(_.getAs[Long]("share_permille"))
+      assert(permilles.forall(p => p >= 0 && p <= 1000))
+      // floor division loses at most (splits-1) per-mille total
+      assert(permilles.sum <= 1000 && permilles.sum >= 1000 - rs.length + 1,
+        s"permille audit must add up for $lang, got ${permilles.sum}")
+      rs.foreach { r =>
+        assert(Set("train", "val", "test")(r.getAs[String]("split")))
+      }
+    }
+    // assignment is a pure function of doc_id — reruns agree exactly
+    val again = P9.q114(spark, sfDir01).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q114: the split is a pure function of doc_id — edits cannot move a doc") {
+    import spark.implicits._
+    val v1 = (0L until 2000L).map(i => (i, s"original text $i"))
+      .toDF("doc_id", "text")
+    val v2 = (0L until 2000L).map(i => (i, s"completely rewritten $i v2"))
+      .toDF("doc_id", "text")
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select(col("doc_id"), P9.splitOf(col("doc_id")).as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (s1, s2) = (assign(v1), assign(v2))
+    assert(s1 == s2, "re-crawled/edited docs must keep their split")
+    // and the buckets actually use the whole domain: all three splits
+    // appear, in roughly the configured 900/50/50 proportion
+    val dist = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(dist.keySet == Set("train", "val", "test"))
+    assert(dist("train") > dist("val") && dist("train") > dist("test"))
+  }
+
+  test("q115: statuses partition snapshot B against real content membership") {
+    val rows = P9.q115(spark, sfDir01).collect()
+    val got = rows.map(r => r.getAs[String]("status") ->
+      r.getAs[Long]("n_docs")).toMap
+    val a = PipelineOps8.snapshotA(spark, sfDir01)
+    val b = PipelineOps8.snapshotB(spark, sfDir01)
+    assert(got.values.sum == b.count(), "statuses must partition B")
+    // independent recomputation from the snapshot frames themselves
+    val sameId = b.join(a, b("doc_id") === a("doc_id") &&
+      b("fp_b") === a("fp_a"), "left_semi").count()
+    val inA = b.join(a.select(col("fp_a").as("fp_b")).distinct(),
+      Seq("fp_b"), "left_semi").count()
+    assert(got.getOrElse("dup_same_id", 0L) == sameId)
+    assert(got.getOrElse("dup_other_id", 0L) == inA - sameId)
+    assert(got.getOrElse("novel", 0L) == b.count() - inA)
+    // the derived release guarantees all three statuses are non-empty:
+    // %7-edited docs are novel, untouched docs are same-id dups
+    assert(got.getOrElse("dup_same_id", 0L) > 0)
+    assert(got.getOrElse("novel", 0L) > 0)
+  }
+
+  test("q116: vocabulary is the exact top-k and token accounting is consistent") {
+    val rows = P9.q116(spark, sfDir01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov, pm) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("oov_permille"))
+      assert(oov >= 0 && oov <= n)
+      assert(pm == 1000 * oov / n, "permille must be the exact floor ratio")
+    }
+    // per-lang token totals must equal an independent token count
+    val totals = graft.Tables.table(spark, sfDir01, "documents")
+      .select(col("lang"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getAs[String]("lang") ->
+      r.getAs[Long]("n_tokens")).toMap == totals)
+    // a corpus-frequency top-k vocabulary covers the bulk of tokens:
+    // every lang's OOV rate stays below half
+    rows.foreach(r => assert(r.getAs[Long]("oov_permille") < 500,
+      s"vocab of ${P9.VocabSize} should cover most tokens"))
+  }
+}
