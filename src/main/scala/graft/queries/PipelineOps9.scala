@@ -55,10 +55,13 @@ object PipelineOps9 {
       .select(col("doc_id"), col("lang"), splitOf(col("doc_id")).as("split"))
     val perSplit = assigned.groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
-    // lang totals: re-aggregate the (lang, split) counts — O(langs×3)
-    val perLang = perSplit.groupBy(col("lang"))
-      .agg(sum(col("n_docs")).as("lang_total"))
-    perSplit.join(perLang, "lang")
+    // lang totals via a window OVER THE AGGREGATE (O(langs×3) rows) — a
+    // second groupBy from `assigned` would re-scan the corpus (Catalyst
+    // does not reuse the differently-keyed exchange), paying the 100 TB
+    // read twice for a number derivable from the tiny frame
+    perSplit
+      .withColumn("lang_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
       .select(col("lang"), col("split"), col("n_docs"),
         // integer floor division (Spark `div` ≡ DuckDB `//`) — never
         // double `/`, whose rounding the two engines need not share
@@ -167,12 +170,14 @@ object PipelineOps9 {
     * token counts, and the integer OOV per-mille — the go/no-go number
     * for shipping a fixed-vocab tokenizer against a corpus.
     *
-    * Scale shape: token explode → one (term) aggregate; the vocabulary
-    * is a literal top-k (TakeOrderedAndProject over the term domain,
-    * never the token stream) and joins back BROADCAST (VocabSize rows);
-    * the audit aggregate runs on the (lang) domain. The token explode
-    * is the only big pass and it is shared map-side work — no shuffle
-    * carries token-level rows except the (term, count) partial agg.
+    * Scale shape: two corpus passes, both narrow — pass 1 explodes
+    * tokens into one (term, count) partial+final aggregate and takes
+    * the vocabulary as a literal top-k (TakeOrderedAndProject over the
+    * TERM domain, never the token stream); pass 2 re-explodes and
+    * joins the VocabSize-row vocabulary back BROADCAST, aggregating on
+    * the (lang) domain. Re-reading beats materializing the token
+    * stream: no shuffle ever carries token-level rows except the
+    * (term, count) partial agg.
     */
   def q116(spark: SparkSession, dir: String): DataFrame = {
     val toks = table(spark, dir, "documents")
@@ -208,13 +213,168 @@ object PipelineOps9 {
        |FROM toks t LEFT JOIN vocab v USING (term)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+
+  /** Drift histogram bin width (chars) and bin count (last bin open). */
+  val DriftBinWidth = 200
+  val DriftBins = 20
+
+  /** Snapshot length-distribution drift — the release monitor that
+    * catches "the new crawl is full of stubs / boilerplate" before
+    * training does: document LENGTH histograms of snapshot A vs the
+    * derived release B over [[DriftBins]] fixed [[DriftBinWidth]]-char
+    * bins (last bin open), per-bin integer per-mille shares, and the
+    * per-bin absolute share drift. The total variation distance is
+    * sum(drift)/2 — the spec pins that identity; the per-bin rows are
+    * the actionable output (WHICH length band moved).
+    *
+    * B's lengths are derived, not re-measured: unedited docs keep
+    * length(text), %7-edited docs gain 3 chars (' v2'), %17-new docs
+    * gain 4 ('new:') — pure projections of the one corpus scan.
+    *
+    * Scale shape: one union of two narrow (length → bin) projections,
+    * one aggregate on the 20-bin domain; side totals via windows OVER
+    * THE AGGREGATE (40 rows — the q114 rule: never a second corpus
+    * pass for a number derivable from the tiny frame).
+    */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+    def binOf(len: org.apache.spark.sql.Column) =
+      // divide-then-truncate equals DuckDB's `//` here: lengths are
+      // non-negative and far below 2^53, so the correctly-rounded
+      // double quotient can never cross an integer boundary (bin gap
+      // 1/200 >> 1 ulp) and the long cast is the exact floor
+      least(len.cast("long").divide(lit(DriftBinWidth)).cast("long"),
+        lit(DriftBins - 1L))
+    val a = base.select(binOf(length(col("text"))).as("bin"),
+      lit("a").as("side"))
+    val bLens = base.filter(col("doc_id") % 13 =!= 0)
+      .select(when(col("doc_id") % 7 === 0, length(col("text")) + 3)
+        .otherwise(length(col("text"))).as("len"))
+      .unionAll(base.filter(col("doc_id") % 17 === 0)
+        .select((length(col("text")) + 4).as("len")))
+    val b = bLens.select(binOf(col("len")).as("bin"), lit("b").as("side"))
+    a.unionAll(b)
+      .groupBy(col("bin"))
+      .agg(count(when(col("side") === "a", 1)).as("n_a"),
+        count(when(col("side") === "b", 1)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(Window.partitionBy()))
+      .withColumn("tot_b", sum(col("n_b")).over(Window.partitionBy()))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("1000 * n_a div tot_a").as("share_a_permille"),
+        expr("1000 * n_b div tot_b").as("share_b_permille"),
+        abs(expr("1000 * n_a div tot_a") - expr("1000 * n_b div tot_b"))
+          .as("drift_permille"))
+      .orderBy(col("bin"))
+  }
+
+  val q117Oracle: String =
+    s"""WITH a AS (
+       |  SELECT least(length(text) // $DriftBinWidth, ${DriftBins - 1}) AS bin
+       |  FROM documents),
+       |b AS (
+       |  SELECT least(len // $DriftBinWidth, ${DriftBins - 1}) AS bin FROM (
+       |    SELECT CASE WHEN doc_id % 7 = 0 THEN length(text) + 3
+       |                ELSE length(text) END AS len
+       |    FROM documents WHERE doc_id % 13 <> 0
+       |    UNION ALL
+       |    SELECT length(text) + 4 AS len
+       |    FROM documents WHERE doc_id % 17 = 0)),
+       |binned AS (
+       |  SELECT bin, count(CASE WHEN side = 'a' THEN 1 END) AS n_a,
+       |         count(CASE WHEN side = 'b' THEN 1 END) AS n_b
+       |  FROM (SELECT bin, 'a' AS side FROM a
+       |        UNION ALL SELECT bin, 'b' AS side FROM b)
+       |  GROUP BY bin),
+       |tot AS (
+       |  SELECT bin, n_a, n_b,
+       |         sum(n_a) OVER () AS tot_a, sum(n_b) OVER () AS tot_b
+       |  FROM binned)
+       |SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b,
+       |       CAST(1000 * n_a // tot_a AS BIGINT) AS share_a_permille,
+       |       CAST(1000 * n_b // tot_b AS BIGINT) AS share_b_permille,
+       |       CAST(abs(1000 * n_a // tot_a - 1000 * n_b // tot_b) AS BIGINT)
+       |         AS drift_permille
+       |FROM tot ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+
+  /** Corpus content overlap between releases — the set-level companion
+    * to q115's per-doc classification: per lang, the EXACT Jaccard of
+    * the two snapshots' distinct content-fingerprint sets (how much of
+    * the corpus actually turned over, by content, regardless of ids).
+    *
+    * Scale shape: each side is scan → (lang, fp) distinct (one
+    * aggregate); the overlap is ONE full-outer join co-partitioned on
+    * (lang, fp) with presence flags folded into a (lang)-domain
+    * aggregate. The integer Jaccard (per-mille, floor) keeps the
+    * cross-engine contract exact; |A∪B| = n_a + n_b − n_inter is
+    * computed from the same counts, never a second pass.
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+    val a = base.select(col("lang"),
+      graft.functions.CrossHash.h60(col("text")).as("fp")).distinct()
+      .withColumn("in_a", lit(1L))
+    val b = base.filter(col("doc_id") % 13 =!= 0)
+      .select(col("lang"),
+        graft.functions.CrossHash.h60(when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
+      .unionAll(base.filter(col("doc_id") % 17 === 0)
+        .select(col("lang"),
+          graft.functions.CrossHash.h60(concat(lit("new:"), col("text")))
+            .as("fp")))
+      .distinct()
+      .withColumn("in_b", lit(1L))
+    a.join(b, Seq("lang", "fp"), "full_outer")
+      .groupBy(col("lang"))
+      .agg(sum(coalesce(col("in_a"), lit(0L))).as("n_a"),
+        sum(coalesce(col("in_b"), lit(0L))).as("n_b"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_inter"))
+      .select(col("lang"), col("n_a"), col("n_b"), col("n_inter"),
+        expr("1000 * n_inter div (n_a + n_b - n_inter)")
+          .as("jaccard_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q118Oracle: String = {
+    val fpA = CrossHash.h60Sql("text")
+    val fpB = CrossHash.h60Sql(
+      "CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")
+    val fpNew = CrossHash.h60Sql("'new:' || text")
+    s"""WITH a AS (
+       |  SELECT DISTINCT lang, $fpA AS fp FROM documents),
+       |b AS (
+       |  SELECT DISTINCT lang, fp FROM (
+       |    SELECT lang, $fpB AS fp FROM documents WHERE doc_id % 13 <> 0
+       |    UNION ALL
+       |    SELECT lang, $fpNew AS fp FROM documents WHERE doc_id % 17 = 0)),
+       |j AS (
+       |  SELECT coalesce(a.lang, b.lang) AS lang,
+       |         CASE WHEN a.fp IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+       |         CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END AS in_b
+       |  FROM a FULL OUTER JOIN b ON a.lang = b.lang AND a.fp = b.fp)
+       |SELECT lang, CAST(sum(in_a) AS BIGINT) AS n_a,
+       |       CAST(sum(in_b) AS BIGINT) AS n_b,
+       |       CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+       |       CAST(1000 * sum(in_a * in_b)
+       |            // (sum(in_a) + sum(in_b) - sum(in_a * in_b)) AS BIGINT)
+       |         AS jaccard_permille
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_split_assign" -> (q114 _),
     "q115_incremental_dedup" -> (q115 _),
-    "q116_oov_rate" -> (q116 _))
+    "q116_oov_rate" -> (q116 _),
+    "q117_snapshot_drift" -> (q117 _),
+    "q118_corpus_overlap" -> (q118 _))
 
   val oracles: Map[String, String] = Map(
     "q114_split_assign" -> q114Oracle,
     "q115_incremental_dedup" -> q115Oracle,
-    "q116_oov_rate" -> q116Oracle)
+    "q116_oov_rate" -> q116Oracle,
+    "q117_snapshot_drift" -> q117Oracle,
+    "q118_corpus_overlap" -> q118Oracle)
 }

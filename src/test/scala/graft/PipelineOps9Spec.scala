@@ -88,6 +88,61 @@ class PipelineOps9Spec extends AnyFunSuite {
     assert(got.getOrElse("novel", 0L) > 0)
   }
 
+  test("q117: bins partition both snapshots and drift obeys the TVD identity") {
+    val rows = P9.q117(spark, sfDir01).collect()
+    assert(rows.nonEmpty)
+    val corpus = graft.Tables.table(spark, sfDir01, "documents")
+    val nA = corpus.count()
+    val nB = PipelineOps8.snapshotB(spark, sfDir01).count()
+    assert(rows.map(_.getAs[Long]("n_a")).sum == nA,
+      "A histogram must partition snapshot A")
+    assert(rows.map(_.getAs[Long]("n_b")).sum == nB,
+      "B histogram must partition snapshot B")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin < P9.DriftBins)
+      val (sa, sb) = (r.getAs[Long]("share_a_permille"),
+        r.getAs[Long]("share_b_permille"))
+      assert(sa == 1000 * r.getAs[Long]("n_a") / nA)
+      assert(sb == 1000 * r.getAs[Long]("n_b") / nB)
+      assert(r.getAs[Long]("drift_permille") == math.abs(sa - sb))
+    }
+    // total variation distance = sum(drift)/2 is a valid distance
+    val tvd = rows.map(_.getAs[Long]("drift_permille")).sum / 2
+    assert(tvd >= 0 && tvd <= 1000)
+  }
+
+  test("q118: per-lang overlap counts are set-exact and Jaccard is the floor ratio") {
+    val rows = P9.q118(spark, sfDir01).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation of one lang's overlap from raw fp sets
+    val a = PipelineOps8.snapshotA(spark, sfDir01)
+    val docsLang = graft.Tables.table(spark, sfDir01, "documents")
+      .select(col("doc_id"), col("lang"))
+    val aSets = a.join(docsLang, "doc_id")
+      .select(col("lang"), col("fp_a")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    // snapshot B keeps the base doc's lang; new ids are -id-1 of a %17 base doc
+    val bSets = PipelineOps8.snapshotB(spark, sfDir01)
+      .withColumn("base_id",
+        when(col("doc_id") < 0, -col("doc_id") - 1).otherwise(col("doc_id")))
+      .join(docsLang.withColumnRenamed("doc_id", "base_id"), "base_id")
+      .select(col("lang"), col("fp_b")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (na, nb, ni) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_inter"))
+      assert(na == aSets(lang).size.toLong, s"n_a mismatch for $lang")
+      assert(nb == bSets(lang).size.toLong, s"n_b mismatch for $lang")
+      assert(ni == (aSets(lang) & bSets(lang)).size.toLong,
+        s"n_inter mismatch for $lang")
+      assert(r.getAs[Long]("jaccard_permille") == 1000 * ni / (na + nb - ni))
+    }
+  }
+
   test("q116: vocabulary is the exact top-k and token accounting is consistent") {
     val rows = P9.q116(spark, sfDir01).collect()
     assert(rows.nonEmpty)
