@@ -364,17 +364,164 @@ object PipelineOps9 {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q119
+
+  /** Fixed quantization scale for the drift metric (q94's floor(x·10⁴)
+    * discipline — a FIXED scale, unlike q50's per-vector one, so the
+    * two releases' values are directly comparable).
+    */
+  val EmbQScale = 10000L
+
+  /** Embedding-space drift between releases — the q117 companion for
+    * the VECTOR side of a corpus: when the embedding model is updated
+    * or re-run, per-label centroid shift tells release QA whether the
+    * space moved uniformly or one label's region deformed. Release B
+    * is deterministically derived: vec_id % 11 == 0 vectors are
+    * deprecated (dropped), vec_id % 9 == 0 vectors are "re-embedded"
+    * (quantized value at dimension vec_id % 64 shifts by +0.25·scale).
+    *
+    * All arithmetic is exact int64: elements quantize to
+    * floor(x·10⁴) at the scan, per-(label, dim) means are truncated
+    * quotients (Spark `div` ≡ DuckDB `//` — BOTH truncate toward zero,
+    * verified, so negative sums agree), and the drift is the exact
+    * integer squared-L2 between mean vectors. |mean| ≤ 10⁴-ish ⇒ the
+    * 64-term squared sum stays far inside 2⁶³.
+    *
+    * Scale shape: posexplode → one (label, dim) aggregate per side
+    * (the union folds both into ONE aggregate pass over ~2·n·64 narrow
+    * rows); the final drift aggregate runs on the (label × 64) domain.
+    * No joins at all — label/dim alignment happens in the groupBy.
+    */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr(s"transform(embedding, e -> cast(floor(cast(e as double) * $EmbQScale) as bigint))")
+          .as("q"))
+    val aSide = base.select(col("label"), lit("a").as("side"),
+      posexplode(col("q")).as(Seq("dim", "x")))
+    val bSide = base.filter(col("vec_id") % 11 =!= 0)
+      .select(col("label"), lit("b").as("side"), col("vec_id"),
+        posexplode(col("q")).as(Seq("dim", "x")))
+      .select(col("label"), col("side"), col("dim"),
+        when(col("vec_id") % 9 === 0 && col("dim") === col("vec_id") % 64,
+          col("x") + EmbQScale / 4).otherwise(col("x")).as("x"))
+    aSide.unionAll(bSide)
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(when(col("side") === "a", col("x"))).as("s_a"),
+        count(when(col("side") === "a", 1)).as("n_a"),
+        sum(when(col("side") === "b", col("x"))).as("s_b"),
+        count(when(col("side") === "b", 1)).as("n_b"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("s_a div n_a").as("m_a"), expr("s_b div n_b").as("m_b"))
+      .groupBy(col("label"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b")))
+          .as("shift_sq"))
+      .orderBy(col("label"))
+  }
+
+  val q119Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding, e ->
+       |           CAST(floor(CAST(e AS DOUBLE) * $EmbQScale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT label, 'a' AS side,
+       |         generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS x
+       |  FROM q),
+       |b AS (
+       |  SELECT label, 'b' AS side, dim,
+       |         CASE WHEN vec_id % 9 = 0 AND dim = vec_id % 64
+       |              THEN x + ${EmbQScale / 4} ELSE x END AS x
+       |  FROM (SELECT vec_id, label,
+       |               generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS x
+       |        FROM q WHERE vec_id % 11 <> 0)),
+       |m AS (
+       |  SELECT label, dim,
+       |         sum(CASE WHEN side = 'a' THEN x END) AS s_a,
+       |         count(CASE WHEN side = 'a' THEN 1 END) AS n_a,
+       |         sum(CASE WHEN side = 'b' THEN x END) AS s_b,
+       |         count(CASE WHEN side = 'b' THEN 1 END) AS n_b
+       |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+       |  GROUP BY label, dim),
+       |mm AS (
+       |  SELECT label, n_a, n_b,
+       |         CAST(s_a // n_a AS BIGINT) AS m_a,
+       |         CAST(s_b // n_b AS BIGINT) AS m_b
+       |  FROM m)
+       |SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+       |       CAST(sum((m_a - m_b) * (m_a - m_b)) AS BIGINT) AS shift_sq
+       |FROM mm GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+
+  /** Train→test leakage scan — the split-hygiene audit that must run
+    * before any eval number is trusted: documents assigned to the
+    * `test` split by [[splitOf]] whose CONTENT fingerprint also appears
+    * in the `train` split (exact cross-split contamination — the
+    * near-dup variant composes q21's LSH machinery on top of the same
+    * shape). Output per lang: test-set size, leaked count, integer
+    * per-mille leakage.
+    *
+    * Scale shape: one corpus scan → (split, lang, fp) projection; the
+    * leak check is a semi-join of the test slice against the DISTINCT
+    * train-fp set, co-partitioned on fp (bloom-prefilterable, q91);
+    * the report aggregates on the lang domain. Duplicate test docs
+    * count individually (each leaked doc is a contaminated eval row).
+    */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        CrossHash.h60(col("text")).as("fp"),
+        splitOf(col("doc_id")).as("split"))
+    val trainFps = assigned.filter(col("split") === "train")
+      .select(col("fp")).distinct().withColumn("leaked", lit(true))
+    assigned.filter(col("split") === "test")
+      .join(trainFps, Seq("fp"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test"),
+        count(when(col("leaked"), 1)).as("n_leaked"))
+      .select(col("lang"), col("n_test"), col("n_leaked"),
+        expr("1000 * n_leaked div n_test").as("leak_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q120Oracle: String = {
+    val h = CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    val fp = CrossHash.h60Sql("text")
+    s"""WITH assigned AS (
+       |  SELECT doc_id, lang, $fp AS fp,
+       |         CASE WHEN $h % 1000 < $SplitTrainUpto THEN 'train'
+       |              WHEN $h % 1000 < $SplitValUpto THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |train_fps AS (
+       |  SELECT DISTINCT fp FROM assigned WHERE split = 'train')
+       |SELECT a.lang, count(*) AS n_test,
+       |       count(CASE WHEN t.fp IS NOT NULL THEN 1 END) AS n_leaked,
+       |       CAST(1000 * count(CASE WHEN t.fp IS NOT NULL THEN 1 END)
+       |            // count(*) AS BIGINT) AS leak_permille
+       |FROM assigned a LEFT JOIN train_fps t ON a.fp = t.fp
+       |WHERE a.split = 'test'
+       |GROUP BY a.lang ORDER BY a.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_split_assign" -> (q114 _),
     "q115_incremental_dedup" -> (q115 _),
     "q116_oov_rate" -> (q116 _),
     "q117_snapshot_drift" -> (q117 _),
-    "q118_corpus_overlap" -> (q118 _))
+    "q118_corpus_overlap" -> (q118 _),
+    "q119_embedding_drift" -> (q119 _),
+    "q120_split_leakage" -> (q120 _))
 
   val oracles: Map[String, String] = Map(
     "q114_split_assign" -> q114Oracle,
     "q115_incremental_dedup" -> q115Oracle,
     "q116_oov_rate" -> q116Oracle,
     "q117_snapshot_drift" -> q117Oracle,
-    "q118_corpus_overlap" -> q118Oracle)
+    "q118_corpus_overlap" -> q118Oracle,
+    "q119_embedding_drift" -> q119Oracle,
+    "q120_split_leakage" -> q120Oracle)
 }

@@ -143,6 +143,60 @@ class PipelineOps9Spec extends AnyFunSuite {
     }
   }
 
+  test("q119: drift equals an independent recomputation from raw vectors") {
+    val rows = P9.q119(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute from first principles: quantize, derive release B,
+    // truncated-quotient means, exact integer squared-L2
+    val vecs = graft.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"),
+        expr(s"transform(embedding, e -> cast(floor(cast(e as double) * ${P9.EmbQScale}) as bigint))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val dims = vecs.head._3.length
+    def meanByDim(side: Seq[(Long, Array[Long])]): Array[Long] =
+      Array.tabulate(dims) { d =>
+        val s = side.map(_._2(d)).sum
+        s / side.length  // Scala / on Long truncates toward zero, as div
+      }
+    val expected = vecs.map(_._2).distinct.sorted.map { label =>
+      val a = vecs.filter(_._2 == label).map(v => (v._1, v._3)).toSeq
+      val b = vecs.filter(v => v._2 == label && v._1 % 11 != 0).map { v =>
+        val arr = v._3.clone()
+        if (v._1 % 9 == 0) arr((v._1 % 64).toInt) += P9.EmbQScale / 4
+        (v._1, arr)
+      }.toSeq
+      val (ma, mb) = (meanByDim(a), meanByDim(b))
+      val shift = (0 until dims).map(d => (ma(d) - mb(d)) * (ma(d) - mb(d))).sum
+      (label, a.length.toLong, b.length.toLong, shift)
+    }
+    val got = rows.map(r => (r.getAs[Long]("label"), r.getAs[Long]("n_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("shift_sq"))).toSeq
+    assert(got == expected.toSeq)
+    // the re-embedded dimension must actually move some label's centroid
+    assert(rows.map(_.getAs[Long]("shift_sq")).sum > 0)
+  }
+
+  test("q120: leakage equals an independent set recomputation") {
+    val rows = P9.q120(spark, sfDir01).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.table(spark, sfDir01, "documents")
+      .select(col("lang"), graft.functions.CrossHash.h60(col("text")).as("fp"),
+        P9.splitOf(col("doc_id")).as("split"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val trainFps = docs.collect { case (_, fp, "train") => fp }.toSet
+    val test = docs.filter(_._3 == "test")
+    val expected = test.groupBy(_._1).map { case (lang, ds) =>
+      val leaked = ds.count(d => trainFps(d._2)).toLong
+      (lang, ds.length.toLong, leaked, 1000 * leaked / ds.length)
+    }.toSet
+    val got = rows.map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_test"),
+      r.getAs[Long]("n_leaked"), r.getAs[Long]("leak_permille"))).toSet
+    assert(got == expected)
+    rows.foreach(r => assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_test")))
+  }
+
   test("q116: vocabulary is the exact top-k and token accounting is consistent") {
     val rows = P9.q116(spark, sfDir01).collect()
     assert(rows.nonEmpty)
