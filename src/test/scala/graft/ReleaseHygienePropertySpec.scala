@@ -116,6 +116,25 @@ class ReleaseHygienePropertySpec extends AnyFunSuite {
           ni == (aFps & bFps).size.toLong,
           s"q118 set counts disagree for lang $lang")
       }
+
+      // q120 leakage: the duplicate-heavy corpora are exactly where
+      // cross-split content collisions appear — model it from raw sets
+      val q120 = P9.q120(spark, dir).collect()
+        .map(r => r.getAs[String]("lang") ->
+          (r.getAs[Long]("n_test"), r.getAs[Long]("n_leaked"))).toMap
+      val splitOfId: Long => String = {
+        val assigned = graft.Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), P9.splitOf(col("doc_id")).as("split"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assigned
+      }
+      val trainTexts = rows.filter(r => splitOfId(r._1) == "train")
+        .map(_._2).toSet
+      val testRows = rows.filter(r => splitOfId(r._1) == "test")
+      val expected120 = testRows.groupBy(_._3).view.mapValues { rs =>
+        (rs.length.toLong, rs.count(r => trainTexts(r._2)).toLong)
+      }.toMap
+      assert(q120 == expected120, "q120 disagrees with the raw-set model")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
