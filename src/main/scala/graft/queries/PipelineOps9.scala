@@ -219,6 +219,18 @@ object PipelineOps9 {
   val DriftBinWidth = 200
   val DriftBins = 20
 
+  /** The drift histogram bin of a length column. Divide-then-truncate
+    * equals DuckDB's `//` here: lengths are non-negative and far below
+    * 2^53, so the correctly-rounded double quotient can never cross an
+    * integer boundary (bin gap 1/200 >> 1 ulp) and the long cast is
+    * the exact floor. Shared with the streaming monitor
+    * ([[graft.streaming.StreamingDriftMonitor]]) so both paths bin
+    * identically.
+    */
+  def driftBin(len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(len.cast("long").divide(lit(DriftBinWidth)).cast("long"),
+      lit(DriftBins - 1L))
+
   /** Snapshot length-distribution drift — the release monitor that
     * catches "the new crawl is full of stubs / boilerplate" before
     * training does: document LENGTH histograms of snapshot A vs the
@@ -237,18 +249,6 @@ object PipelineOps9 {
     * THE AGGREGATE (40 rows — the q114 rule: never a second corpus
     * pass for a number derivable from the tiny frame).
     */
-  /** The drift histogram bin of a length column. Divide-then-truncate
-    * equals DuckDB's `//` here: lengths are non-negative and far below
-    * 2^53, so the correctly-rounded double quotient can never cross an
-    * integer boundary (bin gap 1/200 >> 1 ulp) and the long cast is
-    * the exact floor. Shared with the streaming monitor
-    * ([[graft.streaming.StreamingDriftMonitor]]) so both paths bin
-    * identically.
-    */
-  def driftBin(len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    least(len.cast("long").divide(lit(DriftBinWidth)).cast("long"),
-      lit(DriftBins - 1L))
-
   def q117(spark: SparkSession, dir: String): DataFrame = {
     val base = table(spark, dir, "documents")
     def binOf(len: org.apache.spark.sql.Column) = driftBin(len)
