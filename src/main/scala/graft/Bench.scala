@@ -118,11 +118,25 @@ object Bench {
     // must parse goes FIRST, compact (ms precision — full nanosecond
     // detail lives in the local artifact), and nothing else is printed
     // between it and the short final summary.
+    // Locale.ROOT: the default-locale `f` interpolator renders a comma
+    // decimal separator under e.g. de_DE, which is invalid JSON.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     val qsCompact = medians
-      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,""" +
-        s""""errors":${errors.size},"iters":$iters,"sf":"${esc(sfDir)}","detail":"${esc(localFile)}"}""")
+      .map { case (k, v) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,""" +
+        s""""errors":${errors.size},"iters":$iters,"sf":"${esc(sfDir)}","detail":"${esc(localFile)}"}"""
+    // guard the cap this line exists to satisfy: past ~3.9 KB the
+    // capture would truncate it mid-line again — drop the per-query map
+    // (it still lives in the local artifact) rather than ship a line
+    // that parses as null
+    if (compact.length <= 3900) println(compact)
+    else {
+      System.err.println(s"[bench] compact line ${compact.length}B exceeds the " +
+        "~4KB capture cap; emitting totals only — per-query medians are in " + localFile)
+      println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errors.size},"iters":$iters,"sf":"${esc(sfDir)}","detail":"${esc(localFile)}"}""")
+    }
     // truncation-proof summary — ALWAYS the last line
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"detail":"${esc(localFile)}"}""")
     spark.stop()

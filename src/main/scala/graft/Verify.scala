@@ -10,8 +10,11 @@ object Verify {
     // (same convention as SPARK_GRAFT_BENCH_QUERIES; local iteration
     // aid — the driver always calls with exactly two args = full dump).
     val (sfDir, outDir) = (args(0), args(1))
+    // an empty/comma-only filter arg means "no filter" (dump all), not
+    // "match nothing" — Some(Seq()) would silently dump zero queries
     val nameFilter = args.lift(2)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()

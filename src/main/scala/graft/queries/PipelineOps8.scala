@@ -173,23 +173,35 @@ object PipelineOps8 {
     table(spark, dir, "documents")
       .select(col("doc_id"), CrossHash.h60(col("text")).as("fp_a"))
 
-  /** Snapshot B: the deterministically derived next release —
-    * (doc_id, fp_b). Shared with the streaming twin.
+  /** The deterministically derived next release as full document rows
+    * (doc_id, lang, text) — THE single copy of the derivation rule
+    * (%13 delete, %7 ' v2' re-edit, %17 'new:' re-add under a negated
+    * id). Every consumer projects from here: [[snapshotB]] (fps, q113/
+    * q115), q117 (lengths), q118 (lang+fp), q121 (lang+text) — so the
+    * rule can never fork across the release-hygiene family.
+    *
+    * New ids are negated (-(id)-1) so they can NEVER collide with a
+    * real doc_id (ids are non-negative at every scale — an additive
+    * offset would collide once the corpus id span exceeds it).
     */
-  def snapshotB(spark: SparkSession, dir: String): DataFrame = {
+  def snapshotBDocs(spark: SparkSession, dir: String): DataFrame = {
     val base = table(spark, dir, "documents")
     base
       .filter(col("doc_id") % 13 =!= 0)
-      .select(col("doc_id"),
-        CrossHash.h60(when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_b"))
-      // new ids are negated (-(id)-1) so they can NEVER collide with a
-      // real doc_id (ids are non-negative at every scale — an additive
-      // offset would collide once the corpus id span exceeds it)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
       .unionAll(base.filter(col("doc_id") % 17 === 0)
-        .select((-col("doc_id") - 1L).as("doc_id"),
-          CrossHash.h60(concat(lit("new:"), col("text"))).as("fp_b")))
+        .select((-col("doc_id") - 1L).as("doc_id"), col("lang"),
+          concat(lit("new:"), col("text")).as("text")))
   }
+
+  /** Snapshot B's fingerprint index: (doc_id, fp_b). Shared with the
+    * streaming twin.
+    */
+  def snapshotB(spark: SparkSession, dir: String): DataFrame =
+    snapshotBDocs(spark, dir)
+      .select(col("doc_id"), CrossHash.h60(col("text")).as("fp_b"))
 
   def q113(spark: SparkSession, dir: String): DataFrame = {
     val a = snapshotA(spark, dir)

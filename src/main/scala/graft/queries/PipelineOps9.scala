@@ -240,9 +240,9 @@ object PipelineOps9 {
     * sum(drift)/2 — the spec pins that identity; the per-bin rows are
     * the actionable output (WHICH length band moved).
     *
-    * B's lengths are derived, not re-measured: unedited docs keep
-    * length(text), %7-edited docs gain 3 chars (' v2'), %17-new docs
-    * gain 4 ('new:') — pure projections of the one corpus scan.
+    * B's lengths come from [[PipelineOps8.snapshotBDocs]] — the single
+    * copy of the release derivation — as narrow length projections of
+    * the one corpus scan.
     *
     * Scale shape: one union of two narrow (length → bin) projections,
     * one aggregate on the 20-bin domain; side totals via windows OVER
@@ -254,12 +254,8 @@ object PipelineOps9 {
     def binOf(len: org.apache.spark.sql.Column) = driftBin(len)
     val a = base.select(binOf(length(col("text"))).as("bin"),
       lit("a").as("side"))
-    val bLens = base.filter(col("doc_id") % 13 =!= 0)
-      .select(when(col("doc_id") % 7 === 0, length(col("text")) + 3)
-        .otherwise(length(col("text"))).as("len"))
-      .unionAll(base.filter(col("doc_id") % 17 === 0)
-        .select((length(col("text")) + 4).as("len")))
-    val b = bLens.select(binOf(col("len")).as("bin"), lit("b").as("side"))
+    val b = PipelineOps8.snapshotBDocs(spark, dir)
+      .select(binOf(length(col("text"))).as("bin"), lit("b").as("side"))
     a.unionAll(b)
       .groupBy(col("bin"))
       .agg(count(when(col("side") === "a", 1)).as("n_a"),
@@ -322,14 +318,8 @@ object PipelineOps9 {
     val a = base.select(col("lang"),
       graft.functions.CrossHash.h60(col("text")).as("fp")).distinct()
       .withColumn("in_a", lit(1L))
-    val b = base.filter(col("doc_id") % 13 =!= 0)
-      .select(col("lang"),
-        graft.functions.CrossHash.h60(when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
-      .unionAll(base.filter(col("doc_id") % 17 === 0)
-        .select(col("lang"),
-          graft.functions.CrossHash.h60(concat(lit("new:"), col("text")))
-            .as("fp")))
+    val b = PipelineOps8.snapshotBDocs(spark, dir)
+      .select(col("lang"), graft.functions.CrossHash.h60(col("text")).as("fp"))
       .distinct()
       .withColumn("in_b", lit(1L))
     a.join(b, Seq("lang", "fp"), "full_outer")
@@ -417,6 +407,11 @@ object PipelineOps9 {
         count(when(col("side") === "a", 1)).as("n_a"),
         sum(when(col("side") === "b", col("x"))).as("s_b"),
         count(when(col("side") === "b", 1)).as("n_b"))
+      // a label whose every vector is %11-deprecated has no B centroid:
+      // n_b = 0 would throw under ANSI `div` on the Spark side while
+      // the oracle's `// 0` yields NULL — drop such labels from the
+      // report on BOTH sides (drift is undefined without a B centroid)
+      .filter(col("n_b") > 0)
       .select(col("label"), col("n_a"), col("n_b"),
         expr("s_a div n_a").as("m_a"), expr("s_b div n_b").as("m_b"))
       .groupBy(col("label"))
@@ -455,7 +450,7 @@ object PipelineOps9 {
        |  SELECT label, n_a, n_b,
        |         CAST(s_a // n_a AS BIGINT) AS m_a,
        |         CAST(s_b // n_b AS BIGINT) AS m_b
-       |  FROM m)
+       |  FROM m WHERE n_b > 0)
        |SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
        |       CAST(sum((m_a - m_b) * (m_a - m_b)) AS BIGINT) AS shift_sq
        |FROM mm GROUP BY label ORDER BY label""".stripMargin
@@ -513,6 +508,87 @@ object PipelineOps9 {
        |GROUP BY a.lang ORDER BY a.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q121
+
+  /** Shingle novelty of a release — the finest-grained turnover metric
+    * in the release trio: q118 measures whole-document content churn,
+    * q117 distribution shape; this measures how much genuinely NEW
+    * TEXT the release adds, as the fraction of the derived release's
+    * per-doc-distinct 5-token shingles whose 60-bit hash never occurs
+    * anywhere in the shipped corpus. Low novelty on a "big" release is
+    * the classic re-crawl-of-the-same-web signal.
+    *
+    * Scale shape: q89's contamination machinery re-pointed — shingles
+    * are hashed by the native fused WordShingles60 BEFORE any shuffle
+    * (8-byte keys, never shingle strings), the corpus side collapses
+    * to a distinct-hash set (map-side combine), and the novelty check
+    * is one left join on the hash, both sides co-partitioned; at
+    * 100 TB the corpus shingle set seeds a bloom prefilter exactly as
+    * q89 documents. Report aggregates on the lang domain.
+    */
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+    def shingles(df: DataFrame, extra: Seq[String]): DataFrame =
+      df.withColumn("toks",
+          expr("filter(split(text, ' '), t -> t <> '')"))
+        .filter(size(col("toks")) >= 5)
+        .select((col("doc_id") +: extra.map(col)) :+ explode(array_distinct(
+          graft.functions.WordShingles60.wordShingles60(col("toks"), 5)))
+          .as("h"): _*)
+    val aSet = shingles(base, Seq.empty).select(col("h")).distinct()
+      .withColumn("seen", lit(true))
+    shingles(PipelineOps8.snapshotBDocs(spark, dir), Seq("lang"))
+      .join(aSet, Seq("h"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("seen").isNull, 1)).as("n_novel"))
+      .select(col("lang"), col("n_shingles"), col("n_novel"),
+        expr("1000 * n_novel div n_shingles").as("novelty_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q121Oracle: String = {
+    val h = CrossHash.h60Sql("shingle")
+    s"""WITH bdocs AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id, lang, 'new:' || text AS text
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |atoks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t WHERE tok <> ''),
+       |ash AS (
+       |  SELECT DISTINCT shingle FROM (
+       |    SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+       |           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+       |    FROM atoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+       |  WHERE shingle IS NOT NULL),
+       |aset AS (SELECT DISTINCT $h AS h FROM ash),
+       |btoks AS (
+       |  SELECT doc_id, lang, tok, pos FROM (
+       |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM bdocs) t WHERE tok <> ''),
+       |bsh AS (
+       |  SELECT DISTINCT doc_id, lang, shingle FROM (
+       |    SELECT doc_id, lang,
+       |           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+       |           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+       |    FROM btoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+       |  WHERE shingle IS NOT NULL),
+       |bhs AS (SELECT doc_id, lang, $h AS h FROM bsh)
+       |SELECT lang, count(*) AS n_shingles,
+       |       count(CASE WHEN a.h IS NULL THEN 1 END) AS n_novel,
+       |       CAST(1000 * count(CASE WHEN a.h IS NULL THEN 1 END)
+       |            // count(*) AS BIGINT) AS novelty_permille
+       |FROM bhs LEFT JOIN aset a USING (h)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_split_assign" -> (q114 _),
     "q115_incremental_dedup" -> (q115 _),
@@ -520,7 +596,8 @@ object PipelineOps9 {
     "q117_snapshot_drift" -> (q117 _),
     "q118_corpus_overlap" -> (q118 _),
     "q119_embedding_drift" -> (q119 _),
-    "q120_split_leakage" -> (q120 _))
+    "q120_split_leakage" -> (q120 _),
+    "q121_shingle_novelty" -> (q121 _))
 
   val oracles: Map[String, String] = Map(
     "q114_split_assign" -> q114Oracle,
@@ -529,5 +606,6 @@ object PipelineOps9 {
     "q117_snapshot_drift" -> q117Oracle,
     "q118_corpus_overlap" -> q118Oracle,
     "q119_embedding_drift" -> q119Oracle,
-    "q120_split_leakage" -> q120Oracle)
+    "q120_split_leakage" -> q120Oracle,
+    "q121_shingle_novelty" -> q121Oracle)
 }

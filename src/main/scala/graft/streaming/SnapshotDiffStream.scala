@@ -61,9 +61,23 @@ object SnapshotDiffStream {
 
   /** Finalize the incremental diff: ledger statuses + removed (A docs
     * no batch delivered), aggregated to q113's exact output contract.
+    *
+    * The ledger is deduplicated on doc_id first (earliest batch wins,
+    * ties to the smaller status string — a total order, so the pick is
+    * deterministic): replay of the SAME batch is already idempotent via
+    * the partition overwrite, but an at-least-once SOURCE may redeliver
+    * a doc in a LATER batch with a different batchId, and that row must
+    * not double-count.
     */
   def report(spark: SparkSession, aFp: DataFrame, target: String): DataFrame = {
-    val ledger = spark.read.parquet(target).select(col("doc_id"), col("status"))
+    import org.apache.spark.sql.expressions.Window
+    val ledger = spark.read.parquet(target)
+      .select(col("doc_id"), col("status"), col("batch"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("batch"), col("status"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("status"))
     val removed = aFp
       .join(ledger.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("removed").as("status"))

@@ -65,8 +65,15 @@ object StreamingDriftMonitor {
       .select(col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .withColumn("tot_a", sum(col("n_a")).over(Window.partitionBy()))
-      .withColumn("tot_b", sum(col("n_b")).over(Window.partitionBy()))
+      // a zero total happens: tot_b before the first micro-batch lands
+      // (the consult-while-landing case), tot_a against an empty corpus
+      // — and Spark 4 runs ANSI mode by default, where `div 0` throws.
+      // All that side's counts are 0 then, so clamping the divisor to 1
+      // reports the correct all-zero shares instead of crashing.
+      .withColumn("tot_a",
+        greatest(sum(col("n_a")).over(Window.partitionBy()), lit(1L)))
+      .withColumn("tot_b",
+        greatest(sum(col("n_b")).over(Window.partitionBy()), lit(1L)))
       .select(col("bin"), col("n_a"), col("n_b"),
         expr("1000 * n_a div tot_a").as("share_a_permille"),
         expr("1000 * n_b div tot_b").as("share_b_permille"),

@@ -177,6 +177,29 @@ class PipelineOps9Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("shift_sq")).sum > 0)
   }
 
+  test("q119: a label whose vectors are all deprecated is dropped, not a crash") {
+    import spark.implicits._
+    // label 7's only vectors carry %11 ids -> release B has no centroid
+    // for it; ANSI `div 0` would throw without the n_b > 0 guard
+    val dir = java.nio.file.Files.createTempDirectory("q119-edge").toString
+    val rows = Seq(
+      (11L, 7, Array.fill(64)(0.5f)),
+      (22L, 7, Array.fill(64)(0.25f)),
+      (1L, 3, Array.fill(64)(1.0f)),
+      (2L, 3, Array.fill(64)(0.75f)))
+    rows.toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val out = P9.q119(spark, dir).collect()
+      assert(out.map(_.getAs[Long]("label")).toSet == Set(3L),
+        "the all-deprecated label must be absent, the healthy one present")
+      assert(out.forall(_.getAs[Long]("n_b") > 0))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("q120: leakage equals an independent set recomputation") {
     val rows = P9.q120(spark, sfDir01).collect()
     assert(rows.nonEmpty)
@@ -195,6 +218,39 @@ class PipelineOps9Spec extends AnyFunSuite {
       r.getAs[Long]("n_leaked"), r.getAs[Long]("leak_permille"))).toSet
     assert(got == expected)
     rows.foreach(r => assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_test")))
+  }
+
+  test("q121: novelty equals an independent shingle-set recomputation") {
+    val rows = P9.q121(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // first-principles model: tokenize, slide 5-grams, md5-h60 hash
+    def h60(s: String): Long = graft.functions.CrossHash.h60FromDigest(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")))
+    def shingleSet(text: String): Set[Long] = {
+      val t = text.split(' ').filter(_.nonEmpty)
+      if (t.length < 5) Set.empty
+      else t.sliding(5).map(w => h60(w.mkString(" "))).toSet
+    }
+    val docs = graft.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val aSet = docs.flatMap(d => shingleSet(d._3)).toSet
+    val bDocs = docs.filter(_._1 % 13 != 0)
+      .map { case (id, l, t) => (l, if (id % 7 == 0) t + " v2" else t) } ++
+      docs.filter(_._1 % 17 == 0).map { case (_, l, t) => (l, "new:" + t) }
+    val expected = bDocs.groupBy(_._1).view.mapValues { ds =>
+      val perDoc = ds.map(d => shingleSet(d._2))
+      val n = perDoc.map(_.size.toLong).sum
+      val novel = perDoc.map(_.count(h => !aSet(h)).toLong).sum
+      (n, novel, if (n == 0) 0L else 1000 * novel / n)
+    }.toMap.filter(_._2._1 > 0)
+    val got = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+        r.getAs[Long]("novelty_permille"))).toMap
+    assert(got == expected, "q121 disagrees with the shingle-set model")
+    // the ' v2' edits and 'new:' docs guarantee some novelty
+    assert(rows.map(_.getAs[Long]("n_novel")).sum > 0)
   }
 
   test("q116: vocabulary is the exact top-k and token accounting is consistent") {

@@ -92,4 +92,23 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
         r.getAs[Long]("id_sum"))).toSeq
     assert(before == expected)
   }
+
+  test("a doc redelivered in a LATER batch does not double-count") {
+    // at-least-once SOURCES can redeliver a doc under a new batchId —
+    // the partition overwrite can't help there; report() must dedupe
+    val target = Files.createTempDirectory("snapdiff-ledger3").toString
+    val aFp = PipelineOps8.snapshotA(spark, sfDir)
+    val b = PipelineOps8.snapshotB(spark, sfDir)
+    SnapshotDiffStream.diffSink(aFp, target)(b, 0L)
+    val clean = collectReport(target)
+    // redeliver a slice of B as a later batch (overlapping doc_ids)
+    SnapshotDiffStream.diffSink(aFp, target)(
+      b.filter(pmod(col("doc_id"), lit(3)) === 0), 5L)
+    assert(collectReport(target) == clean,
+      "cross-batch redelivery must not change the finalized diff")
+    val expected = PipelineOps8.q113(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("id_sum"))).toSeq
+    assert(clean == expected)
+  }
 }
