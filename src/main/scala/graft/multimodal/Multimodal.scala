@@ -51,6 +51,15 @@ final case class AudioFeatures(
     n_zero_cross: Long,
     decode_error: String)
 
+final case class ResampledAudio(
+    asset_id: Long,
+    sample_rate: Double,
+    n_samples: Long,
+    wav_bytes: Long,
+    rms: Double,
+    peak: Int,
+    decode_error: String)
+
 /** Multimodal-column plumbing (SURVEY.md §2.3 E5): schema, partitioning,
   * and batch-shaped decode — the Scala analogue of a Pandas-UDF
   * `mapInPandas` stage: `mapPartitions` over the typed Dataset so each
@@ -319,24 +328,17 @@ object Multimodal {
       seed: Long, nSamples: Int, sampleRate: Float): Array[Byte] = {
     val f1 = 220.0 + (seed % 16) * 55.0
     val f2 = 440.0 + (seed % 7) * 110.0
-    val samples = new Array[Byte](nSamples * 2)
+    val samples = new Array[Int](nSamples)
     var i = 0
     while (i < nSamples) {
       val t = i / sampleRate.toDouble
       val v = 0.6 * StrictMath.sin(2 * StrictMath.PI * f1 * t) +
         0.3 * StrictMath.sin(2 * StrictMath.PI * f2 * t)
-      val s = math.max(-32768L, math.min(32767L, math.round(v * 20000))).toShort
-      samples(2 * i) = (s & 0xff).toByte // WAV PCM is little-endian
-      samples(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      samples(i) =
+        math.max(-32768L, math.min(32767L, math.round(v * 20000))).toInt
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(samples), fmt, nSamples.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    encodeWav(samples, sampleRate)
   }
 
   /** Frame-count ceiling: a crafted RIFF header claiming hours of audio
@@ -351,6 +353,31 @@ object Multimodal {
     */
   def decodeAudio(payload: Array[Byte])
       : Either[String, (Double, Long, Double, Int, Long)] =
+    readPcm(payload).map { case (rate, samples) =>
+      val n = samples.length
+      var sumSq = 0.0
+      var peak = 0
+      var zc = 0L
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        sumSq += s.toDouble * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1
+        prev = s
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      (rate.toDouble, n.toLong, rms, peak, zc)
+    }
+
+  /** Shared bounded PCM reader ([[decodeAudio]] + [[decimateAudio]]):
+    * RIFF parse, format/frame-count guards, then the raw sign-extended
+    * 16-bit samples — the single copy of the byte-to-sample contract.
+    */
+  private def readPcm(payload: Array[Byte])
+      : Either[String, (Float, Array[Int])] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -364,31 +391,101 @@ object Multimodal {
         else {
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
-          var sumSq = 0.0
-          var peak = 0
-          var zc = 0L
-          var prev = 0
+          val samples = new Array[Int](n)
           var i = 0
           while (i < n) {
             // the HIGH byte carries the sign: sign-extend it (.toInt),
             // mask only the low byte — per-endianness
             val b0 = bytes(2 * i)
             val b1 = bytes(2 * i + 1)
-            val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
-                    else (b1.toInt << 8) | (b0 & 0xff)
-            sumSq += s.toDouble * s
-            if (math.abs(s) > peak) peak = math.abs(s)
-            if (i > 0 && ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1
-            prev = s
+            samples(i) = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                         else (b1.toInt << 8) | (b0 & 0xff)
             i += 1
           }
-          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-          Right((fmt.getSampleRate.toDouble, n.toLong, rms, peak, zc))
+          Right((fmt.getSampleRate, samples))
         }
       } finally ais.close()
     } catch {
       case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+
+  /** REAL audio resample: integer-factor DECIMATION — the output keeps
+    * every `factor`-th sample verbatim (sample-exact, the audio
+    * analogue of [[resizeImage]]'s bit-determinism; a windowed low-pass
+    * would introduce float filter kernels that vary with vector ISA).
+    * The output rate is rate/factor; re-encoded as mono 16-bit PCM WAV
+    * so the result survives a round-trip through the same codec.
+    */
+  def decimateAudio(payload: Array[Byte], factor: Int)
+      : Either[String, (Float, Array[Int])] =
+    if (factor <= 0) Left(s"non-positive decimation factor $factor")
+    else readPcm(payload).flatMap { case (rate, samples) =>
+      if (samples.isEmpty || samples.length < factor)
+        Left(s"factor $factor exceeds sample count ${samples.length}")
+      else {
+        val out = new Array[Int]((samples.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = samples(i * factor); i += 1 }
+        Right((rate / factor, out))
+      }
+    }
+
+  /** Mono 16-bit PCM WAV encoder (little-endian) — shared by the
+    * seeded render and [[extractResampledAudio]].
+    */
+  private[graft] def encodeWav(samples: Array[Int], rate: Float): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batch audio resample: one `mapPartitions` pass — decode, decimate,
+    * WAV re-encode, and features of the DECIMATED samples, all
+    * executor-side. Features come from the decimated sample array
+    * itself (no decode round-trip through the WAV just written — the
+    * same no-second-failure-path rule as [[extractThumbnails]]).
+    */
+  def extractResampledAudio(assets: Dataset[MediaAsset], factor: Int,
+      parallelism: Int): Dataset[ResampledAudio] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(parallelism, col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          decimateAudio(a.payload, factor) match {
+            case Right((rate, samples)) =>
+              val wav = encodeWav(samples, rate)
+              var sumSq = 0.0
+              var peak = 0
+              var i = 0
+              while (i < samples.length) {
+                val s = samples(i)
+                sumSq += s.toDouble * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                i += 1
+              }
+              val rms =
+                if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length)
+              ResampledAudio(a.asset_id, rate.toDouble, samples.length.toLong,
+                wav.length.toLong, rms, peak, null)
+            case Left(err) =>
+              ResampledAudio(a.asset_id, -1.0, 0L, 0L, 0.0, 0, err)
+          }
+        }
+      }
+  }
 
   /** Batch audio decode: one `mapPartitions` pass, real RIFF parsing. */
   def extractAudioFeatures(assets: Dataset[MediaAsset], parallelism: Int): Dataset[AudioFeatures] = {

@@ -82,11 +82,31 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** q122: the REAL audio RESAMPLE pipeline as a declared query — the 64
+    * seeded WAVs of q69, integer-factor decimated 4× on executors (every
+    * 4th sample kept verbatim — sample-exact, the audio analogue of
+    * q112's box-average determinism), WAV re-encoded, and the features of
+    * the DECIMATED samples reported. Declared oracle-free like q69
+    * (DuckDB has no audio codec; the driver records the rows-only check);
+    * sample-exact decimation and byte-identical reruns are pinned in
+    * MultimodalSpec.
+    */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.multimodal.Multimodal.syntheticAudio(spark, 64)
+    graft.multimodal.Multimodal.extractResampledAudio(assets, 4, 8)
+      .toDF()
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+        col("wav_bytes"), round(col("rms"), 4).as("rms"), col("peak"),
+        col("decode_error").isNotNull.as("failed"))
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_binary" -> (q29 _),
     "q48_image_features" -> (q48 _),
     "q69_audio_features" -> (q69 _),
-    "q112_image_resize" -> (q112 _))
+    "q112_image_resize" -> (q112 _),
+    "q122_audio_resample" -> (q122 _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_binary" -> q29Oracle)

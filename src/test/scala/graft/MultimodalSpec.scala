@@ -216,6 +216,57 @@ class MultimodalSpec extends AnyFunSuite {
       "corrupt payload quarantined")
   }
 
+  test("resample: integer decimation is sample-exact and loud on bad input") {
+    val wav = Multimodal.renderWav(3L, 2000, 8000f)
+    // factor 1 is the identity read: all samples, unchanged rate
+    val Right((fullRate, full)) = Multimodal.decimateAudio(wav, 1)
+    assert(fullRate == 8000f && full.length == 2000)
+    val Right((rate, dec)) = Multimodal.decimateAudio(wav, 4)
+    assert(rate == 2000f && dec.length == 500)
+    // every output sample is the literal factor-th input sample
+    (0 until dec.length).foreach(i => assert(dec(i) == full(i * 4)))
+    // non-divisible factor keeps the ceil count (2000/3 -> 667)
+    val Right((_, dec3)) = Multimodal.decimateAudio(wav, 3)
+    assert(dec3.length == 667 && dec3(666) == full(1998))
+    assert(Multimodal.decimateAudio(wav, 0).isLeft, "non-positive rejected")
+    assert(Multimodal.decimateAudio(wav, 2001).isLeft,
+      "factor beyond sample count rejected")
+    assert(Multimodal.decimateAudio(Array[Byte](1, 2, 3), 2).isLeft,
+      "garbage payload surfaces as Left")
+  }
+
+  test("resample: WAV re-encode round-trips and is byte-reproducible") {
+    val wav = Multimodal.renderWav(9L, 2000, 8000f)
+    val Right((rate, dec)) = Multimodal.decimateAudio(wav, 4)
+    val a = Multimodal.encodeWav(dec, rate)
+    val b = Multimodal.encodeWav(dec, rate)
+    assert(java.util.Arrays.equals(a, b), "encode is bit-reproducible")
+    // the re-encoded WAV decodes back to the very same samples
+    val Right((rate2, dec2)) = Multimodal.decimateAudio(a, 1)
+    assert(rate2 == 2000f && dec2.sameElements(dec))
+  }
+
+  test("q122: resampled features are the decimated samples' features") {
+    val out = graft.queries.MultimodalQueries.q122(spark, "unused").collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      assert(!r.getAs[Boolean]("failed"))
+      assert(r.getAs[Double]("sample_rate") == 2000.0)
+      assert(r.getAs[Long]("n_samples") == 500L)
+      assert(r.getAs[Long]("wav_bytes") > 1000L)
+      val rms = r.getAs[Double]("rms")
+      assert(rms > 6000 && rms < 14000)
+    }
+    // cross-check one asset: the reported rms is the rms of the
+    // decimated samples, not of the original waveform
+    val wav = Multimodal.renderWav(7L, 2000, 8000f)
+    val Right((_, dec)) = Multimodal.decimateAudio(wav, 4)
+    val expected = math.sqrt(dec.map(s => s.toDouble * s).sum / dec.length)
+    val reported = out(7).getAs[Double]("rms")
+    assert(math.abs(reported - BigDecimal(expected)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("q112: thumbnail features are the resized pixels' features") {
     val out = graft.queries.MultimodalQueries.q112(spark, "unused").collect()
     assert(out.length == 64)

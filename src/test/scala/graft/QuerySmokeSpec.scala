@@ -68,7 +68,8 @@ class QuerySmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list intentional: only engine-specific sketches/codecs
     assert(noOracle == Set("q38_approx_sketches", "q48_image_features",
-      "q69_audio_features", "q93_heavy_hitters", "q112_image_resize"),
+      "q69_audio_features", "q93_heavy_hitters", "q112_image_resize",
+      "q122_audio_resample"),
       s"unexpected oracle-free queries: $noOracle")
   }
 
