@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.{CrossHash, WordShingles60}
+
+/** Source-authority ranking over the syndication graph (q123) — the
+  * web-corpus curation op the reference's Athena surface never had: rank
+  * content SOURCES by who copies whom, so a 100 TB crawl can prefer
+  * originals over mirrors when deduplication must pick a survivor.
+  *
+  * Two stages with very different scales, and the plan respects that:
+  *
+  *   1. **Edge extraction (corpus-scale, the 100 TB part)**: per-doc
+  *      DISTINCT 5-token shingles hashed to 8-byte keys by the native
+  *      fused [[graft.functions.WordShingles60]] BEFORE any shuffle
+  *      (q89/q121's contamination machinery re-pointed), a document-
+  *      frequency cap that drops boilerplate shingles BEFORE the
+  *      self-join (the skew guard — one hot shingle would otherwise fan
+  *      the join quadratically), then doc pairs of DIFFERENT sources
+  *      sharing >= [[MinSharedShingles]] shingles. The later doc copies
+  *      the earlier one (crawl ids are assignment-ordered), giving a
+  *      directed edge copier-source -> original-source.
+  *   2. **Rank iteration (domain-scale, tiny by comparison)**: the edge
+  *      set collapses to DISTINCT source pairs — at worst millions of
+  *      rows when the corpus is 100 TB — and [[Iterations]] rounds of
+  *      fixed-point PageRank run over it. Edges are `localCheckpoint`ed
+  *      once so the corpus-scale lineage is not replayed per round (the
+  *      [[graft.ops.ConnectedComponents]] precedent).
+  *
+  * All rank arithmetic is EXACT int64 fixed-point (scale [[RankScale]]):
+  * `rank_{k+1}(v) = (15*(S div n)) div 100 + (85 * sum_in(rank_k(u) div
+  * outdeg(u))) div 100`, truncated division throughout — Spark `div` and
+  * DuckDB `//` both truncate toward zero (established by q119), and every
+  * value is non-negative, so the engines agree bit-for-bit with no float
+  * anywhere. Dangling-node mass is deliberately NOT redistributed (both
+  * engines implement the same recurrence; the doc comment is the spec).
+  */
+object GraphRank {
+
+  /** Shingles occurring in more than this many documents are boilerplate
+    * (headers, license text) and are dropped BEFORE the pair self-join —
+    * the skew guard that keeps the join linear in real corpora.
+    */
+  val MaxShingleDf: Int = 64
+
+  /** A syndicated passage = at least this many shared per-doc-distinct
+    * 5-token shingles between two documents of different sources.
+    */
+  val MinSharedShingles: Long = 20L
+
+  /** Fixed-point scale for rank mass: initial total = 10^12, so four
+    * truncated-div rounds keep ~12 significant digits. Headroom:
+    * 85 * 10^12 << 2^63.
+    */
+  val RankScale: Long = 1000000000000L
+
+  /** PageRank rounds. Fixed and small: the rank ORDER stabilizes in a
+    * few rounds on syndication graphs (shallow copy chains), and a fixed
+    * count keeps the oracle expressible as unrolled CTEs.
+    */
+  val Iterations: Int = 4
+
+  /** Directed syndication edges (src_from = copier, src_to = original),
+    * distinct source pairs. Package-private so the spec can re-rank the
+    * collected edge list from first principles.
+    */
+  private[graft] def syndicationEdges(spark: SparkSession, dir: String): DataFrame = {
+    val sh = table(spark, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          WordShingles60.wordShingles60(col("toks"), 5))).as("h"))
+    // df cap as a window over h, not groupBy+join-back: the count rides
+    // the SAME shuffle-on-h the self-join needs, so the corpus-scale
+    // shingle pipeline is shuffled once and both join sides reuse the
+    // exchange instead of re-running the scan+explode lineage
+    val ds = sh
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= MaxShingleDf)
+      .drop(col("df"))
+    val pairs = ds.select(col("h"), col("doc_id").as("da"), col("source").as("sa"))
+      .join(ds.select(col("h"), col("doc_id").as("db"), col("source").as("sb")),
+        Seq("h"))
+      .filter(col("da") < col("db") && col("sa") =!= col("sb"))
+      .groupBy(col("da"), col("db"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinSharedShingles)
+    pairs.select(col("sb").as("src_from"), col("sa").as("src_to")).distinct()
+  }
+
+  /** q123: per-source out/in degree and fixed-point PageRank after
+    * [[Iterations]] rounds, highest authority first.
+    */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val edges = syndicationEdges(spark, dir).localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src_from")).agg(count(lit(1)).as("d"))
+    val indeg = edges.groupBy(col("src_to")).agg(count(lit(1)).as("i"))
+    val nodes = table(spark, dir, "documents")
+      .select(col("source")).distinct().localCheckpoint(true)
+    val params = broadcast(nodes.agg(count(lit(1)).as("n")))
+
+    var rank = nodes.crossJoin(params)
+      .select(col("source"), expr(s"$RankScale div n").as("rank"))
+    for (_ <- 1 to Iterations) {
+      val contribs = edges
+        .join(rank.withColumnRenamed("source", "src_from"), Seq("src_from"))
+        .join(outdeg, Seq("src_from"))
+        .select(col("src_to").as("source"), expr("rank div d").as("c"))
+        .groupBy(col("source")).agg(sum(col("c")).as("c"))
+      rank = nodes.crossJoin(params)
+        .join(contribs, Seq("source"), "left")
+        .select(col("source"),
+          expr(s"(15 * ($RankScale div n)) div 100" +
+            " + (85 * coalesce(c, 0)) div 100").as("rank"))
+    }
+
+    nodes
+      .join(outdeg.withColumnRenamed("src_from", "source"), Seq("source"), "left")
+      .join(indeg.withColumnRenamed("src_to", "source"), Seq("source"), "left")
+      .join(rank, Seq("source"))
+      .select(col("source"),
+        coalesce(col("d"), lit(0L)).as("out_deg"),
+        coalesce(col("i"), lit(0L)).as("in_deg"),
+        col("rank"))
+      .orderBy(col("rank").desc, col("source"))
+  }
+
+  val q123Oracle: String = {
+    val h = CrossHash.h60Sql("shingle")
+    val iters = (1 to Iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.source,
+         |         CAST((15 * (1000000000000 // p.n)) // 100
+         |              + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes nd CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT e.src_to AS source, sum(r.rank // od.d) AS c
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.source = e.src_from
+         |    JOIN outdeg od ON od.src_from = e.src_from
+         |    GROUP BY e.src_to) s ON s.source = nd.source)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t WHERE tok <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+       |           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+       |  WHERE shingle IS NOT NULL),
+       |hs AS (SELECT doc_id, $h AS hh FROM sh),
+       |rare AS (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= $MaxShingleDf),
+       |ds AS (
+       |  SELECT s.doc_id, d.source, s.hh
+       |  FROM hs s JOIN rare USING (hh) JOIN documents d USING (doc_id)),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.source AS sa, b.source AS sb
+       |  FROM ds a JOIN ds b
+       |    ON a.hh = b.hh AND a.doc_id < b.doc_id AND a.source <> b.source
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MinSharedShingles),
+       |edges AS (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs),
+       |nodes AS (SELECT DISTINCT source FROM documents),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |outdeg AS (SELECT src_from, count(*) AS d FROM edges GROUP BY 1),
+       |indeg AS (SELECT src_to, count(*) AS i FROM edges GROUP BY 1),
+       |r0 AS (
+       |  SELECT nd.source, CAST(1000000000000 // p.n AS BIGINT) AS rank
+       |  FROM nodes nd CROSS JOIN params p),
+       |$iters
+       |SELECT nd.source,
+       |       CAST(COALESCE(od.d, 0) AS BIGINT) AS out_deg,
+       |       CAST(COALESCE(ig.i, 0) AS BIGINT) AS in_deg,
+       |       r.rank
+       |FROM nodes nd
+       |LEFT JOIN outdeg od ON od.src_from = nd.source
+       |LEFT JOIN indeg ig ON ig.src_to = nd.source
+       |JOIN r$Iterations r ON r.source = nd.source
+       |ORDER BY r.rank DESC, nd.source""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_source_pagerank" -> (q123 _))
+
+  val oracles: Map[String, String] = Map(
+    "q123_source_pagerank" -> q123Oracle)
+}
