@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TokenizerOps
+
+/** q124 BPE pair counting: recompute both merge rounds from first
+  * principles in plain Scala (regex tokenize -> word freqs -> top-W ->
+  * pair weights -> merge -> recount) and compare row-for-row.
+  */
+class TokenizerOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def pairRound(wf: Seq[(String, Long)]): Seq[(String, Long, Long)] =
+    wf.filter(_._1.length >= 2)
+      .flatMap { case (w, f) => w.sliding(2).map(p => (p, w, f)) }
+      .groupBy(_._1)
+      .map { case (p, rows) =>
+        (p, rows.map(_._3).sum, rows.map(_._2).distinct.length.toLong)
+      }
+      .toSeq
+      .sortBy { case (p, wt, _) => (-wt, p) }
+      .take(TokenizerOps.BpePairTop)
+
+  test("q124 matches a first-principles Scala BPE pair count, both rounds") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text").as[String].collect()
+
+    val freqs = texts
+      .flatMap(t => t.toLowerCase.split("[^a-z]+").filter(_.length >= 2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val wf = freqs.sortBy { case (w, f) => (-f, w) }
+      .take(TokenizerOps.BpeVocabWords)
+
+    val r1 = pairRound(wf)
+    val mergePair = r1.head._1
+    val r2 = pairRound(wf.map { case (w, f) =>
+      (w.replace(mergePair, "0"), f)
+    })
+    val expected =
+      r1.map { case (p, wt, n) => (1, p, wt, n) } ++
+        r2.map { case (p, wt, n) => (2, p, wt, n) }
+
+    val got = TokenizerOps.q124(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("round 2 reflects the applied merge: the winning pair is gone") {
+    val rows = TokenizerOps.q124(spark, sfDir).collect()
+    val r1 = rows.filter(_.getInt(0) == 1)
+    val r2 = rows.filter(_.getInt(0) == 2)
+    assert(r1.nonEmpty && r2.nonEmpty)
+    val winner = r1.head.getString(1)
+    assert(!r2.exists(_.getString(1) == winner),
+      s"merged pair '$winner' must not survive into round 2")
+    assert(rows.forall(_.getString(1).length == 2), "pairs are 2 symbols")
+    assert(rows.forall(_.getLong(2) > 0L))
+  }
+}
