@@ -281,15 +281,96 @@ object PipelineOps7 {
        |       CAST(max(doc_id) AS BIGINT) AS last_doc
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+
+  /** q125 base keep rate (permille): an exactly-balanced corpus keeps
+    * this fraction of every language; under/over-represented languages
+    * scale up (capped at keep-all) / down by the importance ratio.
+    */
+  val ImpBasePermille: Long = 600L
+
+  /** Importance RESAMPLING to a uniform language target (the
+    * DSIR/DoReMi-style mixture-rebalancing primitive; q106's flattening
+    * is the special case "target = min count"). The importance weight
+    * of a doc is target_share / actual_share of its language; with a
+    * base keep rate B that is
+    * `w(lang) = least(1000, (B * total) div (n_langs * n_lang))`
+    * per-mille, and a doc survives iff
+    * `h60('imp:'||doc_id) % 1000 < w(lang)` — RNG-free, rerun-stable,
+    * resumable, and the acceptance test never shuffles the corpus.
+    *
+    * Scale shape: pass 1 is a 5-row language census (windows over the
+    * census, never a second corpus pass — the q114 lesson); pass 2
+    * re-scans only (lang, doc_id) (column-pruned), broadcast-joins the
+    * 5-row weight table, and folds straight into the per-lang
+    * acceptance counts. All arithmetic is int64 with truncated div.
+    */
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val all = Window.partitionBy()
+    val weights = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(all))
+      .withColumn("n_langs", count(lit(1)).over(all))
+      .withColumn("weight_permille",
+        expr(s"least(1000, ($ImpBasePermille * total)" +
+          " div (n_langs * n_docs))"))
+      .select(col("lang"), col("n_docs"), col("weight_permille"))
+    val accepted = docs.select(col("lang"), col("doc_id"))
+      .join(broadcast(weights.select(col("lang"), col("weight_permille"))),
+        Seq("lang"))
+      .filter(CrossHash.h60(
+        concat(lit("imp:"), col("doc_id").cast("string"))) % 1000
+        < col("weight_permille"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_accepted"))
+    weights.join(accepted, Seq("lang"), "left")
+      .withColumn("n_accepted", coalesce(col("n_accepted"), lit(0L)))
+      .withColumn("achieved_permille",
+        expr("1000 * n_accepted div n_docs"))
+      .withColumn("post_share_permille",
+        expr("1000 * n_accepted div (sum(n_accepted) over ())"))
+      .select(col("lang"), col("n_docs"), col("weight_permille"),
+        col("n_accepted"), col("achieved_permille"),
+        col("post_share_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q125Oracle: String = {
+    val h = CrossHash.h60Sql("'imp:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH mix AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |w AS (
+       |  SELECT lang, n_docs,
+       |         least(1000, ($ImpBasePermille * sum(n_docs) OVER ())
+       |               // ((count(*) OVER ()) * n_docs)) AS weight_permille
+       |  FROM mix),
+       |acc AS (
+       |  SELECT d.lang, count(*) AS n_accepted
+       |  FROM documents d JOIN w USING (lang)
+       |  WHERE ($h) % 1000 < weight_permille
+       |  GROUP BY d.lang)
+       |SELECT w.lang,
+       |       CAST(w.n_docs AS BIGINT) AS n_docs,
+       |       CAST(w.weight_permille AS BIGINT) AS weight_permille,
+       |       CAST(COALESCE(a.n_accepted, 0) AS BIGINT) AS n_accepted,
+       |       CAST(1000 * COALESCE(a.n_accepted, 0)
+       |            // w.n_docs AS BIGINT) AS achieved_permille,
+       |       CAST(1000 * COALESCE(a.n_accepted, 0)
+       |            // (sum(COALESCE(a.n_accepted, 0)) OVER ())
+       |            AS BIGINT) AS post_share_permille
+       |FROM w LEFT JOIN acc a USING (lang)
+       |ORDER BY w.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_flatten_sample" -> (q106 _),
     "q107_retention_cohorts" -> (q107 _),
     "q108_eval_allocation" -> (q108 _),
-    "q109_token_packing" -> (q109 _))
+    "q109_token_packing" -> (q109 _),
+    "q125_importance_sample" -> (q125 _))
 
   val oracles: Map[String, String] = Map(
     "q106_flatten_sample" -> q106Oracle,
     "q107_retention_cohorts" -> q107Oracle,
     "q108_eval_allocation" -> q108Oracle,
-    "q109_token_packing" -> q109Oracle)
+    "q109_token_packing" -> q109Oracle,
+    "q125_importance_sample" -> q125Oracle)
 }

@@ -134,4 +134,40 @@ class PipelineOps7Spec extends AnyFunSuite {
     val twoLevel = PipelineOps7.q109(spark, sfDir).collect()
     assert(twoLevel.map(_.toString).toSeq == flat.map(_.toString).toSeq)
   }
+
+  test("q125: weights follow the exact importance formula and rebalance the mix") {
+    val rows = PipelineOps7.q125(spark, sfDir01).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nLangs = rows.length.toLong
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val expected = math.min(1000L,
+        (PipelineOps7.ImpBasePermille * total) / (nLangs * n))
+      assert(r.getAs[Long]("weight_permille") == expected,
+        s"${r.getAs[String]("lang")}: weight formula mismatch")
+      // Bernoulli(w/1000) over n docs: 6 sigma determinism band
+      val acc = r.getAs[Long]("n_accepted")
+      val exp = expected.toDouble * n / 1000.0
+      assert(math.abs(acc - exp) <= 6 * math.sqrt(exp),
+        s"${r.getAs[String]("lang")}: accepted $acc, expected ~$exp")
+    }
+    // the resample moves the language mix TOWARD uniform: total
+    // variation distance to the uniform target must strictly shrink
+    // (sf0.01 is en-heavy, so there is real distance to close)
+    val accTotal = rows.map(_.getAs[Long]("n_accepted")).sum
+    def tvd(shares: Seq[Double]) = shares.map(s => math.abs(s - 1.0 / nLangs)).sum / 2
+    val pre = tvd(rows.map(_.getAs[Long]("n_docs").toDouble / total).toSeq)
+    val post = tvd(rows.map(_.getAs[Long]("n_accepted").toDouble / accTotal).toSeq)
+    assert(post < pre, s"resample must rebalance: pre-TVD $pre, post-TVD $post")
+    assert(post < 0.02, s"post-sample mix should be near-uniform, TVD $post")
+  }
+
+  test("q125: the corpus acceptance pass broadcast-joins the weight table") {
+    val plan = PipelineOps7.q125(spark, sfDir01).queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle into the weight join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast to the acceptance scan:\n$plan")
+  }
 }
