@@ -437,17 +437,87 @@ object PipelineOps6 {
        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $BmK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q126
+
+  /** Docs returned by the phrase search. */
+  val PhraseTop = 50
+
+  /** Positional phrase search — the retrieval primitive q104's postings
+    * and q105's ranking both lack: CONSECUTIVE-position matching. The
+    * query phrase is derived from the corpus itself (its most frequent
+    * bigram under the total order count DESC, w1, w2 — so the query is
+    * deterministic and always has hits at every SF), then every
+    * occurrence is located and docs are ranked by occurrence count.
+    *
+    * Scale shape: adjacent pairs come from an index-HOF over the token
+    * array (`transform(sequence(...))` — NARROW, no per-doc window
+    * shuffle; the bigram sits next to its 1-based position before any
+    * explode). Pass 1 aggregates bigram counts (the stats a real
+    * positional index precomputes); pass 2 re-derives pairs and prunes
+    * to the broadcast 1-row phrase IMMEDIATELY after the narrow
+    * explode, so the only shuffle carries matching occurrences. Top
+    * docs via TakeOrderedAndProject.
+    */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    def pairs(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(cast(i as bigint) as pos," +
+          " toks[i-1] as w1, toks[i] as w2))")).as("p"))
+      .select(col("doc_id"), col("p.pos"), col("p.w1"), col("p.w2"))
+    val docs = table(spark, dir, "documents")
+    val phrase = pairs(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+      .select(col("w1"), col("w2"))
+    pairs(docs)
+      .join(broadcast(phrase), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(PhraseTop)
+  }
+
+  val q126Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t WHERE tok <> ''),
+       |seq AS (
+       |  SELECT doc_id, tok,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+       |  FROM toks),
+       |bp AS (
+       |  SELECT doc_id, pos, tok AS w1, lead(tok) OVER w AS w2
+       |  FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |bg AS (SELECT * FROM bp WHERE w2 IS NOT NULL),
+       |top1 AS (
+       |  SELECT w1, w2 FROM (
+       |    SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2)
+       |  ORDER BY c DESC, w1, w2 LIMIT 1)
+       |SELECT doc_id, count(*) AS n_occ,
+       |       CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM bg JOIN top1 USING (w1, w2)
+       |GROUP BY doc_id
+       |ORDER BY n_occ DESC, doc_id LIMIT $PhraseTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_repeated_chunks" -> (q101 _),
     "q102_domain_quota" -> (q102 _),
     "q103_ann_recall" -> (q103 _),
     "q104_inverted_index" -> (q104 _),
-    "q105_bm25" -> (q105 _))
+    "q105_bm25" -> (q105 _),
+    "q126_phrase_search" -> (q126 _))
 
   val oracles: Map[String, String] = Map(
     "q101_repeated_chunks" -> q101Oracle,
     "q102_domain_quota" -> q102Oracle,
     "q103_ann_recall" -> q103Oracle,
     "q104_inverted_index" -> q104Oracle,
-    "q105_bm25" -> q105Oracle)
+    "q105_bm25" -> q105Oracle,
+    "q126_phrase_search" -> q126Oracle)
 }

@@ -157,4 +157,34 @@ class PipelineOps6Spec extends AnyFunSuite {
     assert(top.getAs[Long]("score") == expected,
       s"doc ${top.getAs[Long]("doc_id")}: engine ${top.getAs[Long]("score")} vs hand $expected")
   }
+
+  test("q126: phrase hits match a first-principles Scala positional scan") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val docPairs = texts.map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      // 1-based position of the bigram's first token, post-filter
+      id -> toks.sliding(2).zipWithIndex.collect {
+        case (Array(a, b), i) => ((a, b), (i + 1).toLong)
+      }.toSeq
+    }
+    val counts = docPairs.flatMap(_._2.map(_._1))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+    val phrase = counts
+      .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    val expected = docPairs
+      .map { case (id, ps) =>
+        val hits = ps.filter(_._1 == phrase)
+        (id, hits.length.toLong, if (hits.isEmpty) 0L else hits.map(_._2).min)
+      }
+      .filter(_._2 > 0)
+      .sortBy { case (id, n, _) => (-n, id) }
+      .take(PipelineOps6.PhraseTop).toSeq
+
+    val got = PipelineOps6.q126(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"phrase $phrase: engine ${got.take(3)} vs scala ${expected.take(3)}")
+  }
 }
