@@ -402,13 +402,119 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+
+  /** q127 gates: pairs must share at least this many shingles, and the
+    * contained side must overlap at this per-mille or higher.
+    */
+  val MinContainShared: Long = 10L
+  val MinContainPermille: Long = 800L
+
+  /** Shingles in more than this many docs are boilerplate — dropped
+    * before the pair join (the q123 skew guard; containment is then
+    * DEFINED over the rare-shingle sets, same on both sides).
+    */
+  val ContainMaxDf: Int = 64
+
+  /** Asymmetric CONTAINMENT detection — the near-dup metric Jaccard
+    * (q23) structurally misses: a short doc fully quoted inside a long
+    * one has tiny Jaccard but containment ≈ 1. For each candidate pair
+    * the per-mille overlap is computed against EACH side's own shingle
+    * set size, and the more-contained side is reported as the doc a
+    * dedup pass should drop (ties — identical rare-shingle sets — keep
+    * the earlier doc as container, the q113/q123 "original wins"
+    * convention).
+    *
+    * Scale shape: per-doc-distinct 5-token shingles as 8-byte native
+    * hashes before any shuffle; the df cap bounds the self-join fanout;
+    * sizes are a narrow re-aggregation of the same (doc, h) frame. All
+    * ratios are integer per-mille with truncated div.
+    */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    val sh = table(spark, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles60.wordShingles60(col("toks"), 5)))
+        .as("h"))
+    val ds = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= ContainMaxDf)
+      .drop(col("df"))
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ds.select(col("h"), col("doc_id").as("da"))
+      .join(ds.select(col("h"), col("doc_id").as("db")), Seq("h"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinContainShared)
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("ca", expr("1000 * shared div na"))
+      .withColumn("cb", expr("1000 * shared div nb"))
+      .filter(greatest(col("ca"), col("cb")) >= MinContainPermille)
+      .select(
+        expr("CASE WHEN ca > cb THEN da ELSE db END").as("doc_contained"),
+        expr("CASE WHEN ca > cb THEN db ELSE da END").as("doc_container"),
+        col("shared").as("n_shared"),
+        expr("CASE WHEN ca > cb THEN na ELSE nb END").as("n_contained"),
+        expr("CASE WHEN ca > cb THEN nb ELSE na END").as("n_container"),
+        expr("CASE WHEN ca > cb THEN ca ELSE cb END")
+          .as("containment_permille"))
+      .orderBy(col("containment_permille").desc, col("doc_contained"),
+        col("doc_container"))
+  }
+
+  val q127Oracle: String = {
+    val h = h60Sql("shingle")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t WHERE tok <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+       |           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+       |  WHERE shingle IS NOT NULL),
+       |hs AS (SELECT doc_id, $h AS hh FROM sh),
+       |rare AS (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= $ContainMaxDf),
+       |ds AS (SELECT doc_id, hh FROM hs JOIN rare USING (hh)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+       |  FROM ds a JOIN ds b ON a.hh = b.hh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinContainShared),
+       |c AS (
+       |  SELECT da, db, shared, sa.n AS na, sb.n AS nb,
+       |         1000 * shared // sa.n AS ca, 1000 * shared // sb.n AS cb
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db)
+       |SELECT CAST(CASE WHEN ca > cb THEN da ELSE db END AS BIGINT) AS doc_contained,
+       |       CAST(CASE WHEN ca > cb THEN db ELSE da END AS BIGINT) AS doc_container,
+       |       CAST(shared AS BIGINT) AS n_shared,
+       |       CAST(CASE WHEN ca > cb THEN na ELSE nb END AS BIGINT) AS n_contained,
+       |       CAST(CASE WHEN ca > cb THEN nb ELSE na END AS BIGINT) AS n_container,
+       |       CAST(CASE WHEN ca > cb THEN ca ELSE cb END AS BIGINT)
+       |         AS containment_permille
+       |FROM c WHERE greatest(ca, cb) >= $MinContainPermille
+       |ORDER BY containment_permille DESC, doc_contained, doc_container"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17 _),
     "q21_minhash_lsh" -> (q21 _),
     "q22_simhash" -> (q22 _),
     "q23_ngram_jaccard" -> (q23 _),
     "q78_dedup_clusters" -> (q78 _),
-    "q87_dedup_pipeline" -> (q87 _))
+    "q87_dedup_pipeline" -> (q87 _),
+    "q127_containment" -> (q127 _))
 
   val oracles: Map[String, String] = Map(
     "q17_dedup_exact" -> q17Oracle,
@@ -416,5 +522,6 @@ object Dedup {
     "q22_simhash" -> q22Oracle,
     "q23_ngram_jaccard" -> q23Oracle,
     "q78_dedup_clusters" -> q78Oracle,
-    "q87_dedup_pipeline" -> q87Oracle)
+    "q87_dedup_pipeline" -> q87Oracle,
+    "q127_containment" -> q127Oracle)
 }
