@@ -104,25 +104,32 @@ object GraphRank {
       .select(col("source")).distinct().localCheckpoint(true)
     val params = broadcast(nodes.agg(count(lit(1)).as("n")))
 
+    // every per-iteration join side is bounded by the DOMAIN count
+    // (sources, not documents — at most millions of rows even under a
+    // 100 TB corpus), so broadcast hints kill the 4 rounds of tiny
+    // exchanges the static planner would otherwise emit as SMJs
     var rank = nodes.crossJoin(params)
       .select(col("source"), expr(s"$RankScale div n").as("rank"))
     for (_ <- 1 to Iterations) {
       val contribs = edges
-        .join(rank.withColumnRenamed("source", "src_from"), Seq("src_from"))
-        .join(outdeg, Seq("src_from"))
+        .join(broadcast(rank.withColumnRenamed("source", "src_from")),
+          Seq("src_from"))
+        .join(broadcast(outdeg), Seq("src_from"))
         .select(col("src_to").as("source"), expr("rank div d").as("c"))
         .groupBy(col("source")).agg(sum(col("c")).as("c"))
       rank = nodes.crossJoin(params)
-        .join(contribs, Seq("source"), "left")
+        .join(broadcast(contribs), Seq("source"), "left")
         .select(col("source"),
           expr(s"(15 * ($RankScale div n)) div 100" +
             " + (85 * coalesce(c, 0)) div 100").as("rank"))
     }
 
     nodes
-      .join(outdeg.withColumnRenamed("src_from", "source"), Seq("source"), "left")
-      .join(indeg.withColumnRenamed("src_to", "source"), Seq("source"), "left")
-      .join(rank, Seq("source"))
+      .join(broadcast(outdeg.withColumnRenamed("src_from", "source")),
+        Seq("source"), "left")
+      .join(broadcast(indeg.withColumnRenamed("src_to", "source")),
+        Seq("source"), "left")
+      .join(broadcast(rank), Seq("source"))
       .select(col("source"),
         coalesce(col("d"), lit(0L)).as("out_deg"),
         coalesce(col("i"), lit(0L)).as("in_deg"),
