@@ -99,7 +99,11 @@ object Bench {
     val repoRoot = Paths.get(".").toAbsolutePath.normalize
     val prior = Option(repoRoot.toFile.list()).map(_.count(f =>
       f.startsWith("BENCH_r") && f.endsWith(".json"))).getOrElse(0)
-    val localFile = s"BENCH_LOCAL_r${prior + 1}.json"
+    // SPARK_GRAFT_BENCH_OUT redirects the artifact — a full sweep at a
+    // DIFFERENT sf (the sf1 evidence run) must not clobber the round's
+    // sf0.1 BENCH_LOCAL file
+    val localFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_LOCAL_r${prior + 1}.json")
 
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
