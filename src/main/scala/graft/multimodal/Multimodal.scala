@@ -354,23 +354,32 @@ object Multimodal {
   def decodeAudio(payload: Array[Byte])
       : Either[String, (Double, Long, Double, Int, Long)] =
     readPcm(payload).map { case (rate, samples) =>
-      val n = samples.length
-      var sumSq = 0.0
-      var peak = 0
-      var zc = 0L
-      var prev = 0
-      var i = 0
-      while (i < n) {
-        val s = samples(i)
-        sumSq += s.toDouble * s
-        if (math.abs(s) > peak) peak = math.abs(s)
-        if (i > 0 && ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1
-        prev = s
-        i += 1
-      }
-      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-      (rate.toDouble, n.toLong, rms, peak, zc)
+      val (rms, peak, zc) = pcmFeatures(samples)
+      (rate.toDouble, samples.length.toLong, rms, peak, zc)
     }
+
+  /** Waveform features of a PCM sample array — the single copy of the
+    * feature math, shared by [[decodeAudio]] and
+    * [[extractResampledAudio]] (the same one-definition rule as
+    * [[readPcm]] for the byte-to-sample contract).
+    */
+  private def pcmFeatures(samples: Array[Int]): (Double, Int, Long) = {
+    val n = samples.length
+    var sumSq = 0.0
+    var peak = 0
+    var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = samples(i)
+      sumSq += s.toDouble * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1
+      prev = s
+      i += 1
+    }
+    (if (n == 0) 0.0 else math.sqrt(sumSq / n), peak, zc)
+  }
 
   /** Shared bounded PCM reader ([[decodeAudio]] + [[decimateAudio]]):
     * RIFF parse, format/frame-count guards, then the raw sign-extended
@@ -414,7 +423,11 @@ object Multimodal {
     * analogue of [[resizeImage]]'s bit-determinism; a windowed low-pass
     * would introduce float filter kernels that vary with vector ISA).
     * The output rate is rate/factor; re-encoded as mono 16-bit PCM WAV
-    * so the result survives a round-trip through the same codec.
+    * so the result survives a round-trip through the same codec. The
+    * factor must DIVIDE the integer sample rate: the RIFF header stores
+    * rates as integers, so a fractional rate/factor would silently
+    * disagree with the WAV this function's callers write — rejected
+    * loudly instead (quarantine pattern).
     */
   def decimateAudio(payload: Array[Byte], factor: Int)
       : Either[String, (Float, Array[Int])] =
@@ -422,6 +435,9 @@ object Multimodal {
     else readPcm(payload).flatMap { case (rate, samples) =>
       if (samples.isEmpty || samples.length < factor)
         Left(s"factor $factor exceeds sample count ${samples.length}")
+      else if (rate != rate.toInt.toFloat || rate.toInt % factor != 0)
+        Left(s"factor $factor does not divide sample rate $rate — " +
+          "the integer RIFF header could not represent the result")
       else {
         val out = new Array[Int]((samples.length + factor - 1) / factor)
         var i = 0
@@ -467,17 +483,7 @@ object Multimodal {
           decimateAudio(a.payload, factor) match {
             case Right((rate, samples)) =>
               val wav = encodeWav(samples, rate)
-              var sumSq = 0.0
-              var peak = 0
-              var i = 0
-              while (i < samples.length) {
-                val s = samples(i)
-                sumSq += s.toDouble * s
-                if (math.abs(s) > peak) peak = math.abs(s)
-                i += 1
-              }
-              val rms =
-                if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length)
+              val (rms, peak, _) = pcmFeatures(samples)
               ResampledAudio(a.asset_id, rate.toDouble, samples.length.toLong,
                 wav.length.toLong, rms, peak, null)
             case Left(err) =>

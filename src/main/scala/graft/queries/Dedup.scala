@@ -410,11 +410,11 @@ object Dedup {
   val MinContainShared: Long = 10L
   val MinContainPermille: Long = 800L
 
-  /** Shingles in more than this many docs are boilerplate — dropped
-    * before the pair join (the q123 skew guard; containment is then
-    * DEFINED over the rare-shingle sets, same on both sides).
+  /** The df-cap skew guard — one definition in [[Shingles.MaxDf]],
+    * shared with q123's syndication pipeline; containment is DEFINED
+    * over the rare-shingle sets, same on both sides.
     */
-  val ContainMaxDf: Int = 64
+  val ContainMaxDf: Int = Shingles.MaxDf
 
   /** Asymmetric CONTAINMENT detection — the near-dup metric Jaccard
     * (q23) structurally misses: a short doc fully quoted inside a long
@@ -431,17 +431,7 @@ object Dedup {
     * ratios are integer per-mille with truncated div.
     */
   def q127(spark: SparkSession, dir: String): DataFrame = {
-    val sh = table(spark, dir, "documents")
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.WordShingles60.wordShingles60(col("toks"), 5)))
-        .as("h"))
-    val ds = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("df") <= ContainMaxDf)
-      .drop(col("df"))
+    val ds = Shingles.rareHashes(table(spark, dir, "documents"))
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ds.select(col("h"), col("doc_id").as("da"))
       .join(ds.select(col("h"), col("doc_id").as("db")), Seq("h"))
@@ -468,22 +458,10 @@ object Dedup {
   }
 
   val q127Oracle: String = {
-    val h = h60Sql("shingle")
-    s"""WITH toks AS (
-       |  SELECT doc_id, tok, pos FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-       |           generate_subscripts(string_split(text, ' '), 1) AS pos
-       |    FROM documents) t WHERE tok <> ''),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, shingle FROM (
-       |    SELECT doc_id,
-       |           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-       |           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
-       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
-       |  WHERE shingle IS NOT NULL),
-       |hs AS (SELECT doc_id, $h AS hh FROM sh),
-       |rare AS (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= $ContainMaxDf),
-       |ds AS (SELECT doc_id, hh FROM hs JOIN rare USING (hh)),
+    // CTE prefix concatenated AFTER stripMargin — interpolating it into
+    // the stripMargin region would corrupt its leading `||` operators
+    s"WITH ${Shingles.rareCteSql},\n" +
+    s"""ds AS (SELECT doc_id, hh FROM hs JOIN rare USING (hh)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
-import graft.functions.{CrossHash, WordShingles60}
 
 /** Source-authority ranking over the syndication graph (q123) — the
   * web-corpus curation op the reference's Athena surface never had: rank
@@ -40,11 +39,10 @@ import graft.functions.{CrossHash, WordShingles60}
   */
 object GraphRank {
 
-  /** Shingles occurring in more than this many documents are boilerplate
-    * (headers, license text) and are dropped BEFORE the pair self-join —
-    * the skew guard that keeps the join linear in real corpora.
+  /** The df-cap skew guard — one definition in [[Shingles.MaxDf]],
+    * shared with q127's containment pipeline.
     */
-  val MaxShingleDf: Int = 64
+  val MaxShingleDf: Int = Shingles.MaxDf
 
   /** A syndicated passage = at least this many shared per-doc-distinct
     * 5-token shingles between two documents of different sources.
@@ -68,21 +66,7 @@ object GraphRank {
     * collected edge list from first principles.
     */
   private[graft] def syndicationEdges(spark: SparkSession, dir: String): DataFrame = {
-    val sh = table(spark, dir, "documents")
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(
-          WordShingles60.wordShingles60(col("toks"), 5))).as("h"))
-    // df cap as a window over h, not groupBy+join-back: the count rides
-    // the SAME shuffle-on-h the self-join needs, so the corpus-scale
-    // shingle pipeline is shuffled once and both join sides reuse the
-    // exchange instead of re-running the scan+explode lineage
-    val ds = sh
-      .withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("df") <= MaxShingleDf)
-      .drop(col("df"))
+    val ds = Shingles.rareHashes(table(spark, dir, "documents"), Seq("source"))
     val pairs = ds.select(col("h"), col("doc_id").as("da"), col("source").as("sa"))
       .join(ds.select(col("h"), col("doc_id").as("db"), col("source").as("sb")),
         Seq("h"))
@@ -138,11 +122,10 @@ object GraphRank {
   }
 
   val q123Oracle: String = {
-    val h = CrossHash.h60Sql("shingle")
     val iters = (1 to Iterations).map { k =>
       s"""r$k AS (
          |  SELECT nd.source,
-         |         CAST((15 * (1000000000000 // p.n)) // 100
+         |         CAST((15 * ($RankScale // p.n)) // 100
          |              + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
          |  FROM nodes nd CROSS JOIN params p
          |  LEFT JOIN (
@@ -153,21 +136,11 @@ object GraphRank {
          |    GROUP BY e.src_to) s ON s.source = nd.source)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id, tok, pos FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-       |           generate_subscripts(string_split(text, ' '), 1) AS pos
-       |    FROM documents) t WHERE tok <> ''),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, shingle FROM (
-       |    SELECT doc_id,
-       |           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-       |           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
-       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
-       |  WHERE shingle IS NOT NULL),
-       |hs AS (SELECT doc_id, $h AS hh FROM sh),
-       |rare AS (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= $MaxShingleDf),
-       |ds AS (
+    // the CTE prefix is concatenated AFTER stripMargin: interpolating a
+    // multi-line string into a stripMargin region corrupts its leading
+    // `||` concat operators (stripMargin eats the first pipe)
+    s"WITH ${Shingles.rareCteSql},\n" +
+    s"""ds AS (
        |  SELECT s.doc_id, d.source, s.hh
        |  FROM hs s JOIN rare USING (hh) JOIN documents d USING (doc_id)),
        |pairs AS (
@@ -181,7 +154,7 @@ object GraphRank {
        |outdeg AS (SELECT src_from, count(*) AS d FROM edges GROUP BY 1),
        |indeg AS (SELECT src_to, count(*) AS i FROM edges GROUP BY 1),
        |r0 AS (
-       |  SELECT nd.source, CAST(1000000000000 // p.n AS BIGINT) AS rank
+       |  SELECT nd.source, CAST($RankScale // p.n AS BIGINT) AS rank
        |  FROM nodes nd CROSS JOIN params p),
        |$iters
        |SELECT nd.source,

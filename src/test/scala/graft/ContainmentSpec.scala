@@ -21,22 +21,12 @@ class ContainmentSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def h60(s: String): Long = graft.functions.CrossHash.h60FromDigest(
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")))
-
-  private def shingleSet(text: String): Set[Long] = {
-    val t = text.split(' ').filter(_.nonEmpty)
-    if (t.length < 5) Set.empty
-    else t.sliding(5).map(w => h60(w.mkString(" "))).toSet
-  }
-
   test("q127 equals a first-principles shingle-set containment model") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect()
 
-    val raw = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val raw = docs.map { case (id, t) => id -> ShingleModel.shingleSet(t) }.toMap
     val dfCount = raw.values.flatten.groupBy(identity).view.mapValues(_.size)
     val hot = dfCount.filter(_._2 > Dedup.ContainMaxDf).keys.toSet
     val sets = raw.view.mapValues(_ -- hot).filter(_._2.nonEmpty).toMap

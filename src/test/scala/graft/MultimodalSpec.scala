@@ -225,12 +225,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rate == 2000f && dec.length == 500)
     // every output sample is the literal factor-th input sample
     (0 until dec.length).foreach(i => assert(dec(i) == full(i * 4)))
-    // non-divisible factor keeps the ceil count (2000/3 -> 667)
-    val Right((_, dec3)) = Multimodal.decimateAudio(wav, 3)
-    assert(dec3.length == 667 && dec3(666) == full(1998))
+    // sample count NOT divisible keeps the ceil count (2000/32 -> 63;
+    // the rate 8000/32 = 250 stays integral as the guard requires)
+    val Right((rate32, dec32)) = Multimodal.decimateAudio(wav, 32)
+    assert(rate32 == 250f && dec32.length == 63 && dec32(62) == full(1984))
     assert(Multimodal.decimateAudio(wav, 0).isLeft, "non-positive rejected")
     assert(Multimodal.decimateAudio(wav, 2001).isLeft,
       "factor beyond sample count rejected")
+    assert(Multimodal.decimateAudio(wav, 3).isLeft,
+      "factor not dividing the 8000 Hz rate rejected — the integer RIFF " +
+        "header could not represent 8000/3")
     assert(Multimodal.decimateAudio(Array[Byte](1, 2, 3), 2).isLeft,
       "garbage payload surfaces as Left")
   }

@@ -223,15 +223,9 @@ class PipelineOps9Spec extends AnyFunSuite {
   test("q121: novelty equals an independent shingle-set recomputation") {
     val rows = P9.q121(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    // first-principles model: tokenize, slide 5-grams, md5-h60 hash
-    def h60(s: String): Long = graft.functions.CrossHash.h60FromDigest(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")))
-    def shingleSet(text: String): Set[Long] = {
-      val t = text.split(' ').filter(_.nonEmpty)
-      if (t.length < 5) Set.empty
-      else t.sliding(5).map(w => h60(w.mkString(" "))).toSet
-    }
+    // first-principles model: tokenize, slide 5-grams, md5-h60 hash —
+    // the shared ShingleModel, one copy across the re-deriving specs
+    def shingleSet(text: String): Set[Long] = ShingleModel.shingleSet(text)
     val docs = graft.Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
