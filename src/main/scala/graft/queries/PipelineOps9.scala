@@ -589,6 +589,65 @@ object PipelineOps9 {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q128
+
+  /** Outliers reported by q128. */
+  val OutlierTop = 25
+
+  /** Centroid-distance OUTLIER detection — the curation twin of q119's
+    * drift monitor: instead of comparing two releases' centroids, each
+    * vector is scored by its exact int64 squared-L2 distance to its own
+    * label's centroid, and the farthest vectors are the mislabeled /
+    * noisy-sample candidates an embedding-quality pass would prune.
+    *
+    * Same arithmetic discipline as q119: floor(x·10⁴) quantization,
+    * truncated-quotient centroid means (Spark `div` ≡ DuckDB `//`),
+    * integer differences squared — bit-identical cross-engine, no float
+    * anywhere. Headroom: |x| ≤ 2·10⁴ ⇒ diff² ≤ 1.6·10⁹, × 64 dims ≈
+    * 10¹¹ ≪ 2⁶³.
+    *
+    * Scale shape: one (label, dim) aggregate builds the centroid table
+    * (labels × dims rows — tiny), which broadcasts back to the exploded
+    * vector dims; the per-vector distance folds in the same shuffle-free
+    * pass; top-k is TakeOrderedAndProject.
+    */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val dims = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(expr(s"transform(embedding, e -> " +
+          s"cast(floor(cast(e as double) * $EmbQScale) as bigint))"))
+          .as(Seq("dim", "x")))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s div n").as("m"))
+    dims.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        ((col("x") - col("m")) * (col("x") - col("m"))).as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("d2")).as("dist_sq"))
+      .orderBy(col("dist_sq").desc, col("vec_id"))
+      .limit(OutlierTop)
+  }
+
+  val q128Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding, e ->
+       |           CAST(floor(CAST(e AS DOUBLE) * $EmbQScale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, label,
+       |         generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS x
+       |  FROM q),
+       |cent AS (
+       |  SELECT label, dim, CAST(sum(x) // count(*) AS BIGINT) AS m
+       |  FROM dims GROUP BY label, dim)
+       |SELECT d.vec_id, d.label,
+       |       CAST(sum((d.x - c.m) * (d.x - c.m)) AS BIGINT) AS dist_sq
+       |FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+       |GROUP BY d.vec_id, d.label
+       |ORDER BY dist_sq DESC, d.vec_id LIMIT $OutlierTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_split_assign" -> (q114 _),
     "q115_incremental_dedup" -> (q115 _),
@@ -597,7 +656,8 @@ object PipelineOps9 {
     "q118_corpus_overlap" -> (q118 _),
     "q119_embedding_drift" -> (q119 _),
     "q120_split_leakage" -> (q120 _),
-    "q121_shingle_novelty" -> (q121 _))
+    "q121_shingle_novelty" -> (q121 _),
+    "q128_embedding_outliers" -> (q128 _))
 
   val oracles: Map[String, String] = Map(
     "q114_split_assign" -> q114Oracle,
@@ -607,5 +667,6 @@ object PipelineOps9 {
     "q118_corpus_overlap" -> q118Oracle,
     "q119_embedding_drift" -> q119Oracle,
     "q120_split_leakage" -> q120Oracle,
-    "q121_shingle_novelty" -> q121Oracle)
+    "q121_shingle_novelty" -> q121Oracle,
+    "q128_embedding_outliers" -> q128Oracle)
 }

@@ -269,4 +269,32 @@ class PipelineOps9Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("oov_permille") < 500,
       s"vocab of ${P9.VocabSize} should cover most tokens"))
   }
+
+  test("q128: outlier distances equal a first-principles quantized recompute") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(e => math.floor(e.toDouble * P9.EmbQScale).toLong)))
+
+    val cent = vecs.flatMap { case (_, l, q) => q.zipWithIndex.map {
+        case (x, d) => ((l, d), x) } }
+      .groupBy(_._1).view
+      .mapValues(xs => xs.map(_._2).sum / xs.length) // Long / truncates like div
+      .toMap
+    val expected = vecs
+      .map { case (id, l, q) =>
+        val d2 = q.zipWithIndex.map { case (x, d) =>
+          val m = cent((l, d)); (x - m) * (x - m) }.sum
+        (id, l, d2)
+      }
+      .sortBy { case (id, _, d) => (-d, id) }
+      .take(P9.OutlierTop).toSeq
+
+    val got = P9.q128(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"engine ${got.take(3)} vs model ${expected.take(3)}")
+    assert(got.nonEmpty && got.head._3 > 0, "top outlier has positive distance")
+  }
 }
