@@ -105,9 +105,114 @@ object TokenizerOps {
        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
        |ORDER BY round, weight DESC, pair""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+
+  /** Id-range buckets for the growth curve. */
+  val GrowthBuckets: Int = 10
+
+  /** Vocabulary GROWTH audit (Heaps-law curve): how fast do the
+    * distinct-term vocabulary AND the distinct 5-token shingle space
+    * grow as the corpus is ingested in doc_id order? Terms tell a
+    * tokenizer team when vocabulary coverage saturates; shingles track
+    * CONTENT novelty (a closed word vocabulary still composes new
+    * passages) — a sub-linear break in either curve flags
+    * template/duplicated ingest batches.
+    *
+    * Scale shape: NO global sort anywhere (the q109 lesson) — ingest
+    * checkpoints are id-RANGE deciles computed from the broadcast 1-row
+    * (min, max) stats, so bucketing is a pure map; each term/shingle
+    * collapses to its FIRST document (one groupBy per domain, shingles
+    * as 8-byte native hashes), the per-bucket new counts aggregate
+    * those domains, and the cumulative curves are windows over the
+    * 10-row result. All integer (truncated div both engines).
+    */
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val stats = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    def bucketOf(c: String): String =
+      s"least(${GrowthBuckets - 1}, (($c - lo) * $GrowthBuckets) div (hi - lo + 1))"
+    def bucketCounts(firsts: DataFrame, cnt: String): DataFrame = firsts
+      .crossJoin(broadcast(stats))
+      .select(expr(bucketOf("first_doc")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+    val docBuckets = docs.select(col("doc_id")).crossJoin(broadcast(stats))
+      .select(expr(bucketOf("doc_id")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val newTerms = bucketCounts(
+      docs.select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+        .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc")),
+      "new_terms")
+    val newShingles = bucketCounts(
+      docs.withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.WordShingles60.wordShingles60(col("toks"), 5)))
+          .as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("first_doc")),
+      "new_shingles")
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docBuckets
+      .join(newTerms, Seq("bucket"), "left")
+      .join(newShingles, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("new_shingles", coalesce(col("new_shingles"), lit(0L)))
+      .withColumn("docs_cum", sum(col("n_docs")).over(all))
+      .withColumn("vocab_cum", sum(col("new_terms")).over(all))
+      .withColumn("shingles_cum", sum(col("new_shingles")).over(all))
+      .select(col("bucket"), col("n_docs"), col("docs_cum"),
+        col("new_terms"), col("vocab_cum"),
+        col("new_shingles"), col("shingles_cum"))
+      .orderBy(col("bucket"))
+  }
+
+  val q129Oracle: String = {
+    def bucketOf(c: String): String =
+      s"least(${GrowthBuckets - 1}, (($c - lo) * $GrowthBuckets) // (hi - lo + 1))"
+    // the toks/sh/hs CTEs come from the shared Shingles prefix (its
+    // `rare` CTE goes unreferenced here — growth wants the RAW shingle
+    // domain, not the df-capped one); concatenated after stripMargin
+    "WITH " + graft.queries.Shingles.rareCteSql + ",\n" +
+    s"""stats AS (
+       |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+       |db AS (
+       |  SELECT ${bucketOf("doc_id")} AS bucket, count(*) AS n_docs
+       |  FROM documents CROSS JOIN stats GROUP BY 1),
+       |firsts AS (
+       |  SELECT term, min(doc_id) AS first_doc FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |                                      t -> t <> '')) AS term
+       |    FROM documents)
+       |  GROUP BY term),
+       |nt AS (
+       |  SELECT ${bucketOf("first_doc")} AS bucket, count(*) AS new_terms
+       |  FROM firsts CROSS JOIN stats GROUP BY 1),
+       |shf AS (SELECT hh, min(doc_id) AS first_doc FROM hs GROUP BY hh),
+       |ns AS (
+       |  SELECT ${bucketOf("first_doc")} AS bucket, count(*) AS new_shingles
+       |  FROM shf CROSS JOIN stats GROUP BY 1)
+       |SELECT CAST(db.bucket AS BIGINT) AS bucket,
+       |       db.n_docs,
+       |       CAST(sum(db.n_docs) OVER w AS BIGINT) AS docs_cum,
+       |       CAST(COALESCE(nt.new_terms, 0) AS BIGINT) AS new_terms,
+       |       CAST(sum(COALESCE(nt.new_terms, 0)) OVER w AS BIGINT) AS vocab_cum,
+       |       CAST(COALESCE(ns.new_shingles, 0) AS BIGINT) AS new_shingles,
+       |       CAST(sum(COALESCE(ns.new_shingles, 0)) OVER w AS BIGINT)
+       |         AS shingles_cum
+       |FROM db LEFT JOIN nt ON nt.bucket = db.bucket
+       |LEFT JOIN ns ON ns.bucket = db.bucket
+       |WINDOW w AS (ORDER BY db.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q124_bpe_pairs" -> (q124 _))
+    "q124_bpe_pairs" -> (q124 _),
+    "q129_vocab_growth" -> (q129 _))
 
   val oracles: Map[String, String] = Map(
-    "q124_bpe_pairs" -> q124Oracle)
+    "q124_bpe_pairs" -> q124Oracle,
+    "q129_vocab_growth" -> q129Oracle)
 }

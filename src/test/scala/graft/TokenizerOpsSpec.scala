@@ -57,6 +57,43 @@ class TokenizerOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q129 matches a first-principles growth model over id-range buckets") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val lo = docs.map(_._1).min; val hi = docs.map(_._1).max
+    val b = TokenizerOps.GrowthBuckets
+    def bucket(id: Long): Long = math.min(b - 1L, (id - lo) * b / (hi - lo + 1))
+
+    def firsts[K](pairs: Seq[(K, Long)]): Map[Long, Long] =
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2).min).values.toSeq
+        .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val termFirsts = firsts(docs.flatMap { case (id, t) =>
+      t.split(' ').filter(_.nonEmpty).map(_ -> id) }.toSeq)
+    val shingleFirsts = firsts(docs.flatMap { case (id, t) =>
+      ShingleModel.shingleSet(t).map(_ -> id) }.toSeq)
+    val docCounts = docs.map(_._1).groupBy(bucket).view
+      .mapValues(_.length.toLong).toMap
+
+    val rows = TokenizerOps.q129(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+    var (dc, vc, sc) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      val bk = r.getLong(0)
+      assert(r.getAs[Long]("n_docs") == docCounts.getOrElse(bk, 0L))
+      assert(r.getAs[Long]("new_terms") == termFirsts.getOrElse(bk, 0L))
+      assert(r.getAs[Long]("new_shingles") == shingleFirsts.getOrElse(bk, 0L))
+      dc += r.getAs[Long]("n_docs"); vc += r.getAs[Long]("new_terms")
+      sc += r.getAs[Long]("new_shingles")
+      assert(r.getAs[Long]("docs_cum") == dc &&
+        r.getAs[Long]("vocab_cum") == vc &&
+        r.getAs[Long]("shingles_cum") == sc, s"cumulative drift at $bk")
+    }
+    assert(dc == docs.length.toLong, "every doc lands in exactly one bucket")
+    assert(sc == docs.flatMap(d => ShingleModel.shingleSet(d._2)).distinct.length,
+      "final shingles_cum is the whole distinct shingle domain")
+  }
+
   test("round 2 reflects the applied merge: the winning pair is gone") {
     val rows = TokenizerOps.q124(spark, sfDir).collect()
     val r1 = rows.filter(_.getInt(0) == 1)
