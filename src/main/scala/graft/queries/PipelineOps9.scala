@@ -648,6 +648,86 @@ object PipelineOps9 {
        |GROUP BY d.vec_id, d.label
        |ORDER BY dist_sq DESC, d.vec_id LIMIT $OutlierTop""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+
+  /** Per-vector embedding CDC between releases — completes the
+    * change-data-capture trio (q113 documents, q115 content
+    * fingerprints, q130 vectors): release B (q119's derivation — %11 of
+    * vectors dropped, %9 perturbed at one dimension) is joined
+    * against A on vec_id and every surviving vector gets its EXACT
+    * int64 quantized squared-L2 version shift; the per-label report
+    * counts dropped / changed / unchanged and the worst shift.
+    *
+    * Scale shape: the dim-level shift aggregates on (vec_id) straight
+    * out of the (vec_id, dim) join — both sides co-partition on the
+    * 8-byte vec_id, the CDC join shape of q113; the vec-level LEFT
+    * join then only carries (vec_id, label, dist_sq). At a real 100 TB
+    * release pair, B is an independent table and the plan is unchanged.
+    */
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    def dims(df: DataFrame) = df.select(col("vec_id"), col("label"),
+      posexplode(expr(s"transform(embedding, e -> " +
+        s"cast(floor(cast(e as double) * $EmbQScale) as bigint))"))
+        .as(Seq("dim", "x")))
+    val a = dims(table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding")))
+    val b = a.filter(col("vec_id") % 11 =!= 0)
+      .select(col("vec_id"), col("dim"),
+        when(col("vec_id") % 9 === 0 && col("dim") === col("vec_id") % 64,
+          col("x") + EmbQScale / 4).otherwise(col("x")).as("xb"))
+    val shifts = a
+      .join(b, Seq("vec_id", "dim"), "left")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("xb").isNull.cast("int")).as("dropped"),
+        sum(when(col("xb").isNotNull,
+          (col("xb") - col("x")) * (col("xb") - col("x")))).as("dist_sq"))
+    shifts.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_a"),
+        count(when(col("dropped") === 0, 1)).as("n_b"),
+        count(when(col("dropped") === 1, 1)).as("n_dropped"),
+        count(when(col("dropped") === 0 && col("dist_sq") > 0, 1))
+          .as("n_changed"),
+        count(when(col("dropped") === 0 && col("dist_sq") === 0, 1))
+          .as("n_unchanged"),
+        max(when(col("dropped") === 0, col("dist_sq"))).as("max_dist_sq"))
+      .orderBy(col("label"))
+  }
+
+  val q130Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding, e ->
+       |           CAST(floor(CAST(e AS DOUBLE) * $EmbQScale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, label,
+       |         generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS x
+       |  FROM q),
+       |b AS (
+       |  SELECT vec_id, dim,
+       |         CASE WHEN vec_id % 9 = 0 AND dim = vec_id % 64
+       |              THEN x + ${EmbQScale / 4} ELSE x END AS xb
+       |  FROM a WHERE vec_id % 11 <> 0),
+       |shifts AS (
+       |  SELECT a.vec_id, a.label,
+       |         max(CASE WHEN b.xb IS NULL THEN 1 ELSE 0 END) AS dropped,
+       |         sum(CASE WHEN b.xb IS NOT NULL
+       |                  THEN (b.xb - a.x) * (b.xb - a.x) END) AS dist_sq
+       |  FROM a LEFT JOIN b ON b.vec_id = a.vec_id AND b.dim = a.dim
+       |  GROUP BY a.vec_id, a.label)
+       |SELECT label,
+       |       count(*) AS n_a,
+       |       count(CASE WHEN dropped = 0 THEN 1 END) AS n_b,
+       |       count(CASE WHEN dropped = 1 THEN 1 END) AS n_dropped,
+       |       count(CASE WHEN dropped = 0 AND dist_sq > 0 THEN 1 END)
+       |         AS n_changed,
+       |       count(CASE WHEN dropped = 0 AND dist_sq = 0 THEN 1 END)
+       |         AS n_unchanged,
+       |       CAST(max(CASE WHEN dropped = 0 THEN dist_sq END) AS BIGINT)
+       |         AS max_dist_sq
+       |FROM shifts GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_split_assign" -> (q114 _),
     "q115_incremental_dedup" -> (q115 _),
@@ -657,7 +737,8 @@ object PipelineOps9 {
     "q119_embedding_drift" -> (q119 _),
     "q120_split_leakage" -> (q120 _),
     "q121_shingle_novelty" -> (q121 _),
-    "q128_embedding_outliers" -> (q128 _))
+    "q128_embedding_outliers" -> (q128 _),
+    "q130_embedding_diff" -> (q130 _))
 
   val oracles: Map[String, String] = Map(
     "q114_split_assign" -> q114Oracle,
@@ -668,5 +749,6 @@ object PipelineOps9 {
     "q119_embedding_drift" -> q119Oracle,
     "q120_split_leakage" -> q120Oracle,
     "q121_shingle_novelty" -> q121Oracle,
-    "q128_embedding_outliers" -> q128Oracle)
+    "q128_embedding_outliers" -> q128Oracle,
+    "q130_embedding_diff" -> q130Oracle)
 }

@@ -270,6 +270,34 @@ class PipelineOps9Spec extends AnyFunSuite {
       s"vocab of ${P9.VocabSize} should cover most tokens"))
   }
 
+  test("q130: embedding CDC counts follow the id-rule model exactly") {
+    import org.apache.spark.sql.functions.col
+    val ids = graft.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val rows = P9.q130(spark, sfDir).collect()
+    val byLabel = ids.groupBy(_._2)
+    assert(rows.length == byLabel.size)
+    val shift = P9.EmbQScale / 4
+    rows.foreach { r =>
+      val l = r.getAs[Long]("label")
+      val vecs = byLabel(l).map(_._1)
+      val dropped = vecs.count(_ % 11 == 0).toLong
+      val changed = vecs.count(v => v % 11 != 0 && v % 9 == 0).toLong
+      assert(r.getAs[Long]("n_a") == vecs.length.toLong)
+      assert(r.getAs[Long]("n_dropped") == dropped)
+      assert(r.getAs[Long]("n_b") == vecs.length - dropped)
+      assert(r.getAs[Long]("n_changed") == changed)
+      assert(r.getAs[Long]("n_unchanged") == vecs.length - dropped - changed)
+      // a single-dim +shift perturbation shifts squared-L2 by exactly
+      // shift^2; labels with no surviving perturbed vector read 0
+      val expectedMax = if (changed > 0) shift * shift else 0L
+      assert(r.getAs[Long]("max_dist_sq") == expectedMax,
+        s"label $l: max shift ${r.getAs[Long]("max_dist_sq")}")
+    }
+  }
+
   test("q128: outlier distances equal a first-principles quantized recompute") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.Tables.table(spark, sfDir, "embeddings")
