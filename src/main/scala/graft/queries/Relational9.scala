@@ -137,13 +137,91 @@ object Relational9 {
       |FROM orders WHERE o_orderkey % 50 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+
+  /** Days after the order date a line may ship before counting late. */
+  val LateDays = 60
+
+  /** Suppliers reported by q131. */
+  val WaitingTop = 20
+
+  /** TPC-H Q21's nested-quantifier archetype (sole-blame late
+    * suppliers), adapted to this corpus's columns: a supplier is
+    * charged for an order when its line shipped more than [[LateDays]]
+    * days after the order date, ANOTHER supplier also has a line on the
+    * same order (EXISTS), and NO other supplier on that order was also
+    * late (NOT EXISTS). The Spark formulation is the idiomatic one:
+    * EXISTS → `left_semi`, NOT EXISTS → `left_anti`, both on the
+    * co-partitioned 8-byte orderkey — no correlated subquery is
+    * re-executed per row, which is exactly how the archetype should be
+    * planned at 100 TB. The oracle keeps the literal EXISTS/NOT EXISTS
+    * spelling, so the gate also proves the join rewrite IS the
+    * quantifier semantics.
+    */
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = li
+      .join(table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l1 = late.as("l1")
+    val others = li.select(col("l_orderkey").as("o_key"),
+      col("l_suppkey").as("o_supp"))
+    val blamed = l1
+      .join(others,
+        col("l1.l_orderkey") === col("o_key") &&
+          col("l1.l_suppkey") =!= col("o_supp"), "left_semi")
+      .join(late.select(col("l_orderkey").as("x_key"),
+          col("l_suppkey").as("x_supp")),
+        col("l1.l_orderkey") === col("x_key") &&
+          col("l1.l_suppkey") =!= col("x_supp"), "left_anti")
+      .select(col("l1.l_orderkey").as("orderkey"),
+        col("l1.l_suppkey").as("suppkey"))
+      .distinct()
+    blamed
+      .join(broadcast(table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(WaitingTop)
+  }
+
+  val q131Oracle: String =
+    s"""WITH late AS (
+       |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY),
+       |blamed AS (
+       |  SELECT l1.l_orderkey, l1.l_suppkey
+       |  FROM late l1
+       |  WHERE EXISTS (
+       |      SELECT 1 FROM lineitem l2
+       |      WHERE l2.l_orderkey = l1.l_orderkey
+       |        AND l2.l_suppkey <> l1.l_suppkey)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM late l3
+       |      WHERE l3.l_orderkey = l1.l_orderkey
+       |        AND l3.l_suppkey <> l1.l_suppkey))
+       |SELECT s.s_name, count(*) AS numwait
+       |FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+       |GROUP BY s.s_name
+       |ORDER BY numwait DESC, s.s_name LIMIT $WaitingTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_regression_agg" -> (q79 _),
     "q80_hof_gauntlet" -> (q80 _),
-    "q81_datetime_gauntlet" -> (q81 _))
+    "q81_datetime_gauntlet" -> (q81 _),
+    "q131_waiting_suppliers" -> (q131 _))
 
   val oracles: Map[String, String] = Map(
     "q79_regression_agg" -> q79Oracle,
     "q80_hof_gauntlet" -> q80Oracle,
-    "q81_datetime_gauntlet" -> q81Oracle)
+    "q81_datetime_gauntlet" -> q81Oracle,
+    "q131_waiting_suppliers" -> q131Oracle)
 }
