@@ -23,8 +23,13 @@ object Shingles {
     */
   val MaxDf: Int = 64
 
-  /** (doc_id [, extra...], h) rows of rare shingle hashes. */
-  def rareHashes(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+  /** (doc_id [, extra...], h, df) rows: every per-doc-distinct shingle
+    * hash annotated with its document frequency — the df rides the one
+    * shuffle-on-h every consumer needs anyway (window count, no
+    * groupBy+join-back second corpus pass). Callers cap ([[rareHashes]])
+    * or classify (q142's uniqueness score) on the annotated frame.
+    */
+  def hashesWithDf(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val cols: Seq[Column] =
       (col("doc_id") +: extra.map(col)) :+ explode(array_distinct(
         WordShingles60.wordShingles60(col("toks"), 5))).as("h")
@@ -33,9 +38,13 @@ object Shingles {
       .filter(size(col("toks")) >= 5)
       .select(cols: _*)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+  }
+
+  /** (doc_id [, extra...], h) rows of rare shingle hashes. */
+  def rareHashes(docs: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    hashesWithDf(docs, extra)
       .filter(col("df") <= MaxDf)
       .drop(col("df"))
-  }
 
   /** The oracle twin's CTE prefix: `toks`, `sh`, `hs` (doc_id, hh),
     * `rare` (the df-capped hash set). Callers append their own `ds`
