@@ -117,6 +117,9 @@ object Relational10 {
     // the two aggregate subtrees differ by that one Filter node and
     // ReuseExchange cannot dedupe them, re-scanning lineitem for the
     // 1-row totals pass (caught by ArchetypePackSpec's plan pin).
+    // The oracle carries the same IS NOT NULL so a null-suppkey corpus
+    // cannot split the engines: without it DuckDB would count a NULL
+    // group into total_u4/n_supp that Spark excludes.
     val rev = table(spark, dir, "lineitem")
       .filter(col("l_suppkey").isNotNull)
       .select(col("l_suppkey"),
@@ -142,7 +145,8 @@ object Relational10 {
       |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
       |                             * 10000.0 + 0.5) AS BIGINT))
       |              AS BIGINT) AS rev_u4
-      |  FROM lineitem GROUP BY l_suppkey),
+      |  FROM lineitem WHERE l_suppkey IS NOT NULL
+      |  GROUP BY l_suppkey),
       |tot AS (
       |  SELECT CAST(sum(rev_u4) AS BIGINT) AS total_u4,
       |         count(*) AS n_supp

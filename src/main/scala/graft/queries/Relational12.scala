@@ -47,15 +47,17 @@ object Relational12 {
     val wp = Window.partitionBy(col("priority"))
     val wcum = wp.orderBy(col("delay_d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The max-delay bin always survives the median filter (its cum is
+    // n, and n >= (n+1) div 2 for every n >= 1), so the per-priority
+    // max needs no extra window — it is the max of the survivors.
     freq
       .withColumn("n", sum(col("cnt")).over(wp))
-      .withColumn("mx", max(col("delay_d")).over(wp))
       .withColumn("cum", sum(col("cnt")).over(wcum))
       .filter(col("cum") >= expr("(n + 1) div 2"))
       .groupBy(col("priority"))
       .agg(max(col("n")).as("n_orders"),
         min(col("delay_d")).as("med_delay_d"),
-        max(col("mx")).as("max_delay_d"))
+        max(col("delay_d")).as("max_delay_d"))
       .orderBy(col("priority"))
   }
 
@@ -74,13 +76,12 @@ object Relational12 {
       |cums AS (
       |  SELECT priority, delay_d, cnt,
       |         sum(cnt) OVER (PARTITION BY priority) AS n,
-      |         max(delay_d) OVER (PARTITION BY priority) AS mx,
       |         sum(cnt) OVER (PARTITION BY priority ORDER BY delay_d
       |                        ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM freq)
       |SELECT priority, CAST(max(n) AS BIGINT) AS n_orders,
       |       CAST(min(delay_d) AS BIGINT) AS med_delay_d,
-      |       CAST(max(mx) AS BIGINT) AS max_delay_d
+      |       CAST(max(delay_d) AS BIGINT) AS max_delay_d
       |FROM cums WHERE cum >= (n + 1) // 2
       |GROUP BY priority ORDER BY priority""".stripMargin
 
@@ -142,7 +143,7 @@ object Relational12 {
 
   // ---------------------------------------------------------------- q146
 
-  /** Referential-integrity audit across the star schema's five FK
+  /** Referential-integrity audit across the star schema's seven FK
     * edges: for each edge, the child row count, the number of orphan
     * rows (child keys with no parent), and the orphan rate in
     * per-mille — the pre-publication validation sweep every snapshot
@@ -150,13 +151,13 @@ object Relational12 {
     * violations exist (a silent all-green is indistinguishable from a
     * check that never ran).
     *
-    * Scale shape — the reason this is NOT six anti-joins: each child
-    * table is scanned ONCE, left-joined against every parent it
-    * references in the same pass (lineitem checks its three parents in
-    * one scan), and orphans are counted as null-parent flags in a
-    * single aggregate; the tiny per-child count frames then unpivot to
-    * the edge rows. Null child keys count as orphans (a null FK fails
-    * the audit's "resolvable" contract either way).
+    * Scale shape — the reason this is NOT seven anti-joins: each child
+    * table is scanned ONCE per child role, left-joined against every
+    * parent it references in the same pass (lineitem checks its three
+    * parents in one scan), and orphans are counted as null-parent
+    * flags in a single aggregate; the tiny per-child count frames then
+    * unpivot to the edge rows. Null child keys count as orphans (a
+    * null FK fails the audit's "resolvable" contract either way).
     */
   def q146(spark: SparkSession, dir: String): DataFrame = {
     def nullFlag(c: String): Column = when(col(c).isNull, 1L).otherwise(0L)
@@ -188,7 +189,18 @@ object Relational12 {
         col("c_nationkey") === col("n_nationkey"), "left")
       .agg(count(lit(1)).as("n"), sum(nullFlag("n_nationkey")).as("n_orphans"))
       .select(lit("customer->nation").as("edge"), col("n"), col("n_orphans"))
-    li.unionAll(ord).unionAll(cust)
+    val supp = table(spark, dir, "supplier").select(col("s_nationkey"))
+      .join(broadcast(table(spark, dir, "nation")
+        .select(col("n_nationkey").as("sn_nationkey"))),
+        col("s_nationkey") === col("sn_nationkey"), "left")
+      .agg(count(lit(1)).as("n"), sum(nullFlag("sn_nationkey")).as("n_orphans"))
+      .select(lit("supplier->nation").as("edge"), col("n"), col("n_orphans"))
+    val nat = table(spark, dir, "nation").select(col("n_regionkey"))
+      .join(broadcast(table(spark, dir, "region").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .agg(count(lit(1)).as("n"), sum(nullFlag("r_regionkey")).as("n_orphans"))
+      .select(lit("nation->region").as("edge"), col("n"), col("n_orphans"))
+    li.unionAll(ord).unionAll(cust).unionAll(supp).unionAll(nat)
       .select(col("edge"), col("n").as("n_rows"), col("n_orphans"),
         expr("(1000 * n_orphans) div n").as("orphan_permille"))
       .orderBy(col("edge"))
@@ -213,12 +225,24 @@ object Relational12 {
       |         sum(CASE WHEN n2.n_nationkey IS NULL THEN 1 ELSE 0 END) AS o1
       |  FROM customer c
       |  LEFT JOIN nation n2 ON n2.n_nationkey = c.c_nationkey),
+      |supp AS (
+      |  SELECT count(*) AS n,
+      |         sum(CASE WHEN n3.n_nationkey IS NULL THEN 1 ELSE 0 END) AS o1
+      |  FROM supplier s
+      |  LEFT JOIN nation n3 ON n3.n_nationkey = s.s_nationkey),
+      |nat AS (
+      |  SELECT count(*) AS n,
+      |         sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS o1
+      |  FROM nation n4
+      |  LEFT JOIN region r ON r.r_regionkey = n4.n_regionkey),
       |edges AS (
       |  SELECT 'lineitem->orders' AS edge, n, o1 AS n_orphans FROM li
       |  UNION ALL SELECT 'lineitem->part', n, o2 FROM li
       |  UNION ALL SELECT 'lineitem->supplier', n, o3 FROM li
       |  UNION ALL SELECT 'orders->customer', n, o1 FROM ords
-      |  UNION ALL SELECT 'customer->nation', n, o1 FROM cust)
+      |  UNION ALL SELECT 'customer->nation', n, o1 FROM cust
+      |  UNION ALL SELECT 'supplier->nation', n, o1 FROM supp
+      |  UNION ALL SELECT 'nation->region', n, o1 FROM nat)
       |SELECT edge, n AS n_rows, CAST(n_orphans AS BIGINT) AS n_orphans,
       |       CAST((1000 * n_orphans) // n AS BIGINT) AS orphan_permille
       |FROM edges ORDER BY edge""".stripMargin

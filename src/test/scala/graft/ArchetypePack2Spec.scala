@@ -22,19 +22,24 @@ class ArchetypePack2Spec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.01"
 
-  private def revU4(price: Double, disc: Double): Long =
-    math.floor(price * (1.0 - disc) * 10000.0 + 0.5).toLong
+  import ExactModel.revU4
 
-  /** (user_id, ms, event_id, event_type) ts-ordered per user — the
-    * shared per-user timeline model for q141/q143.
+  /** (us, ms, event_type) per user, ordered by (us, event_id) — the
+    * shared per-user timeline model for q141/q143. Ordering uses the
+    * MICROSECOND timestamp because the queries window on the full-
+    * precision ts column; a millisecond-truncated sort key would
+    * tie-break same-ms events by event_id where the queries still see
+    * distinct sub-ms timestamps. Gap values stay in ms (the queries'
+    * unix_millis contract).
     */
   private lazy val timelines: Map[Long, Seq[(Long, Long, String)]] = {
     import spark.implicits._
     graft.Tables.table(spark, sfDir, "events")
-      .selectExpr("user_id", "unix_millis(ts)", "event_id", "event_type")
-      .as[(Long, Long, Long, String)].collect()
+      .selectExpr("user_id", "unix_micros(ts)", "unix_millis(ts)",
+        "event_id", "event_type")
+      .as[(Long, Long, Long, Long, String)].collect()
       .groupBy(_._1).view
-      .mapValues(_.map(e => (e._2, e._3, e._4)).sortBy(e => (e._1, e._2)).toSeq)
+      .mapValues(_.sortBy(e => (e._2, e._4)).map(e => (e._2, e._3, e._5)).toSeq)
       .toMap
   }
 
@@ -172,7 +177,7 @@ class ArchetypePack2Spec extends AnyFunSuite {
 
   test("q143 equals a first-principles gap histogram") {
     val gaps = timelines.values.flatMap { tl =>
-      tl.map(_._1).sliding(2).collect { case Seq(a, b) => (b - a) / 1000L }
+      tl.map(_._2).sliding(2).collect { case Seq(a, b) => (b - a) / 1000L }
     }.toSeq
     val expected = gaps.groupBy(g => java.lang.Long.toBinaryString(g).length)
       .toSeq.sortBy(_._1)

@@ -22,10 +22,7 @@ class ArchetypePack3Spec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.01"
 
-  private def lowerMedian(xs: Seq[Long]): Long = {
-    val s = xs.sorted
-    s(((s.length + 1) / 2) - 1)
-  }
+  import ExactModel.lowerMedian
 
   // ---------------------------------------------------------------- q144
 
@@ -87,13 +84,14 @@ class ArchetypePack3Spec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- q146
 
-  test("q146 reports all five edges clean on the driver corpus") {
+  test("q146 reports all seven edges clean on the driver corpus") {
     val got = Relational12.q146(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     val edges = got.map(_._1)
     assert(edges == Seq("customer->nation", "lineitem->orders",
-      "lineitem->part", "lineitem->supplier", "orders->customer"))
+      "lineitem->part", "lineitem->supplier", "nation->region",
+      "orders->customer", "supplier->nation"))
     assert(got.forall(e => e._3 == 0L && e._4 == 0L),
       s"driver corpus must be referentially clean, got $got")
     assert(got.forall(_._2 > 0L), "every child table must have rows")
@@ -114,13 +112,17 @@ class ArchetypePack3Spec extends AnyFunSuite {
         .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
       Seq((10L, 0), (11L, 0)).toDF("p_partkey", "pad")
         .write.parquet(s"$dir/part.parquet")
-      Seq((100L, 0), (101L, 0)).toDF("s_suppkey", "pad")
+      // supplier 101 -> orphan nation 32
+      Seq((100L, 30), (101L, 32)).toDF("s_suppkey", "s_nationkey")
         .write.parquet(s"$dir/supplier.parquet")
-      // customer 20 resolves, 22 -> orphan nation
+      // customer 20 resolves, 22 -> orphan nation 31
       Seq((20L, 30), (22L, 31)).toDF("c_custkey", "c_nationkey")
         .write.parquet(s"$dir/customer.parquet")
-      Seq((30, 0)).toDF("n_nationkey", "pad")
+      // nation 33 -> orphan region 41
+      Seq((30, 40), (33, 41)).toDF("n_nationkey", "n_regionkey")
         .write.parquet(s"$dir/nation.parquet")
+      Seq((40, 0)).toDF("r_regionkey", "pad")
+        .write.parquet(s"$dir/region.parquet")
 
       val got = Relational12.q146(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -130,7 +132,9 @@ class ArchetypePack3Spec extends AnyFunSuite {
         ("lineitem->orders", 6L, 2L, 333L),
         ("lineitem->part", 6L, 1L, 166L),
         ("lineitem->supplier", 6L, 1L, 166L),
-        ("orders->customer", 3L, 1L, 333L))
+        ("nation->region", 2L, 1L, 500L),
+        ("orders->customer", 3L, 1L, 333L),
+        ("supplier->nation", 2L, 1L, 500L))
       assert(got == expected)
     } finally {
       import scala.reflect.io.Directory

@@ -22,10 +22,7 @@ class ArchetypePackSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.01"
 
-  private def cents2(x: Double): Long =
-    math.floor(x * 100.0 + 0.5).toLong
-  private def revU4(price: Double, disc: Double): Long =
-    math.floor(price * (1.0 - disc) * 10000.0 + 0.5).toLong
+  import ExactModel.{cents2, lowerMedian, revU4}
 
   // ---------------------------------------------------------------- q132
 
@@ -120,6 +117,16 @@ class ArchetypePackSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q132 pushes the recency predicate and prunes the anti-join side") {
+    val plan = Relational10.q132(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the recency cutoff must be a PushedFilter on the orders scan:\n$plan")
+    assert("ReadSchema: struct<o_custkey:bigint,o_orderdate".r
+      .findFirstIn(plan).isDefined,
+      s"the anti-join side must read only (o_custkey, o_orderdate):\n$plan")
+  }
+
   test("q134 pushes the shipdate range into the parquet scan") {
     val plan = Relational10.q134(spark, sfDir)
       .queryExecution.executedPlan.toString
@@ -210,10 +217,6 @@ class ArchetypePackSpec extends AnyFunSuite {
       .select($"event_type", $"value").as[(String, Double)].collect()
       .map { case (ty, v) => (ty, cents2(v)) }
 
-    def lowerMedian(xs: Seq[Long]): Long = {
-      val s = xs.sorted
-      s(((s.length + 1) / 2) - 1)
-    }
     val expected = vals.groupBy(_._1).view.mapValues { g =>
       val xs = g.map(_._2).toSeq
       val med = lowerMedian(xs)
