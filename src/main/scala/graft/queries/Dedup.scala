@@ -402,6 +402,97 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT id FROM dropped)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+
+  /** MinHash estimator CALIBRATION audit — the evaluation twin of
+    * q103's ANN recall panel, for the LSH dedup path: for every
+    * candidate pair the banding surfaces, the 16-hash signature
+    * agreement (what q21 scores with) is compared against the EXACT
+    * shingle-set Jaccard (what it estimates), both in integer
+    * per-mille, with the absolute error alongside. A pipeline tunes
+    * its near-dup threshold off this table instead of trusting the
+    * estimator blind.
+    *
+    * Scale shape — the standard LSH verify stage: exact verification
+    * runs ONLY on the candidate pairs (bounded by the banding + the
+    * hot-bucket cap, never n²); the shingle frame is semi-joined down
+    * to the paired docs before the intersection join, so the exact
+    * pass is linear in (pairs × shingles-per-doc). Set sizes are a
+    * narrow re-aggregation of the same pruned frame.
+    */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        expr("""aggregate(zip_with(sig_a, sig_b,
+                 (u, v) -> CASE WHEN u = v THEN 1 ELSE 0 END),
+                 0, (acc, x) -> acc + x)""").cast("long").as("n_agree"))
+    val sets = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles60.wordShingles60(col("toks"), 3)))
+        .as("h"))
+    val paired = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val psets = sets.join(broadcast(paired), Seq("doc_id"), "left_semi")
+    val sizes = psets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(psets.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(psets.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("n").as("n_a"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("n").as("n_b"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"(1000 * n_agree) div $NumHashes").as("est_permille"),
+        expr("(1000 * n_inter) div (n_a + n_b - n_inter)")
+          .as("exact_permille"))
+      .withColumn("err_permille",
+        abs(col("est_permille") - col("exact_permille")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q147Oracle: String = {
+    val agree = (0 until NumHashes)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${q21CandCte},
+       |agree AS (
+       |  SELECT c.doc_a, c.doc_b, ($agree) AS n_agree
+       |  FROM cand c
+       |  JOIN mh x ON x.doc_id = c.doc_a
+       |  JOIN mh y ON y.doc_id = c.doc_b),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b AND b.h = a.h
+       |  GROUP BY c.doc_a, c.doc_b),
+       |scored AS (
+       |  SELECT g.doc_a, g.doc_b,
+       |         CAST((1000 * g.n_agree) // $NumHashes AS BIGINT)
+       |           AS est_permille,
+       |         CAST((1000 * coalesce(i.n_inter, 0))
+       |              // (sa.n + sb.n - coalesce(i.n_inter, 0)) AS BIGINT)
+       |           AS exact_permille
+       |  FROM agree g
+       |  LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+       |  JOIN sizes sa ON sa.doc_id = g.doc_a
+       |  JOIN sizes sb ON sb.doc_id = g.doc_b)
+       |SELECT doc_a, doc_b, est_permille, exact_permille,
+       |       CAST(abs(est_permille - exact_permille) AS BIGINT)
+       |         AS err_permille
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q127
 
   /** q127 gates: pairs must share at least this many shingles, and the
@@ -492,7 +583,8 @@ object Dedup {
     "q23_ngram_jaccard" -> (q23 _),
     "q78_dedup_clusters" -> (q78 _),
     "q87_dedup_pipeline" -> (q87 _),
-    "q127_containment" -> (q127 _))
+    "q127_containment" -> (q127 _),
+    "q147_minhash_calibration" -> (q147 _))
 
   val oracles: Map[String, String] = Map(
     "q17_dedup_exact" -> q17Oracle,
@@ -501,5 +593,6 @@ object Dedup {
     "q23_ngram_jaccard" -> q23Oracle,
     "q78_dedup_clusters" -> q78Oracle,
     "q87_dedup_pipeline" -> q87Oracle,
-    "q127_containment" -> q127Oracle)
+    "q127_containment" -> q127Oracle,
+    "q147_minhash_calibration" -> q147Oracle)
 }
