@@ -23,7 +23,10 @@ import org.apache.spark.sql.SparkSession
   *     repo root, immune to stdout truncation.
   *  3. A final SHORT line `{"metric":"total","value":N,"unit":"sec",
   *     "errors":K,"detail":"<file>"}` is printed last — small enough
-  *     that no tail capture can cut it.
+  *     that no tail capture can cut it — and log level is forced to
+  *     ERROR + the line re-printed after `spark.stop()`, so late WARN
+  *     noise cannot push it out of a bounded TAIL capture (the
+  *     BENCH_r07 failure mode).
   *
   * Each query is materialized through the `noop` sink — unlike
   * `.count()`, that keeps the final sort and every projected expression
@@ -37,6 +40,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = GraftSession.local(cpus)
+    // ERROR, not the session default WARN: BENCH_r07 showed the driver's
+    // ~2 KB TAIL capture ending in a flood of WindowExec /
+    // SimpleFunctionRegistry WARN lines emitted AFTER our summary line,
+    // which pushed every JSON line out of the window ("parsed": null).
+    // The bench artifact is the one consumer of this process's output —
+    // silence everything below ERROR so the tail ends with our JSON.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
     def esc(s: String): String = s.flatMap {
@@ -141,8 +151,13 @@ object Bench {
         "~4KB capture cap; emitting totals only — per-query medians are in " + localFile)
       println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errors.size},"iters":$iters,"sf":"${esc(sfDir)}","detail":"${esc(localFile)}"}""")
     }
-    // truncation-proof summary — ALWAYS the last line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"detail":"${esc(localFile)}"}""")
+    // truncation-proof summary — printed BOTH before and after
+    // spark.stop(): any logging the shutdown itself emits lands between
+    // the two copies, so at least one survives a tail capture either way
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"detail":"${esc(localFile)}"}"""
+    println(summary)
     spark.stop()
+    println(summary)
   }
 }

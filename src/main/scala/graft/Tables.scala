@@ -36,15 +36,31 @@ object Tables {
     finally mappings.foreach { case (_, v) => spark.catalog.dropTempView(v) }
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 has no
-    * native type for (PARQUET_TYPE_ILLEGAL by default). Read the raw
-    * nanos as long (legacy conf) and floor-divide to microseconds —
-    * exactly the truncation DuckDB applies when it loads the same file
-    * into its microsecond TIMESTAMP.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations, so the load adapts to the file's actual schema:
+    *
+    *  - TIMESTAMP(NANOS) (rounds ≤7), which Spark 4 has no native type
+    *    for (PARQUET_TYPE_ILLEGAL by default): read the raw nanos as
+    *    long (legacy conf) and floor-divide to microseconds — exactly
+    *    the truncation DuckDB applies loading the same file into its
+    *    microsecond TIMESTAMP. ScaleUp-written dirs keep this int64
+    *    form.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-8 regeneration),
+    *    which Spark reads as TIMESTAMP_NTZ: cast to the session-local
+    *    TIMESTAMP — the session timezone is pinned UTC everywhere in
+    *    this repo, so the wall-clock field values are preserved
+    *    verbatim, matching DuckDB's naive read of the same file.
+    *
+    * Either way downstream queries see one µs-precision `timestamp`
+    * column with identical values.
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
