@@ -576,6 +576,175 @@ object Dedup {
       .stripMargin
   }
 
+  // ---------------------------------------------------------------- q156
+
+  /** Integer-quantized document quality for SELECTION (range 0..1000):
+    * `400·min(n_tokens,50) div 50 + 300·(n_tokens−stops) div n_tokens
+    * + 300·alpha div n_chars` — the q26 quality signal re-expressed in
+    * pure integer `div` so a rank key can never straddle a float
+    * rounding boundary cross-engine (round-6 discipline: integer-only
+    * ranking keys). Corpus invariant n_tokens ≥ 10, n_chars ≥ 44
+    * (probed at every SF), so no divisor guard is needed.
+    */
+  private val QualU3Expr =
+    "400 * least(n_tokens, 50) div 50 + " +
+      "300 * (n_tokens - stop_tokens) div n_tokens + " +
+      "300 * alpha_chars div n_chars"
+
+  /** Canonical-document selection — q87 with a QUALITY keep policy:
+    * real curation pipelines keep the best-quality member of each
+    * near-dup cluster, not the smallest id. Members rank by
+    * (quality desc, doc_id) inside their cluster; everyone below rank
+    * 1 is dropped; per-source keep/drop stats summarize the cut.
+    *
+    * Scale shape: the quality score is a narrow per-row projection
+    * computed only for CLUSTER MEMBERS (the labels frame semi-bounds
+    * it before ranking); the rank window partitions by cluster label —
+    * cluster sizes are bounded by the hot-bucket cap's transitive
+    * closure, so no skewed window partition; the drop-set flag joins
+    * back broadcast-or-shuffled by the MEASURED drop count, exactly
+    * q87's [[removeDropped]] policy (a left flag join instead of an
+    * anti join, same strategy branch).
+    */
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = candidatePairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val (labels, nDropped) =
+      graft.ops.ConnectedComponents.runWithDropCount(edges)
+    val docsQ = table(spark, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_tokens",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))")
+          .cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("q_u3", expr(QualU3Expr))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("q_u3"))
+    val ranked = labels
+      .join(docsQ.select(col("doc_id").as("id"), col("q_u3")), Seq("id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("q_u3").desc, col("id"))))
+    val droppedIds = ranked.filter(col("rn") > 1)
+      .select(col("id").as("doc_id"), lit(1L).as("is_dropped"))
+    val flaggedDrop =
+      if (nDropped <= MaxBroadcastDropIds) broadcast(droppedIds)
+      else droppedIds.hint("shuffle_hash")
+    docsQ
+      .join(flaggedDrop, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        sum(when(col("is_dropped").isNull, col("n_chars"))
+          .otherwise(lit(0L))).as("kept_chars"),
+        sum(when(col("is_dropped").isNull, col("q_u3"))
+          .otherwise(lit(0L))).as("kept_q_u3"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("kept_chars"), col("kept_q_u3"),
+        expr("(1000 * n_dropped) div n_docs").as("drop_permille"))
+      .orderBy(col("source"))
+  }
+
+  val q156Oracle: String = {
+    val qualSql = QualU3Expr.replace(" div ", " // ")
+    s"""WITH RECURSIVE ${q21CandCte},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM cand),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |walk(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id),
+       |labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+       |docsq AS (
+       |  SELECT doc_id, source, n_chars,
+       |         $qualSql AS q_u3
+       |  FROM (
+       |    SELECT doc_id, source, n_chars,
+       |           len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |             AS n_tokens,
+       |           len(list_filter(string_split(text, ' '),
+       |               t -> t IN ('the', 'a', 'of', 'and', 'in')))
+       |             AS stop_tokens,
+       |           length(regexp_replace(text, '[^a-z]', '', 'g'))
+       |             AS alpha_chars
+       |    FROM documents)),
+       |ranked AS (
+       |  SELECT l.id, row_number() OVER (
+       |           PARTITION BY l.label ORDER BY q.q_u3 DESC, l.id) AS rn
+       |  FROM labels l JOIN docsq q ON q.doc_id = l.id),
+       |dropped AS (SELECT id FROM ranked WHERE rn > 1)
+       |SELECT d.source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN x.id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN x.id IS NULL THEN d.n_chars ELSE 0 END)
+       |            AS BIGINT) AS kept_chars,
+       |       CAST(sum(CASE WHEN x.id IS NULL THEN d.q_u3 ELSE 0 END)
+       |            AS BIGINT) AS kept_q_u3,
+       |       CAST((1000 * sum(CASE WHEN x.id IS NOT NULL THEN 1 ELSE 0 END))
+       |            // count(*) AS BIGINT) AS drop_permille
+       |FROM docsq d LEFT JOIN dropped x ON x.id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q157
+
+  /** Near-dup cluster-size profile — the audit a dedup run publishes
+    * next to its output: how many clusters of each size the candidate
+    * graph produced, singletons (docs with no candidate pair) included
+    * as size-1 clusters. A sudden mass at high sizes means boilerplate
+    * or a broken banding; the permille of docs in clusters ≥ 2 is the
+    * corpus's near-dup rate.
+    *
+    * Scale shape: two cheap aggregates over the labels frame (itself
+    * bounded by the candidate graph, not the corpus) plus one anti-join
+    * count for singletons — the corpus-side scan reads only doc_id.
+    * Labeled clusters have ≥ 2 members by construction (every labeled
+    * node has an edge), so the singleton row never collides with the
+    * grouped histogram.
+    */
+  def q157(spark: SparkSession, dir: String): DataFrame = {
+    val edges = candidatePairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.ops.ConnectedComponents.run(edges)
+    val hist = labels
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = table(spark, dir, "documents").select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionByName(singles).orderBy(col("cluster_size"))
+  }
+
+  val q157Oracle: String =
+    s"""WITH RECURSIVE ${q21CandCte},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM cand),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |walk(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id),
+       |labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+       |sizes AS (SELECT label, count(*) AS cluster_size
+       |          FROM labels GROUP BY label),
+       |hist AS (
+       |  SELECT cluster_size, count(*) AS n_clusters
+       |  FROM sizes GROUP BY cluster_size
+       |  UNION ALL
+       |  SELECT 1 AS cluster_size, count(*) AS n_clusters
+       |  FROM documents
+       |  WHERE doc_id NOT IN (SELECT id FROM labels))
+       |SELECT cluster_size, n_clusters FROM hist
+       |ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17 _),
     "q21_minhash_lsh" -> (q21 _),
@@ -584,7 +753,9 @@ object Dedup {
     "q78_dedup_clusters" -> (q78 _),
     "q87_dedup_pipeline" -> (q87 _),
     "q127_containment" -> (q127 _),
-    "q147_minhash_calibration" -> (q147 _))
+    "q147_minhash_calibration" -> (q147 _),
+    "q156_canonical_keep" -> (q156 _),
+    "q157_cluster_profile" -> (q157 _))
 
   val oracles: Map[String, String] = Map(
     "q17_dedup_exact" -> q17Oracle,
@@ -594,5 +765,7 @@ object Dedup {
     "q78_dedup_clusters" -> q78Oracle,
     "q87_dedup_pipeline" -> q87Oracle,
     "q127_containment" -> q127Oracle,
-    "q147_minhash_calibration" -> q147Oracle)
+    "q147_minhash_calibration" -> q147Oracle,
+    "q156_canonical_keep" -> q156Oracle,
+    "q157_cluster_profile" -> q157Oracle)
 }
