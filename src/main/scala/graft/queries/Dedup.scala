@@ -591,15 +591,33 @@ object Dedup {
       "300 * (n_tokens - stop_tokens) div n_tokens + " +
       "300 * alpha_chars div n_chars"
 
+  /** Adds `q_u3` ([[QualU3Expr]]) to a frame carrying `text` and
+    * `n_chars`, dropping the intermediate token/char counts. One
+    * definition for both q156 call sites so the member-ranking score
+    * and the kept-quality rollup cannot fork.
+    */
+  private def withQualU3(df: DataFrame): DataFrame = df
+    .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+    .withColumn("n_tokens", size(col("toks")).cast("long"))
+    .withColumn("stop_tokens",
+      expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))")
+        .cast("long"))
+    .withColumn("alpha_chars",
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+    .withColumn("q_u3", expr(QualU3Expr))
+    .drop("toks", "n_tokens", "stop_tokens", "alpha_chars")
+
   /** Canonical-document selection — q87 with a QUALITY keep policy:
     * real curation pipelines keep the best-quality member of each
     * near-dup cluster, not the smallest id. Members rank by
     * (quality desc, doc_id) inside their cluster; everyone below rank
     * 1 is dropped; per-source keep/drop stats summarize the cut.
     *
-    * Scale shape: the quality score is a narrow per-row projection
-    * computed only for CLUSTER MEMBERS (the labels frame semi-bounds
-    * it before ranking); the rank window partitions by cluster label —
+    * Scale shape: the RANKING quality score is computed only for
+    * cluster members (the labels join bounds the frame before the text
+    * projection); the per-source rollup evaluates it once corpus-wide
+    * because kept_q_u3 needs every doc's score — one pass, map-side,
+    * no extra shuffle; the rank window partitions by cluster label —
     * cluster sizes are bounded by the hot-bucket cap's transitive
     * closure, so no skewed window partition; the drop-set flag joins
     * back broadcast-or-shuffled by the MEASURED drop count, exactly
@@ -612,18 +630,16 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val (labels, nDropped) =
       graft.ops.ConnectedComponents.runWithDropCount(edges)
-    val docsQ = table(spark, dir, "documents")
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("stop_tokens",
-        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))")
-          .cast("long"))
-      .withColumn("alpha_chars",
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
-      .withColumn("q_u3", expr(QualU3Expr))
-      .select(col("doc_id"), col("source"), col("n_chars"), col("q_u3"))
-    val ranked = labels
-      .join(docsQ.select(col("doc_id").as("id"), col("q_u3")), Seq("id"))
+    // Quality for the RANKING is computed only for cluster members: the
+    // labels join bounds the frame BEFORE the expensive text projection
+    // runs (the corpus-wide evaluation below serves the kept-quality
+    // rollup, which needs every doc's score anyway).
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val members = labels.join(
+      docs.select(col("doc_id").as("id"), col("text"), col("n_chars")),
+      Seq("id"))
+    val ranked = withQualU3(members)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("label"))
           .orderBy(col("q_u3").desc, col("id"))))
@@ -632,7 +648,7 @@ object Dedup {
     val flaggedDrop =
       if (nDropped <= MaxBroadcastDropIds) broadcast(droppedIds)
       else droppedIds.hint("shuffle_hash")
-    docsQ
+    withQualU3(docs).drop("text")
       .join(flaggedDrop, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

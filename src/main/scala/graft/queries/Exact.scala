@@ -35,6 +35,22 @@ import org.apache.spark.sql.functions._
   */
 object Exact {
 
+  /** Exact unscaled 4-decimal line revenue
+    * `floor(price·(1−disc)·10⁴ + 0.5)` as a BIGINT column — price and
+    * discount are 2-decimal fixed-point, so the product is exactly
+    * 4-decimal and the quantization recovers it exactly (identical
+    * IEEE op sequence on both engines). Addend ≤ ~1e9 ⇒ BIGINT sums
+    * hold to ~9e9 rows/group. ONE spelling shared by every relational
+    * pack (and mirrored by [[RevU4Sql]] for the oracles) so the
+    * exactness discipline cannot fork per pack.
+    */
+  def revU4(price: Column, disc: Column): Column =
+    floor(price * (lit(1.0) - disc) * lit(10000.0) + lit(0.5)).cast("long")
+
+  /** DuckDB twin of [[revU4]] over the lineitem column names. */
+  val RevU4Sql: String =
+    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)"
+
   /** Exact sum of a fixed-point double expression with `scale` decimal
     * digits, emitted as a bit-identical double.
     *

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -28,16 +28,7 @@ import graft.Tables.table
   */
 object Relational13 {
 
-  /** Exact unscaled 4-decimal revenue `floor(price·(1−disc)·10⁴+0.5)`
-    * (q133 precedent: price and discount are 2-decimal fixed-point, so
-    * the product is exactly 4-decimal and the quantization recovers it
-    * exactly; addend ≤ ~1e9 ⇒ BIGINT sums hold to ~9e9 rows/group).
-    */
-  private def revU4(price: Column, disc: Column): Column =
-    floor(price * (lit(1.0) - disc) * lit(10000.0) + lit(0.5)).cast("long")
-
-  private val RevU4Sql =
-    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)"
+  import Exact.{revU4, RevU4Sql}
 
   // ---------------------------------------------------------------- q148
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -20,11 +20,7 @@ import graft.Tables.table
   */
 object Relational14 {
 
-  private def revU4(price: Column, disc: Column): Column =
-    floor(price * (lit(1.0) - disc) * lit(10000.0) + lit(0.5)).cast("long")
-
-  private val RevU4Sql =
-    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)"
+  import Exact.{revU4, RevU4Sql}
 
   // ---------------------------------------------------------------- q152
 

@@ -157,8 +157,13 @@ class ArchetypePack4Spec extends AnyFunSuite {
 
   test("q151 equals a first-principles Q10 evaluation (top-k cut)") {
     import spark.implicits._
-    val lo = java.sql.Timestamp.valueOf(s"${Relational13.ReturnsFrom} 00:00:00")
-    val hi = java.sql.Timestamp.valueOf(s"${Relational13.ReturnsUntil} 00:00:00")
+    // UTC-parsed bounds: Timestamp.valueOf would use the JVM default
+    // timezone while the query under test parses these literals in the
+    // UTC session timezone — on a non-UTC host the two windows diverge
+    def utcTs(d: String): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.LocalDate.parse(d).atStartOfDay(ZoneOffset.UTC).toInstant)
+    val lo = utcTs(Relational13.ReturnsFrom)
+    val hi = utcTs(Relational13.ReturnsUntil)
     val returned = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select($"l_orderkey", $"l_returnflag", $"l_extendedprice", $"l_discount")
       .as[(Long, String, Double, Double)].collect()
