@@ -761,6 +761,78 @@ object Dedup {
        |SELECT cluster_size, n_clusters FROM hist
        |ORDER BY cluster_size""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+
+  /** Triangle census of the near-dup candidate graph — the structural
+    * audit CC can't give: a triangle-dense neighborhood is a genuine
+    * boilerplate CLIQUE (every member matches every other), while a
+    * triangle-free cluster of the same size is a CHAIN of pairwise
+    * matches (A~B~C with A≁C), which a transitive dedup would
+    * over-merge. Reports the top-20 docs by triangle participation
+    * with degree and the local clustering coefficient in integer
+    * permille (`1000·2·t div (deg·(deg−1))`).
+    *
+    * Spark-first plan: edges arrive id-oriented (doc_a < doc_b) from
+    * the banding, so each triangle {a<b<c} is counted exactly once by
+    * the wedge join (edges sharing their lower endpoint, second
+    * endpoints ordered) closed against the edge list — two
+    * co-partitioned joins, no recursion, no explosion beyond
+    * Σ deg²(a). That wedge fan-out is the classic hub hazard; here
+    * per-node degree is bounded by construction (the hot-bucket cap
+    * bounds any bucket's pairs, and the df-cap upstream already
+    * dropped boilerplate shingles), so the join is safe at any corpus
+    * size. Degrees ride a separate ≤2|E|-row union aggregate.
+    */
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    val edges = candidatePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.doc_a") === col("e2.doc_a") &&
+          col("e1.doc_b") < col("e2.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    val tris = wedges.join(
+      edges.select(col("doc_a").as("b"), col("doc_b").as("c")),
+      Seq("b", "c"))
+    val triCount = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    val degrees = edges.select(col("doc_a").as("doc_id"))
+      .unionAll(edges.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    triCount.join(degrees, Seq("doc_id"))
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
+        expr("(1000 * 2 * n_triangles) div (degree * (degree - 1))")
+          .as("clustering_permille"))
+      .orderBy(col("n_triangles").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q160Oracle: String =
+    s"""WITH ${q21CandCte},
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+       |wed AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+       |tri AS (
+       |  SELECT w.a, w.b, w.c
+       |  FROM wed w JOIN e ON e.a = w.b AND e.b = w.c),
+       |nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri),
+       |tcount AS (
+       |  SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY doc_id),
+       |deg AS (
+       |  SELECT doc_id, count(*) AS degree FROM (
+       |    SELECT a AS doc_id FROM e UNION ALL SELECT b AS doc_id FROM e) u
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, d.degree, t.n_triangles,
+       |       CAST((1000 * 2 * t.n_triangles)
+       |            // (d.degree * (d.degree - 1)) AS BIGINT)
+       |         AS clustering_permille
+       |FROM tcount t JOIN deg d ON d.doc_id = t.doc_id
+       |ORDER BY t.n_triangles DESC, t.doc_id
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17 _),
     "q21_minhash_lsh" -> (q21 _),
@@ -771,7 +843,8 @@ object Dedup {
     "q127_containment" -> (q127 _),
     "q147_minhash_calibration" -> (q147 _),
     "q156_canonical_keep" -> (q156 _),
-    "q157_cluster_profile" -> (q157 _))
+    "q157_cluster_profile" -> (q157 _),
+    "q160_triangle_census" -> (q160 _))
 
   val oracles: Map[String, String] = Map(
     "q17_dedup_exact" -> q17Oracle,
@@ -783,5 +856,6 @@ object Dedup {
     "q127_containment" -> q127Oracle,
     "q147_minhash_calibration" -> q147Oracle,
     "q156_canonical_keep" -> q156Oracle,
-    "q157_cluster_profile" -> q157Oracle)
+    "q157_cluster_profile" -> q157Oracle,
+    "q160_triangle_census" -> q160Oracle)
 }
