@@ -38,6 +38,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Unequal-length inputs produce null regardless of child nullability, so
+  // this expression is ALWAYS nullable. BinaryExpression's default
+  // (`left.nullable || right.nullable`) would claim non-nullable for strict
+  // schemas, which both lies to the optimizer (IsNull folding) and makes
+  // nullSafeCodeGen emit `isNull` as a constant — the `${ev.isNull} = true`
+  // branch below then fails Janino compilation and silently drops the whole
+  // stage to interpreter mode.
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

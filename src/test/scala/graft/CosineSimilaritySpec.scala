@@ -65,6 +65,51 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  test("codegen compiles with NON-nullable inputs; unequal lengths still null") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val at = ArrayType(FloatType, containsNull = false)
+    val expr = graft.functions.CosineSimilarity(
+      BoundReference(0, at, nullable = false),
+      BoundReference(1, at, nullable = false))
+    // The expression can emit null for unequal lengths even when both
+    // children are strict, so it must declare itself nullable — otherwise
+    // the generated `isNull = true` assignment targets a constant and
+    // Janino rejects the stage (observed as a silent interpreter fallback).
+    assert(expr.nullable)
+    // generate() throws on Janino failure — no fallback can mask a bug here.
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f)),
+      ArrayData.toArrayData(Array(4.0f, 5.0f, 6.0f))))
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(out.getDouble(0) - expected) < 1e-15)
+    val uneq = proj(InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f)),
+      ArrayData.toArrayData(Array(1.0f))))
+    assert(uneq.isNullAt(0))
+  }
+
+  test("strict-schema DataFrame path under forced codegen (no fallback allowed)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(100).select(
+        array(lit(1.0f), col("id").cast("float")).as("a"),
+        array(lit(2.0f), lit(3.0f)).as("b"))
+      assert(!df.schema("a").nullable && !df.schema("b").nullable)
+      val n = df.select(VectorOps.cosineNative(col("a"), col("b")).as("s"))
+        .filter(col("s").isNotNull).count()
+      assert(n == 100)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("self-similarity is 1 within fp tolerance for every vector") {
     val bad = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(VectorOps.cosineNative(col("embedding"), col("embedding")).as("s"))
