@@ -153,10 +153,13 @@ object Bench {
     }
     // truncation-proof summary — printed BOTH before and after
     // spark.stop(): any logging the shutdown itself emits lands between
-    // the two copies, so at least one survives a tail capture either way
+    // the two copies, so at least one survives a tail capture either way.
+    // The pre-stop copy carries "dup":true so a parser that greps every
+    // "metric":"total" line (instead of taking the last) can drop it and
+    // not double-count totals (ADVICE r8); the LAST line stays canonical.
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"detail":"${esc(localFile)}"}"""
-    println(summary)
+    println(summary.dropRight(1) + ""","dup":true}""")
     spark.stop()
     println(summary)
   }

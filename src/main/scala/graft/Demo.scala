@@ -32,10 +32,14 @@ object Demo {
     val arc = Files.createTempDirectory("demo-arc").toString
     val quar = Files.createTempDirectory("demo-quar").toString
 
-    Ingest.runAvailableNow(spark, in.toString, serving, chk, arc, quar)
+    // SQS-style redrive: the garbage file is re-enqueued each drain and
+    // condemned to quarantine only on its 5th failed attempt
+    (1 to Ingest.DefaultMaxAttempts).foreach { _ =>
+      Ingest.runAvailableNow(spark, in.toString, serving, chk, arc, quar)
+    }
     println(s"[demo] serving rows: ${spark.read.parquet(serving).count()}")
-    println(s"[demo] quarantined: " +
-      spark.read.json(quar).select("file_name").head.getString(0))
+    val q = spark.read.json(quar).select("file_name", "attempts").head
+    println(s"[demo] quarantined: ${q.getString(0)} after ${q.getLong(1)} attempts")
 
     val db = Catalog.createDatabase(spark, "bom-demo-db")
     Catalog.createRadiationTable(spark, db, "radiation", serving)

@@ -55,8 +55,20 @@ object Tables {
     * column with identical values.
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    // Try the plain read first: the MICROS layout needs no legacy conf, and
+    // setting `nanosAsLong` unconditionally would leak a non-default
+    // parquet-read mode into every later read on the shared session
+    // (ADVICE r8). Only a NANOS file (PARQUET_TYPE_ILLEGAL on plain read)
+    // flips the conf — and for that layout it must STAY set, because the
+    // task-side footer conversion re-reads it at execution time.
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

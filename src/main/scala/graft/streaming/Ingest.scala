@@ -1,12 +1,15 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import scala.util.{Failure, Success, Try}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.grid.GridReader
+import graft.grid.{GridReader, RadiationPoint}
 
 /** Event-driven ingest (reference EP1, SURVEY.md §3): the S3
   * `ObjectCreated` → Lambda choreography becomes a Structured Streaming
@@ -21,12 +24,42 @@ import graft.grid.GridReader
   * whatever arrived, then stops — restartable any time thanks to the
   * checkpoint. At scale the same query runs continuously with
   * `maxFilesPerTrigger` back-pressure.
+  *
+  * Failure handling mirrors the reference's SQS redrive policy
+  * (`cloudformation/lambda.cfn.yaml:40-45`, `maxReceiveCount: 5`): a
+  * failing file is RE-ENQUEUED up to `maxAttempts - 1` times before it
+  * is condemned to the quarantine sink, so transient failures (a flaky
+  * downstream, a half-written object) self-heal while poison files
+  * still land in the DLQ with their full attempt history. The attempt
+  * counter rides the re-enqueued file's NAME (`retry<k>__<original>`),
+  * exactly as SQS rides the receive count on message metadata — no
+  * side ledger, and the streaming checkpoint sees each attempt as a
+  * fresh path.
   */
 object Ingest {
 
+  /** Default redrive budget — the reference's `maxReceiveCount: 5`. */
+  val DefaultMaxAttempts = 5
+
+  private val RetryName = "retry(\\d+)__(.+)".r
+
+  /** attempt number + logical (original) base name from a path. */
+  private[streaming] def attemptOf(path: String): (Int, String) = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    base match {
+      case RetryName(k, orig) => (k.toInt, orig)
+      case _ => (1, base)
+    }
+  }
+
   /** Drain `inDir` once: parse every new grid file, append good points to
-    * the partitioned serving table, append unparseable files to the
-    * quarantine dir (path + error as JSON). Returns after the drain.
+    * the partitioned serving table; a failing file is re-enqueued for the
+    * next drain until it has failed `maxAttempts` times, then appended to
+    * the quarantine dir (path + error + attempts as JSON). Returns after
+    * the drain.
+    *
+    * `parse` is injectable for fault-injection tests; production callers
+    * use the default grid parser.
     */
   def runAvailableNow(
       spark: SparkSession,
@@ -34,7 +67,10 @@ object Ingest {
       servingDir: String,
       checkpointDir: String,
       archiveDir: String,
-      quarantineDir: String): StreamingQuery = {
+      quarantineDir: String,
+      maxAttempts: Int = DefaultMaxAttempts,
+      parse: (String, String) => Seq[RadiationPoint] =
+        (name, text) => GridReader.explodeFile(name, text).toSeq): StreamingQuery = {
     val raw = spark.readStream
       .option("wholetext", "true")
       .option("cleanSource", "archive")
@@ -46,38 +82,57 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, servingDir, quarantineDir)
+        processBatch(batch, servingDir, quarantineDir, inDir, maxAttempts, parse)
       }
       .start()
     query.awaitTermination()
     query
   }
 
-  /** Per-batch routing: good files → serving table, bad files →
-    * quarantine (the DLQ analogue, `cloudformation/lambda.cfn.yaml:40-45`).
-    * The batch is tiny metadata (name + text); parse errors never kill
-    * the query.
+  /** Per-batch routing: good files → serving table; failed files →
+    * re-enqueue (attempt < maxAttempts) or quarantine (attempt ==
+    * maxAttempts). The failure set is collected to the driver — bounded
+    * by the FAILURE volume, never the corpus (the same boundedness
+    * argument as the reference's per-message DLQ), and the re-enqueue
+    * write needs driver-side file creation anyway.
     */
   private[streaming] def processBatch(
       batch: DataFrame,
       servingDir: String,
-      quarantineDir: String): Unit = {
+      quarantineDir: String,
+      inDir: String,
+      maxAttempts: Int,
+      parse: (String, String) => Seq[RadiationPoint]): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val parsed = batch.as[(String, String)].map { case (name, text) =>
-      Try(GridReader.explodeFile(name, text).toSeq) match {
-        case Success(pts) => (name, pts, null: String)
-        case Failure(e) => (name, Seq.empty, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      val (attempt, logical) = attemptOf(name)
+      // parse under the ORIGINAL name so filename-metadata extraction is
+      // attempt-invariant
+      Try(parse(logical, text)) match {
+        case Success(pts) => (logical, attempt, pts, null: String, null: String)
+        case Failure(e) =>
+          (logical, attempt, Seq.empty[RadiationPoint],
+            s"${e.getClass.getSimpleName}: ${e.getMessage}", text)
       }
     }.cache()
     try {
-      val good = parsed.filter(_._3 == null).flatMap(_._2)
+      val good = parsed.filter(_._4 == null).flatMap(_._3)
       GridReader.writePartitioned(good, servingDir)
-      val bad = parsed.filter(_._3 != null)
-        .map { case (name, _, err) => (name, err) }
-        .toDF("file_name", "error")
-      if (!bad.isEmpty) {
-        bad.write.mode(SaveMode.Append).json(quarantineDir)
+      val bad = parsed.filter(_._4 != null)
+        .map { case (logical, attempt, _, err, text) => (logical, attempt, err, text) }
+        .collect()
+      val (exhausted, retriable) = bad.partition(_._2 >= maxAttempts)
+      retriable.foreach { case (logical, attempt, _, text) =>
+        Files.write(
+          Paths.get(inDir, s"retry${attempt + 1}__$logical"),
+          text.getBytes(StandardCharsets.UTF_8))
+      }
+      if (exhausted.nonEmpty) {
+        exhausted.toSeq
+          .map { case (logical, attempt, err, _) => (logical, err, attempt.toLong) }
+          .toDF("file_name", "error", "attempts")
+          .write.mode(SaveMode.Append).json(quarantineDir)
       }
     } finally parsed.unpersist()
   }

@@ -84,18 +84,96 @@ class IngestSpec extends AnyFunSuite {
     val archive = tmp("stream-archive").toString
     val quarantine = tmp("stream-quarantine").toString
 
-    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint, archive, quarantine)
+    // maxAttempts = 1: condemn on first failure (the pre-redrive behavior)
+    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint, archive,
+      quarantine, maxAttempts = 1)
 
     assert(spark.read.parquet(serving).count() == 14)
     val bad = spark.read.json(quarantine)
     assert(bad.count() == 1)
     assert(bad.select("file_name").head.getString(0).contains("BROKEN"))
+    assert(bad.select("attempts").head.getLong(0) == 1L)
 
     // second drain with one new file appends exactly its points (checkpoint
     // skips everything already processed)
     Files.writeString(in.resolve("IDZ00026_radiation_20190701_0300.txt"),
       GridFixtures.f3.content)
-    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint, archive, quarantine)
+    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint, archive,
+      quarantine, maxAttempts = 1)
     assert(spark.read.parquet(serving).count() == 15)
   }
+
+  test("transiently-failing file succeeds on redrive, never quarantined") {
+    val in = tmp("redrive-in")
+    Files.writeString(in.resolve(GridFixtures.f3.name), GridFixtures.f3.content)
+    val serving = tmp("redrive-serving").toString
+    val checkpoint = tmp("redrive-chk").toString
+    val archive = tmp("redrive-archive").toString
+    val quarantine = tmp("redrive-quarantine")
+
+    IngestFlaky.calls.set(0)
+    // fails the first 2 parse attempts, then behaves — a transient fault
+    val flaky: (String, String) => Seq[graft.grid.RadiationPoint] =
+      (name, text) => {
+        if (IngestFlaky.calls.getAndIncrement() < 2)
+          sys.error("transient downstream failure")
+        GridReader.explodeFile(name, text).toSeq
+      }
+
+    (1 to 3).foreach { _ =>
+      Ingest.runAvailableNow(spark, in.toString, serving, checkpoint,
+        archive, quarantine.toString, maxAttempts = 5, parse = flaky)
+    }
+    // attempt 3 succeeded: the file's 1 point is served, nothing quarantined
+    assert(spark.read.parquet(serving).count() == 1)
+    assert(Option(quarantine.toFile.list()).forall(_.isEmpty))
+    assert(IngestFlaky.calls.get() == 3)
+    // a 4th drain finds nothing to do: no re-enqueue after success
+    // (consumed files may still await async archiving, so assert on
+    // behavior, not directory emptiness)
+    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint,
+      archive, quarantine.toString, maxAttempts = 5, parse = flaky)
+    assert(spark.read.parquet(serving).count() == 1)
+    assert(IngestFlaky.calls.get() == 3)
+    assert(Option(quarantine.toFile.list()).forall(_.isEmpty))
+  }
+
+  test("permanently-bad file quarantines after exactly maxAttempts tries") {
+    val in = tmp("poison-in")
+    Files.writeString(in.resolve("POISON_radiation_20180101_0100.txt"),
+      "never a grid")
+    val serving = tmp("poison-serving")
+    val checkpoint = tmp("poison-chk").toString
+    val archive = tmp("poison-archive").toString
+    val quarantine = tmp("poison-quarantine").toString
+
+    // 5 drains with maxAttempts = 3: quarantined at drain 3; drains 4-5
+    // must neither re-attempt nor re-quarantine it
+    (1 to 5).foreach { _ =>
+      Ingest.runAvailableNow(spark, in.toString, serving.toString, checkpoint,
+        archive, quarantine, maxAttempts = 3)
+    }
+    val bad = spark.read.json(quarantine)
+    assert(bad.count() == 1)
+    val row = bad.select("file_name", "attempts").head
+    assert(row.getString(0) == "POISON_radiation_20180101_0100.txt")
+    assert(row.getLong(1) == 3L)
+    // nothing served, and attempt 4 was never enqueued — neither still
+    // pending in the inbox nor already archived
+    assert(Option(serving.toFile.list()).forall(
+      _.forall(f => f.startsWith("_") || f.startsWith("."))))
+    def treeHasRetry4(dir: java.io.File): Boolean =
+      Option(dir.listFiles()).toSeq.flatten.exists(f =>
+        (f.isFile && f.getName.startsWith("retry4__")) ||
+          (f.isDirectory && treeHasRetry4(f)))
+    assert(!treeHasRetry4(new java.io.File(in.toString)))
+    assert(!treeHasRetry4(new java.io.File(archive)))
+  }
+}
+
+/** Shared fault-injection counter: a top-level object so the executor-side
+  * closure resolves it statically (same JVM in local mode).
+  */
+object IngestFlaky {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
