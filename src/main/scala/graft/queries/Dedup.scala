@@ -783,16 +783,33 @@ object Dedup {
     * dropped boilerplate shingles), so the join is safe at any corpus
     * size. Degrees ride a separate ≤2|E|-row union aggregate.
     */
-  def q160(spark: SparkSession, dir: String): DataFrame = {
-    val edges = candidatePairs(spark, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val wedges = edges.as("e1")
+  def q160(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(
+      candidatePairs(spark, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(),
+      topK = 20)
+
+  /** Wedges of an id-oriented (doc_a < doc_b) edge frame: pairs of
+    * edges sharing their LOWER endpoint, second endpoints ordered — so
+    * each potential triangle {a<b<c} yields exactly one wedge
+    * (a,b,c). Fan-out per node is C(deg,2), quadratic in the DEGREE
+    * CAP, never in the corpus ([[TriangleCensusSpec]] pins a
+    * [[MaxBucketDocs]]-degree hub to exactly cap·(cap−1)/2 wedges).
+    */
+  private[graft] def wedgeFrame(edges: DataFrame): DataFrame =
+    edges.as("e1")
       .join(edges.as("e2"),
         col("e1.doc_a") === col("e2.doc_a") &&
           col("e1.doc_b") < col("e2.doc_b"))
       .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
         col("e2.doc_b").as("c"))
-    val tris = wedges.join(
+
+  /** Census body shared by q160 and the synthetic-graph spec: close
+    * wedges against the edge list, count per-node triangle
+    * participation, join degrees, rank.
+    */
+  private[graft] def triangleCensus(edges: DataFrame, topK: Int): DataFrame = {
+    val tris = wedgeFrame(edges).join(
       edges.select(col("doc_a").as("b"), col("doc_b").as("c")),
       Seq("b", "c"))
     val triCount = tris
@@ -806,7 +823,7 @@ object Dedup {
         expr("(1000 * 2 * n_triangles) div (degree * (degree - 1))")
           .as("clustering_permille"))
       .orderBy(col("n_triangles").desc, col("doc_id"))
-      .limit(20)
+      .limit(topK)
   }
 
   val q160Oracle: String =
