@@ -168,9 +168,90 @@ object GraphRank {
        |ORDER BY r.rank DESC, nd.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q161
+
+  /** BFS hop bound: shortest paths longer than this are reported as
+    * unreachable. Fixed and literal so the oracle's recursive CTE has a
+    * guaranteed termination bound and the Spark loop a fixed round
+    * count.
+    */
+  val MaxHops: Int = 8
+
+  /** q161: BFS hop distance over the UNDIRECTED syndication graph from
+    * a deterministic seed (the lexicographically-smallest source with
+    * at least one edge) — the recursive-CTE shape (DuckDB
+    * `WITH RECURSIVE`) Spark lacks natively, re-expressed as bounded
+    * Bellman-Ford relaxation: [[MaxHops]] rounds of `min(dist,
+    * neighbor+1)`, each round one join + one min-aggregate.
+    *
+    * Scale shape: like q123, the corpus-scale work ends at
+    * [[syndicationEdges]]; the relaxation loop runs on the DOMAIN graph
+    * (distinct source pairs — broadcastable even under a 100 TB
+    * corpus), `localCheckpoint`ed so corpus lineage is never replayed.
+    * After k full relaxation rounds every shortest path of ≤ k edges
+    * has converged (Bellman-Ford invariant), so bounding rounds at
+    * [[MaxHops]] computes exactly "min path length, capped at
+    * MaxHops" — the same set the oracle's depth-guarded recursion
+    * enumerates.
+    */
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    val directed = syndicationEdges(spark, dir)
+    val edges = directed
+      .select(col("src_from").as("src"), col("src_to").as("dst"))
+      .unionAll(directed
+        .select(col("src_to").as("src"), col("src_from").as("dst")))
+      .distinct().localCheckpoint(true)
+    val seed = edges.agg(min(col("src")).as("source"))
+    var dist = seed.select(col("source"), lit(0L).as("dist"))
+    for (_ <- 1 to MaxHops) {
+      val relaxed = edges
+        .join(broadcast(dist.withColumnRenamed("source", "src")), Seq("src"))
+        .select(col("dst").as("source"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("source")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy(col("dist"), col("source"))
+  }
+
+  /** The non-recursive CTE prefix shared with [[q123Oracle]] up to the
+    * directed `edges` relation.
+    */
+  private def edgesCtePrefix: String =
+    s"${Shingles.rareCteSql},\n" +
+    s"""ds AS (
+       |  SELECT s.doc_id, d.source, s.hh
+       |  FROM hs s JOIN rare USING (hh) JOIN documents d USING (doc_id)),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.source AS sa, b.source AS sb
+       |  FROM ds a JOIN ds b
+       |    ON a.hh = b.hh AND a.doc_id < b.doc_id AND a.source <> b.source
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MinSharedShingles),
+       |edges AS (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs)"""
+      .stripMargin
+
+  val q161Oracle: String =
+    s"WITH RECURSIVE $edgesCtePrefix,\n" +
+    s"""ue AS (
+       |  SELECT src_from AS src, src_to AS dst FROM edges
+       |  UNION
+       |  SELECT src_to AS src, src_from AS dst FROM edges),
+       |seed AS (SELECT min(src) AS source FROM ue),
+       |walk(source, dist) AS (
+       |  SELECT source, 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, w.dist + 1
+       |  FROM walk w JOIN ue e ON e.src = w.source
+       |  WHERE w.dist < $MaxHops)
+       |SELECT source, CAST(min(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY source
+       |ORDER BY dist, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q123_source_pagerank" -> (q123 _))
+    "q123_source_pagerank" -> (q123 _),
+    "q161_bfs_hops" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
-    "q123_source_pagerank" -> q123Oracle)
+    "q123_source_pagerank" -> q123Oracle,
+    "q161_bfs_hops" -> q161Oracle)
 }

@@ -589,6 +589,66 @@ object PipelineOps9 {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q162
+
+  /** q162: q120's split-leakage scan with the documented
+    * "bloom-prefilterable at scale" claim made REAL — the test side is
+    * prefiltered through Spark's own Catalyst bloom machinery
+    * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * builds the sketch over the distinct train fingerprints,
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * probes it as a codegen'd literal-bound predicate), and only
+    * might-contain survivors reach the exact semi-join. A bloom "no" is
+    * definitive, so the final counts are bit-identical to q120's exact
+    * scan — the oracle IS q120's — while the exchange feeding the join
+    * shrinks by the bloom's rejection rate (at 100 TB, the overwhelming
+    * majority of test docs are not leaked, so the shuffle carries only
+    * the rare candidates + false positives).
+    *
+    * Driver traffic: ONE bloom sketch (1 MiB at the default 8M bits) —
+    * bounded coordination state like the KMeans/PQ codebooks, not
+    * data-sized. At cluster scale the same sketch ships once per
+    * executor as a literal inside the codegen'd predicate.
+    */
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val assigned = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        CrossHash.h60(col("text")).as("fp"),
+        splitOf(col("doc_id")).as("split"))
+    val trainFps = assigned.filter(col("split") === "train")
+      .select(col("fp")).distinct()
+    val bloomBytes = trainFps
+      .select(ColumnBridge.column(new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("fp"))))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col("fp")))))
+
+    val test = assigned.filter(col("split") === "test")
+    val leaked = test.filter(mightContain)
+      .join(trainFps, Seq("fp"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_leaked"))
+    test.groupBy(col("lang")).agg(count(lit(1)).as("n_test"))
+      .join(leaked, Seq("lang"), "left")
+      .select(col("lang"), col("n_test"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        expr("1000 * coalesce(n_leaked, 0) div n_test").as("leak_permille"))
+      .orderBy(col("lang"))
+  }
+
+  /** The bloom prefilter cannot change results (a bloom "no" is exact,
+    * and survivors are re-verified by the semi-join), so q162's oracle
+    * is q120's leakage query verbatim.
+    */
+  val q162Oracle: String = q120Oracle
+
   // ---------------------------------------------------------------- q128
 
   /** Outliers reported by q128. */
@@ -738,7 +798,8 @@ object PipelineOps9 {
     "q120_split_leakage" -> (q120 _),
     "q121_shingle_novelty" -> (q121 _),
     "q128_embedding_outliers" -> (q128 _),
-    "q130_embedding_diff" -> (q130 _))
+    "q130_embedding_diff" -> (q130 _),
+    "q162_bloom_leakage" -> (q162 _))
 
   val oracles: Map[String, String] = Map(
     "q114_split_assign" -> q114Oracle,
@@ -750,5 +811,6 @@ object PipelineOps9 {
     "q120_split_leakage" -> q120Oracle,
     "q121_shingle_novelty" -> q121Oracle,
     "q128_embedding_outliers" -> q128Oracle,
-    "q130_embedding_diff" -> q130Oracle)
+    "q130_embedding_diff" -> q130Oracle,
+    "q162_bloom_leakage" -> q162Oracle)
 }
