@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.VectorOps
+
+/** q163-q165: round-9 widening — three training-data-pipeline operators
+  * over `documents`/`embeddings`:
+  *
+  *  - q163 hybrid retrieval: reciprocal-rank fusion of the q105 BM25
+  *    lexical ranking with a dense cosine ranking (the standard
+  *    two-tower RAG retrieval shape).
+  *  - q164 repetition profile: Gopher-style repetition quality rules
+  *    (duplicate-token / duplicate-bigram fractions) as a zero-shuffle
+  *    narrow pass with a per-language rollup.
+  *  - q165 temperature mixture: α = 1/2 temperature-scaled sampling
+  *    weights per source (the multilingual-LM mixture reweighting),
+  *    integer-exact end to end.
+  *
+  * Discipline matches rounds 6-8: integer-only ranking keys (floor,
+  * never round), literal bounds, every float quantized before compare.
+  */
+object PipelineOps12 {
+
+  // ---------------------------------------------------------------- q163
+
+  /** RRF constant (the standard k = 60 from the Cormack/Clarke/Buettcher
+    * fusion formula) and the scaled-reciprocal numerator: the fused score
+    * is Σ 10⁶ DIV (60 + rank) — a BIGINT both engines compute
+    * bit-identically, monotone in the real 1/(60+r).
+    */
+  val RrfK = 60
+  val RrfScale = 1000000L
+
+  /** Probe vector id for the dense side and its top-list size. */
+  val RrfProbeId = 0L
+  val RrfSemK = 10
+
+  /** Rows returned by the fused ranking. */
+  val RrfTop = 15
+
+  /** q163: hybrid lexical+dense retrieval via reciprocal-rank fusion.
+    * The lexical list is EXACTLY q105's top-[[PipelineOps6.BmK]] BM25
+    * result (reused, not re-derived — one implementation, two
+    * consumers); the dense list is the cosine top-[[RrfSemK]] around
+    * probe [[RrfProbeId]] ranked on `floor(sim·10⁶)` with vec_id
+    * tie-break (q19's cross-engine ranking discipline, floor-quantized
+    * per the round-6 rule). A full-outer join on the doc id fuses the
+    * two lists: each side contributes 10⁶ DIV (60 + rank), a missing
+    * side contributes 0.
+    *
+    * Scale shape: both inputs are top-k lists (≤ 10 rows each) — the
+    * fusion join, window ranks, and final sort all run on broadcast-
+    * sized frames. The corpus-scale work is exactly q105's one
+    * posting-pruned pass plus q19's one narrow cosine pass; fusion
+    * adds nothing data-sized. At 100 TB the two retrieval legs run as
+    * independent index scans and the RRF join stays a driver-trivial
+    * merge of two k-row lists.
+    */
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    val lex = PipelineOps6.q105(spark, dir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+
+    val emb = table(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === RrfProbeId)
+      .select(col("embedding").as("pe"))
+    val sem = emb.filter(col("vec_id") =!= RrfProbeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        floor(VectorOps.cosineNative(col("pe"), col("embedding")) * lit(1000000d))
+          .cast("long").as("qsim"))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("qsim").desc, col("vec_id"))).cast("long"))
+      .filter(col("sem_rank") <= RrfSemK)
+      .select(col("vec_id").as("id"), col("sem_rank"))
+
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"$RrfScale DIV ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + sem_rank)"), lit(0L)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(RrfTop)
+  }
+
+  /** The lexical leg nests [[PipelineOps6.q105Oracle]] verbatim as a
+    * derived table (DuckDB allows a WITH inside a FROM subquery), so
+    * the BM25 semantics cannot drift between q105 and q163.
+    */
+  val q163Oracle: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id AS id,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |  FROM (${PipelineOps6.q105Oracle.replace("\n", "\n       ")}) q105),
+       |pairs AS (
+       |  SELECT p.vec_id AS pid, c.vec_id AS nid,
+       |         p.embedding AS pe, c.embedding AS ne
+       |  FROM embeddings p, embeddings c
+       |  WHERE p.vec_id = $RrfProbeId AND c.vec_id <> $RrfProbeId),
+       |un AS (
+       |  SELECT pid, nid, CAST(unnest(pe) AS DOUBLE) AS x,
+       |         CAST(unnest(ne) AS DOUBLE) AS y
+       |  FROM pairs),
+       |sims AS (
+       |  SELECT nid,
+       |         CAST(floor(1000000 * sum(x * y) /
+       |           (sqrt(sum(x * x)) * sqrt(sum(y * y)))) AS BIGINT) AS qsim
+       |  FROM un GROUP BY nid),
+       |sem AS (
+       |  SELECT nid AS id, sem_rank FROM (
+       |    SELECT nid, row_number() OVER (ORDER BY qsim DESC, nid) AS sem_rank
+       |    FROM sims) r
+       |  WHERE sem_rank <= $RrfSemK)
+       |SELECT coalesce(lex.id, sem.id) AS id,
+       |       lex.lex_rank, sem.sem_rank,
+       |       coalesce($RrfScale // ($RrfK + lex.lex_rank), 0) +
+       |         coalesce($RrfScale // ($RrfK + sem.sem_rank), 0) AS rrf_score
+       |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+       |ORDER BY rrf_score DESC, id LIMIT $RrfTop""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+
+  /** Repetition flags: a doc is repetitive when more than
+    * [[DupTokMax]]‰ of its tokens are repeats of an earlier token, or
+    * more than [[DupBigramMax]]‰ of its bigrams repeat. Thresholds are
+    * literals calibrated on the driver corpus (duplicate-token permille
+    * centers near 490, duplicate-bigram near 30).
+    */
+  val DupTokMax = 600L
+  val DupBigramMax = 80L
+
+  /** q164: Gopher-style repetition quality profile. Per document, the
+    * duplicate-token fraction `(dl − |distinct toks|)·1000 DIV dl` and
+    * the duplicate-bigram fraction over the dl−1 adjacent pairs —
+    * computed entirely with array HOFs on the `toks` array
+    * (`array_distinct`, `transform(sequence(...))`), so the corpus pass
+    * is NARROW: no explode, no (doc, token) shuffle, nothing leaves the
+    * row until the per-language rollup aggregates five groups. That is
+    * the 100 TB shape — a full-corpus quality scan whose only exchange
+    * carries one row per language.
+    *
+    * Integer permilles throughout (floor semantics via DIV, zero-guard
+    * on single-token docs); per-language averages are
+    * truncated-quotient sums, bit-identical cross-engine.
+    */
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    val prof = table(spark, dir, "documents")
+      .select(col("lang"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .filter(col("dl") > 0)
+      .withColumn("dup_tok",
+        expr("(dl - size(array_distinct(toks))) * 1000 DIV dl"))
+      .withColumn("bigrams",
+        expr("CASE WHEN dl >= 2 THEN transform(sequence(1, dl - 1), " +
+          "i -> concat(element_at(toks, CAST(i AS INT)), ' ', " +
+          "element_at(toks, CAST(i AS INT) + 1))) " +
+          "ELSE array() END"))
+      .withColumn("dup_big",
+        expr("CASE WHEN dl >= 2 THEN " +
+          "(dl - 1 - size(array_distinct(bigrams))) * 1000 DIV (dl - 1) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+    prof
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_tok") > DupTokMax or col("dup_big") > DupBigramMax,
+          1L).otherwise(0L)).as("n_flagged"),
+        expr("sum(dup_tok) DIV count(1)").as("avg_dup_tok_permille"),
+        expr("sum(dup_big) DIV count(1)").as("avg_dup_big_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q164Oracle: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT lang, CAST(len(toks) AS BIGINT) AS dl,
+       |         (CAST(len(toks) AS BIGINT) -
+       |          len(list_distinct(toks))) * 1000
+       |           // CAST(len(toks) AS BIGINT) AS dup_tok,
+       |         CASE WHEN len(toks) >= 2 THEN
+       |           (CAST(len(toks) AS BIGINT) - 1 -
+       |            len(list_distinct(list_transform(range(1, len(toks)),
+       |              i -> toks[i] || ' ' || toks[i + 1])))) * 1000
+       |             // (CAST(len(toks) AS BIGINT) - 1)
+       |         ELSE 0 END AS dup_big
+       |  FROM d WHERE len(toks) > 0)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN dup_tok > $DupTokMax
+       |                       OR dup_big > $DupBigramMax
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       CAST(sum(dup_tok) AS BIGINT) // count(*)
+       |         AS avg_dup_tok_permille,
+       |       CAST(sum(dup_big) AS BIGINT) // count(*)
+       |         AS avg_dup_big_permille
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+
+  /** Total sampling budget (documents drawn) for the mixture. */
+  val MixBudget = 1000000L
+
+  /** q165: temperature-scaled source mixture (α = 1/2, the standard
+    * multilingual-LM reweighting): each source's sampling weight is
+    * proportional to √(token volume), flattening the natural
+    * distribution so low-resource sources are oversampled. Integer
+    * discipline: isqrt = floor(√n) (IEEE sqrt is correctly rounded, so
+    * floor agrees cross-engine for n < 2⁵²), weights in permille by
+    * truncated division, the [[MixBudget]]-doc quota and the
+    * per-source oversampling factor (quota·1000 DIV n_docs) likewise.
+    *
+    * Scale shape: one partial-aggregated pass builds the per-source
+    * (n_docs, n_tokens) table — the only corpus-scale work; the
+    * √-reweighting, window total, quota, and sort all run on a
+    * source-count-sized frame (broadcast-trivial at any SF).
+    */
+  def q165(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = table(spark, dir, "documents")
+      .select(col("source"),
+        expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)")
+          .as("dl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      .withColumn("isq",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    bySource
+      .withColumn("isq_total", sum(col("isq")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("isq * 1000 DIV isq_total").as("weight_permille"),
+        expr(s"$MixBudget * isq DIV isq_total").as("quota"),
+        expr(s"($MixBudget * isq DIV isq_total) * 1000 DIV n_docs")
+          .as("over_permille"))
+      .orderBy(col("source"))
+  }
+
+  val q165Oracle: String =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(list_filter(string_split(text, ' '),
+       |           t -> t <> ''))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_docs, n_tokens,
+       |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+       |  FROM s),
+       |t AS (SELECT *, CAST(sum(isq) OVER () AS BIGINT) AS isq_total FROM w)
+       |SELECT source, n_docs, n_tokens,
+       |       CAST(isq * 1000 // isq_total AS BIGINT) AS weight_permille,
+       |       CAST($MixBudget * isq // isq_total AS BIGINT) AS quota,
+       |       CAST(($MixBudget * isq // isq_total) * 1000 // n_docs AS BIGINT)
+       |         AS over_permille
+       |FROM t ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_rrf_fusion" -> (q163 _),
+    "q164_repetition_profile" -> (q164 _),
+    "q165_temperature_mix" -> (q165 _))
+
+  val oracles: Map[String, String] = Map(
+    "q163_rrf_fusion" -> q163Oracle,
+    "q164_repetition_profile" -> q164Oracle,
+    "q165_temperature_mix" -> q165Oracle)
+}
