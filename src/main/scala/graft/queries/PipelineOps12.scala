@@ -258,13 +258,171 @@ object PipelineOps12 {
        |         AS over_permille
        |FROM t ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+
+  /** Decontamination n-gram width (the GPT-3/PaLM 13-gram standard) and
+    * the flag threshold: a test doc is contaminated when more than
+    * [[DecontamMax]]‰ of its DISTINCT 13-grams appear anywhere in the
+    * train split.
+    */
+  val DecontamN = 13
+  val DecontamMax = 500L
+
+  /** q166: eval-set decontamination by partial n-gram overlap — the
+    * standard published decontamination rule (13-gram collision against
+    * the train set), which catches PARTIAL containment that q120/q162's
+    * whole-document fingerprints cannot: a test doc quoting half a
+    * train doc fingerprints differently but floods 13-gram overlap.
+    *
+    * Per test doc (≥ 13 tokens): overlap_permille = 1000·|G(d) ∩ T|
+    * DIV |G(d)| over the doc's distinct gram set, T = the train
+    * split's distinct gram-hash set. Rolled up per language.
+    *
+    * Scale shape: grams travel as 60-bit integer hashes from the
+    * moment they leave the row ([[CrossHash.h60]] — 8-byte shuffle
+    * keys, the q121 discipline); the train set is distinct-reduced
+    * before the join and the test side joins left to count matches —
+    * both exchanges carry gram hashes, never text. At 100 TB the train
+    * gram set is the big side; the join is shuffle-on-8-byte-key with
+    * AQE skew handling, and a bloom prefilter (q162's device) slots in
+    * front unchanged if the test side needs thinning first.
+    */
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        PipelineOps9.splitOf(col("doc_id")).as("split"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .filter(col("dl") >= DecontamN)
+      .select(col("doc_id"), col("lang"), col("split"),
+        explode(expr(s"array_distinct(transform(sequence(1, dl - ${DecontamN - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, CAST(i AS INT), $DecontamN))))"))
+          .as("gram"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        CrossHash.h60(col("gram")).as("gh"))
+    val trainGrams = docs.filter(col("split") === "train")
+      .select(col("gh")).distinct().withColumn("hit", lit(true))
+    docs.filter(col("split") === "test")
+      .join(trainGrams, Seq("gh"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("hit"), 1)).as("n_hit"))
+      .select(col("doc_id"), col("lang"),
+        expr("1000 * n_hit DIV n_grams").as("overlap_permille"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("overlap_permille") > DecontamMax, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        max(col("overlap_permille")).as("max_overlap_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q166Oracle: String = {
+    import graft.functions.CrossHash
+    val h = CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN $h % 1000 < ${PipelineOps9.SplitTrainUpto} THEN 'train'
+       |              WHEN $h % 1000 < ${PipelineOps9.SplitValUpto} THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, split,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, len(toks) - ${DecontamN - 2}),
+       |           i -> array_to_string(toks[i:i + ${DecontamN - 1}], ' ')))) AS gram
+       |  FROM d WHERE len(toks) >= $DecontamN),
+       |gh AS (SELECT doc_id, lang, split, ${CrossHash.h60Sql("gram")} AS gh FROM g),
+       |t AS (SELECT DISTINCT gh FROM gh WHERE split = 'train'),
+       |per_doc AS (
+       |  SELECT s.doc_id, s.lang,
+       |         1000 * count(t.gh) // count(*) AS overlap_permille
+       |  FROM gh s LEFT JOIN t ON s.gh = t.gh
+       |  WHERE s.split = 'test'
+       |  GROUP BY s.doc_id, s.lang)
+       |SELECT lang, count(*) AS n_test,
+       |       CAST(sum(CASE WHEN overlap_permille > $DecontamMax
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |       CAST(max(overlap_permille) AS BIGINT) AS max_overlap_permille
+       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q167
+
+  /** Docs reported by the surprisal ranking. */
+  val SurprisalTop = 25
+
+  /** q167: integer-exact unigram surprisal scoring — the perplexity
+    * proxy a quality-filtering pass ranks on, with the float log
+    * replaced by the EXACT bit-length identity
+    * `floor(log2 x) = length(bin(x)) − 1` (both engines render bin()
+    * identically, so the score is a BIGINT no FP rounding can fork).
+    * A token's surprisal is floor(log2 N) − floor(log2 cnt) ≥ 0; a
+    * doc's score is the tf-weighted mean in permille. High scores =
+    * rare-token-heavy docs (OOV-ish, noisy, or genuinely novel); low
+    * scores = stopword soup — both tails are curation targets.
+    *
+    * Scale shape: the (doc, token) tf aggregate rides one shuffle of
+    * 8-byte-hashable pairs; the vocabulary count table (Heaps-law
+    * sublinear in the corpus) joins back on the token key under AQE
+    * (broadcast when it fits, skew-split when hot stopwords dominate);
+    * the per-doc fold is a second keyed aggregate; top-k is
+    * TakeOrderedAndProject. No driver-sized state anywhere.
+    */
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    val tf = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("n_total"))
+    tf.join(vocab, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"), col("tf"),
+        (length(expr("bin(n_total)")) - length(expr("bin(cnt)")))
+          .cast("long").as("surp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("dl"),
+        sum(col("tf") * col("surp")).as("surp_sum"))
+      .select(col("doc_id"), col("lang"), col("dl"),
+        expr("1000 * surp_sum DIV dl").as("surp_permille"))
+      .orderBy(col("surp_permille").desc, col("doc_id"))
+      .limit(SurprisalTop)
+  }
+
+  val q167Oracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, lang, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, lang,
+       |           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |    FROM documents) u
+       |  GROUP BY doc_id, lang, tok),
+       |vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.lang, tf.tf,
+       |         CAST(length(bin(t.n_total)) - length(bin(v.cnt)) AS BIGINT) AS surp
+       |  FROM tf JOIN vocab v USING (tok) CROSS JOIN tot t)
+       |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS dl,
+       |       1000 * CAST(sum(tf * surp) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+       |         AS surp_permille
+       |FROM sc GROUP BY doc_id, lang
+       |ORDER BY surp_permille DESC, doc_id LIMIT $SurprisalTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_rrf_fusion" -> (q163 _),
     "q164_repetition_profile" -> (q164 _),
-    "q165_temperature_mix" -> (q165 _))
+    "q165_temperature_mix" -> (q165 _),
+    "q166_ngram_decontam" -> (q166 _),
+    "q167_surprisal_score" -> (q167 _))
 
   val oracles: Map[String, String] = Map(
     "q163_rrf_fusion" -> q163Oracle,
     "q164_repetition_profile" -> q164Oracle,
-    "q165_temperature_mix" -> q165Oracle)
+    "q165_temperature_mix" -> q165Oracle,
+    "q166_ngram_decontam" -> q166Oracle,
+    "q167_surprisal_score" -> q167Oracle)
 }
