@@ -63,7 +63,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Relational12" -> graft.queries.Relational12.queries.keys,
       "Relational13" -> graft.queries.Relational13.queries.keys,
       "Relational14" -> graft.queries.Relational14.queries.keys,
-      "Similarity3" -> graft.queries.Similarity3.queries.keys)
+      "Similarity3" -> graft.queries.Similarity3.queries.keys,
+      "PipelineOps12" -> graft.queries.PipelineOps12.queries.keys)
     val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
       "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
     val all = grid ++ packs.flatMap(_._2)
