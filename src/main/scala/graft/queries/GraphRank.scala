@@ -214,10 +214,10 @@ object GraphRank {
     dist.orderBy(col("dist"), col("source"))
   }
 
-  /** The non-recursive CTE prefix shared with [[q123Oracle]] up to the
-    * directed `edges` relation.
+  /** The non-recursive CTE prefix up to the verified cross-source doc
+    * `pairs` relation — shared by [[edgesCtePrefix]] and [[q169Oracle]].
     */
-  private def edgesCtePrefix: String =
+  private def pairsCtePrefix: String =
     s"${Shingles.rareCteSql},\n" +
     s"""ds AS (
        |  SELECT s.doc_id, d.source, s.hh
@@ -226,9 +226,15 @@ object GraphRank {
        |  SELECT a.doc_id AS da, b.doc_id AS db, a.source AS sa, b.source AS sb
        |  FROM ds a JOIN ds b
        |    ON a.hh = b.hh AND a.doc_id < b.doc_id AND a.source <> b.source
-       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MinSharedShingles),
-       |edges AS (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs)"""
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MinSharedShingles)"""
       .stripMargin
+
+  /** The non-recursive CTE prefix shared with [[q123Oracle]] up to the
+    * directed `edges` relation.
+    */
+  private def edgesCtePrefix: String =
+    s"$pairsCtePrefix,\n" +
+    "edges AS (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs)"
 
   val q161Oracle: String =
     s"WITH RECURSIVE $edgesCtePrefix,\n" +
@@ -247,11 +253,66 @@ object GraphRank {
        |FROM walk GROUP BY source
        |ORDER BY dist, source""".stripMargin
 
+  // ---------------------------------------------------------------- q169
+
+  /** Source pairs reported by the duplication heat matrix. */
+  val DupMatrixTop = 50
+
+  /** q169: cross-source duplication heat matrix — the pair-count view
+    * of the syndication graph q123/q161 only see as 0/1 edges: how MANY
+    * verified near-dup doc pairs link each source pair, plus each
+    * pair's permille share of all cross-source duplication. The
+    * curation readout that decides which mirror/aggregator sources to
+    * drop wholesale before per-doc dedup even runs.
+    *
+    * Scale shape: identical corpus-scale prefix to [[syndicationEdges]]
+    * (shingles leave rows as 8-byte hashes, df-cap skew guard BEFORE
+    * the self-join, shared-shingle verification) — the only new work
+    * aggregates the verified pairs frame down to |sources|² rows, and
+    * the share denominator is one broadcast scalar. Top-k is
+    * TakeOrderedAndProject under a literal bound.
+    */
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Shingles.rareHashes(table(spark, dir, "documents"), Seq("source"))
+    val pairs = ds.select(col("h"), col("doc_id").as("da"), col("source").as("sa"))
+      .join(ds.select(col("h"), col("doc_id").as("db"), col("source").as("sb")),
+        Seq("h"))
+      .filter(col("da") < col("db") && col("sa") =!= col("sb"))
+      .groupBy(col("da"), col("db"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinSharedShingles)
+    val cell = pairs
+      .select(least(col("sa"), col("sb")).as("s_lo"),
+        greatest(col("sa"), col("sb")).as("s_hi"))
+      .groupBy(col("s_lo"), col("s_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = cell.agg(sum(col("n_pairs")).as("total"))
+    cell.crossJoin(broadcast(total))
+      .select(col("s_lo"), col("s_hi"), col("n_pairs"),
+        expr("1000 * n_pairs DIV total").as("share_permille"))
+      .orderBy(col("n_pairs").desc, col("s_lo"), col("s_hi"))
+      .limit(DupMatrixTop)
+  }
+
+  val q169Oracle: String =
+    s"WITH $pairsCtePrefix,\n" +
+    s"""cell AS (
+       |  SELECT least(sa, sb) AS s_lo, greatest(sa, sb) AS s_hi,
+       |         count(*) AS n_pairs
+       |  FROM pairs GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM cell)
+       |SELECT s_lo, s_hi, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(1000 * n_pairs // total AS BIGINT) AS share_permille
+       |FROM cell CROSS JOIN tot
+       |ORDER BY n_pairs DESC, s_lo, s_hi LIMIT $DupMatrixTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_source_pagerank" -> (q123 _),
-    "q161_bfs_hops" -> (q161 _))
+    "q161_bfs_hops" -> (q161 _),
+    "q169_source_dup_matrix" -> (q169 _))
 
   val oracles: Map[String, String] = Map(
     "q123_source_pagerank" -> q123Oracle,
-    "q161_bfs_hops" -> q161Oracle)
+    "q161_bfs_hops" -> q161Oracle,
+    "q169_source_dup_matrix" -> q169Oracle)
 }

@@ -287,20 +287,33 @@ object PipelineOps12 {
     * AQE skew handling, and a bloom prefilter (q162's device) slots in
     * front unchanged if the test side needs thinning first.
     */
-  def q166(spark: SparkSession, dir: String): DataFrame = {
+  /** DISTINCT n-gram 60-bit hashes of each doc's `text`, one output row
+    * per (keep-columns, gh). THE single gram construction — q166 and
+    * [[graft.streaming.StreamingDecontam]] both route through it so the
+    * batch scan and the streaming probe can never disagree on what a
+    * gram is. Docs shorter than `n` tokens produce no rows.
+    */
+  private[graft] def explodedGramHashes(docs: DataFrame, n: Int,
+      keep: Seq[String]): DataFrame = {
     import graft.functions.CrossHash
-    val docs = table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        PipelineOps9.splitOf(col("doc_id")).as("split"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+    docs
+      .select(keep.map(col) :+
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"): _*)
       .withColumn("dl", size(col("toks")).cast("long"))
-      .filter(col("dl") >= DecontamN)
-      .select(col("doc_id"), col("lang"), col("split"),
-        explode(expr(s"array_distinct(transform(sequence(1, dl - ${DecontamN - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, CAST(i AS INT), $DecontamN))))"))
-          .as("gram"))
-      .select(col("doc_id"), col("lang"), col("split"),
-        CrossHash.h60(col("gram")).as("gh"))
+      .filter(col("dl") >= n)
+      .select(keep.map(col) :+
+        explode(expr(s"array_distinct(transform(sequence(1, dl - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, CAST(i AS INT), $n))))"))
+          .as("gram"): _*)
+      .select(keep.map(col) :+ CrossHash.h60(col("gram")).as("gh"): _*)
+  }
+
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    val docs = explodedGramHashes(
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          PipelineOps9.splitOf(col("doc_id")).as("split"), col("text")),
+      DecontamN, Seq("doc_id", "lang", "split"))
     val trainGrams = docs.filter(col("split") === "train")
       .select(col("gh")).distinct().withColumn("hit", lit(true))
     docs.filter(col("split") === "test")
@@ -412,17 +425,85 @@ object PipelineOps12 {
        |FROM sc GROUP BY doc_id, lang
        |ORDER BY surp_permille DESC, doc_id LIMIT $SurprisalTop""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+
+  /** q168: exact length quantiles per language (P50/P90/P99 token
+    * counts) WITHOUT sorting the corpus — the ordinal statistic is
+    * recovered from a cumulative sum over the (lang, dl) COUNT table,
+    * whose domain is |langs| × |distinct lengths| (thousands of rows at
+    * any corpus size, because dl is a bounded integer). That is the
+    * 100 TB design: one partial-aggregated pass builds the histogram,
+    * the quantile walk runs on the tiny frame; a sort-based
+    * `percentile_disc` over the corpus would instead pay a full
+    * range-partitioned sort per language.
+    *
+    * percentile_disc semantics, integer-exact: P(p) = min dl whose
+    * cumulative count reaches ceil(p·n), with ceil(a/b) spelled
+    * `(a + b − 1) DIV b` in both engines.
+    */
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    val hist = table(spark, dir, "documents")
+      .select(col("lang"),
+        expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)")
+          .as("dl"))
+      .filter(col("dl") > 0)
+      .groupBy(col("lang"), col("dl")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("dl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    def pick(num: Int, den: Int, name: String) =
+      cum.filter(col("cum") >= expr(s"($num * n + $den - 1) DIV $den"))
+        .groupBy(col("lang")).agg(min(col("dl")).as(name))
+    pick(1, 2, "p50")
+      .join(pick(9, 10, "p90"), "lang")
+      .join(pick(99, 100, "p99"), "lang")
+      .join(cum.groupBy(col("lang")).agg(max(col("n")).as("n_docs")), "lang")
+      .select(col("lang"), col("n_docs"), col("p50"), col("p90"), col("p99"))
+      .orderBy(col("lang"))
+  }
+
+  val q168Oracle: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |           AS BIGINT) AS dl
+       |  FROM documents),
+       |h AS (
+       |  SELECT lang, dl, count(*) AS c FROM d WHERE dl > 0
+       |  GROUP BY lang, dl),
+       |cum AS (
+       |  SELECT lang, dl,
+       |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY dl
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM h),
+       |p50 AS (SELECT lang, min(dl) AS p50 FROM cum
+       |        WHERE cum >= (1 * n + 1) // 2 GROUP BY lang),
+       |p90 AS (SELECT lang, min(dl) AS p90 FROM cum
+       |        WHERE cum >= (9 * n + 9) // 10 GROUP BY lang),
+       |p99 AS (SELECT lang, min(dl) AS p99 FROM cum
+       |        WHERE cum >= (99 * n + 99) // 100 GROUP BY lang),
+       |nd AS (SELECT lang, max(n) AS n_docs FROM cum GROUP BY lang)
+       |SELECT lang, n_docs, p50, p90, p99
+       |FROM p50 JOIN p90 USING (lang) JOIN p99 USING (lang)
+       |  JOIN nd USING (lang)
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_rrf_fusion" -> (q163 _),
     "q164_repetition_profile" -> (q164 _),
     "q165_temperature_mix" -> (q165 _),
     "q166_ngram_decontam" -> (q166 _),
-    "q167_surprisal_score" -> (q167 _))
+    "q167_surprisal_score" -> (q167 _),
+    "q168_length_quantiles" -> (q168 _))
 
   val oracles: Map[String, String] = Map(
     "q163_rrf_fusion" -> q163Oracle,
     "q164_repetition_profile" -> q164Oracle,
     "q165_temperature_mix" -> q165Oracle,
     "q166_ngram_decontam" -> q166Oracle,
-    "q167_surprisal_score" -> q167Oracle)
+    "q167_surprisal_score" -> q167Oracle,
+    "q168_length_quantiles" -> q168Oracle)
 }
