@@ -24,7 +24,7 @@ object Similarity {
     * `<name>_un` (unnested) and `<name>` (per-pair sim).
     * Input CTE must expose (pid, nid, pe, ne).
     */
-  private def cosineCtes(src: String, name: String): String =
+  private[queries] def cosineCtes(src: String, name: String): String =
     s"""${name}_un AS (
        |  SELECT pid, nid, CAST(unnest(pe) AS DOUBLE) AS x,
        |         CAST(unnest(ne) AS DOUBLE) AS y
@@ -188,9 +188,32 @@ object Similarity {
 
   // ---------------------------------------------------------------- q94
 
-  private val KmK = 8
-  private val KmIters = 3
-  private val KmScale = 10000L
+  private[queries] val KmK = 8
+  private[queries] val KmIters = 3
+  private[queries] val KmScale = 10000L
+
+  /** Memoized trained clustering per (session, dir): q94, q170 and
+    * q171 all need the same k=8 assignment over the embeddings —
+    * without sharing, each pays the collect-driven Lloyd fit (and its
+    * corpus scans) again for a bit-identical result. Returns the
+    * (vec_id, embedding, cluster) frame, `localCheckpoint`'ed so the
+    * lineage (3 crossJoin-assign rounds) is not replayed per consumer.
+    * Keyed by applicationId so a stopped session's checkpointed blocks
+    * are never served to a new one.
+    */
+  private val kmCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[queries] def kmClusters(spark: SparkSession, dir: String): DataFrame =
+    kmCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val emb = table(spark, dir, "embeddings")
+      val km = KMeans.fitQuantized(emb, "vec_id", "embedding",
+        k = KmK, iters = KmIters, scale = KmScale)
+      km.assignments
+        .join(emb, col("id") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .localCheckpoint()
+    })
 
   /** The trained IVF pipeline end-to-end under the hash gate:
     * [[KMeans.fitQuantized]] fits a k=8 codebook on the embeddings in
@@ -204,12 +227,7 @@ object Similarity {
     * cross-engine, not just spec-gated.
     */
   def q94(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
-    val km = KMeans.fitQuantized(emb, "vec_id", "embedding",
-      k = KmK, iters = KmIters, scale = KmScale)
-    val clusters = km.assignments
-      .join(emb, col("id") === col("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val clusters = kmClusters(spark, dir)
     val probes = clusters.filter(col("vec_id").between(10, 14))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("cluster").as("pcluster"))
@@ -256,8 +274,14 @@ object Similarity {
        |    ON c.cent_id = u.cent_id AND c.d = u.d)""".stripMargin
   }
 
-  val q94Oracle: String =
-    s"""WITH eq AS (
+  /** The `eq → c0 → (Lloyd rounds) → aF → asgF` CTE chain reproducing
+    * [[KMeans.fitQuantized]]'s trained assignment bit-for-bit —
+    * `asgF(vec_id, cluster)` is the trained clustering. Shared by
+    * [[q94Oracle]] and Similarity4's SemDeDup oracles so the three
+    * queries verify against ONE spelling of the trainer.
+    */
+  private[queries] val kmAssignCtes: String =
+    s"""eq AS (
        |  SELECT vec_id,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $KmScale) AS BIGINT) AS x,
        |         generate_subscripts(embedding, 1) AS d
@@ -282,7 +306,10 @@ object Similarity {
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY dist, cent_id) AS rn
        |    FROM aF) t
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  val q94Oracle: String =
+    s"""WITH $kmAssignCtes,
        |probes AS (
        |  SELECT a.vec_id AS probe_id, e.embedding AS pe, a.cluster
        |  FROM asgF a JOIN embeddings e ON a.vec_id = e.vec_id

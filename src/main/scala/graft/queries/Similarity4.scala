@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** q170-q171: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", arXiv:2303.09540).
+  *
+  * The method: cluster the embedding space with k-means, then compare
+  * pairs ONLY within a cluster — the cluster granularity turns the
+  * O(n²) all-pairs problem into O(Σ cᵢ²) bounded blocks, the same
+  * blocking idea LSH banding uses for text ([[Dedup]] q21) but driven
+  * by the embedding geometry instead of token shingles. A document is
+  * a semantic duplicate when some other member of its cluster is
+  * within ε (cosine ≥ τ); one representative per ε-ball is kept.
+  *
+  * Grounding in the shared exact-KMeans contract: the clustering is
+  * [[Similarity.kmClusters]] — the SAME memoized k=8 integer-exact fit
+  * q94 verifies, and the oracles below reuse [[Similarity.kmAssignCtes]]
+  * verbatim, so trainer drift between the three queries is impossible.
+  * Keep policy is deterministic keep-lowest-id: a doc is dropped iff a
+  * LOWER-id member of its cluster sits at sim ≥ τ (SemDeDup keeps the
+  * point closest to the centroid; any fixed representative choice
+  * gives the same drop COUNT per ε-chain, and min-id is the one a SQL
+  * oracle can spell exactly).
+  *
+  * At 100 TB: k grows with the corpus so that n/k (the cluster block
+  * size, hence the per-block pair count) stays constant — SemDeDup's
+  * published config uses k=50 000 on LAION; k=8 here is pinned tiny so
+  * the oracle's unrolled Lloyd CTEs stay readable. The pair join
+  * shuffles on the cluster id, so at real k the join keys are
+  * plentiful and well-spread (the assignment itself balances blocks);
+  * the per-doc max-sim aggregation rides the same partitioning.
+  * Threshold τ=0.40 is calibrated to this synthetic corpus (random-ish
+  * 64-dim embeddings top out near 0.48 pairwise cosine); production
+  * SemDeDup on real embeddings uses τ≈0.95+.
+  */
+object Similarity4 {
+
+  /** Permille thresholds swept by q171 (τ = t/1000). */
+  private val CurveThresholds = Seq(350L, 380L, 400L, 420L, 450L)
+
+  private val SemDedupTau = 400L // q170's τ, permille
+
+  /** Per-doc semantic-dup scalar: (vec_id, cluster, max_sim_lower) —
+    * the max rounded cosine from this doc to any LOWER-id member of
+    * its trained cluster (docs with no lower-id cluster-mate get no
+    * row). One within-cluster pair pass serves both q170 (threshold
+    * verdict) and q171 (threshold sweep): "dup at τ" ≡
+    * max_sim_lower ≥ τ.
+    */
+  private def maxSimToLower(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Similarity.kmClusters(spark, dir)
+    val lo = clusters.select(col("cluster").as("l_cluster"),
+      col("vec_id").as("l_id"), col("embedding").as("l_emb"))
+    clusters
+      .join(lo, col("cluster") === col("l_cluster") &&
+        col("l_id") < col("vec_id"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(max(round(VectorOps.cosineNative(col("embedding"), col("l_emb")), 6))
+        .as("max_sim_lower"))
+  }
+
+  /** DuckDB twin of [[maxSimToLower]]: trained assignment via the
+    * shared CTE chain, then within-cluster lower-id pairs through
+    * [[Similarity.cosineCtes]]. Emits `msl(vec_id, cluster,
+    * max_sim_lower)`.
+    */
+  private val mslCtes: String =
+    s"""${Similarity.kmAssignCtes},
+       |pairs AS (
+       |  SELECT a.vec_id AS pid, b.vec_id AS nid,
+       |         ea.embedding AS pe, eb.embedding AS ne
+       |  FROM asgF a
+       |  JOIN asgF b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |${Similarity.cosineCtes("pairs", "psims")},
+       |msl AS (
+       |  SELECT s.pid AS vec_id, a.cluster,
+       |         max(round(s.sim, 6)) AS max_sim_lower
+       |  FROM psims s JOIN asgF a ON a.vec_id = s.pid
+       |  GROUP BY s.pid, a.cluster)""".stripMargin
+
+  // ---------------------------------------------------------------- q170
+
+  /** q170: SemDeDup verdict per trained cluster — members, semantic
+    * duplicates at τ=0.40, integer drop permille, and the lowest
+    * dropped id as the auditable example (-1 when the cluster is
+    * duplicate-free). The corpus-scale work is one within-cluster pair
+    * pass + a per-doc max; the output is k rows.
+    */
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Similarity.kmClusters(spark, dir)
+    val dropped = maxSimToLower(spark, dir)
+      .filter(col("max_sim_lower") >= lit(SemDedupTau).cast("double") / 1000d)
+      .select(col("vec_id").as("d_id"), col("cluster").as("d_cluster"))
+    val members = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    val drops = dropped.groupBy(col("d_cluster").as("cluster"))
+      .agg(count(lit(1)).as("n_dropped"), min(col("d_id")).as("min_dropped_id"))
+    members.join(drops, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("min_dropped_id"), lit(-1L)).as("min_dropped_id"))
+      .withColumn("drop_permille", expr("n_dropped * 1000 DIV n_members"))
+      .select(col("cluster"), col("n_members"), col("n_dropped"),
+        col("drop_permille"), col("min_dropped_id"))
+      .orderBy(col("cluster"))
+  }
+
+  val q170Oracle: String =
+    s"""WITH $mslCtes,
+       |mem AS (
+       |  SELECT cluster, count(*) AS n_members FROM asgF GROUP BY cluster),
+       |drp AS (
+       |  SELECT cluster, count(*) AS n_dropped, min(vec_id) AS min_dropped_id
+       |  FROM msl
+       |  WHERE max_sim_lower >= CAST($SemDedupTau AS DOUBLE) / 1000
+       |  GROUP BY cluster)
+       |SELECT CAST(m.cluster AS BIGINT) AS cluster,
+       |       CAST(m.n_members AS BIGINT) AS n_members,
+       |       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |       CAST(COALESCE(d.n_dropped, 0) * 1000 // m.n_members AS BIGINT)
+       |         AS drop_permille,
+       |       CAST(COALESCE(d.min_dropped_id, -1) AS BIGINT) AS min_dropped_id
+       |FROM mem m LEFT JOIN drp d ON m.cluster = d.cluster
+       |ORDER BY cluster""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+
+  /** q171: the SemDeDup pruning curve — corpus drop count and permille
+    * at each candidate τ, from ONE pair pass. This is the knob-tuning
+    * view the paper's §4 sweeps: how much data each ε would remove.
+    * The per-doc `max_sim_lower` scalar is computed once; every
+    * threshold is a conditional sum in the SAME aggregation pass
+    * (then stack() unpivots the single wide row), so the sweep costs
+    * one corpus aggregation regardless of how many τ are probed — no
+    * threshold join at all.
+    */
+  def q171(spark: SparkSession, dir: String): DataFrame = {
+    val nTotal = Similarity.kmClusters(spark, dir)
+      .agg(count(lit(1)).as("n_total"))
+    // One conditional-sum pass over the per-doc scalar covers every τ —
+    // no threshold join at all; stack() unpivots the single row.
+    val sums = CurveThresholds.map { t =>
+      sum(when(col("max_sim_lower") >= lit(t).cast("double") / 1000d, 1L)
+        .otherwise(0L)).as(s"d$t")
+    }
+    val wide = maxSimToLower(spark, dir).agg(sums.head, sums.tail: _*)
+    val stackArgs = CurveThresholds
+      .map(t => s"${t}L, d$t").mkString(", ")
+    wide.select(expr(
+        s"stack(${CurveThresholds.size}, $stackArgs) AS (threshold_permille, n_dropped)"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("threshold_permille"), col("n_dropped"),
+        expr("n_dropped * 1000 DIV n_total").as("drop_permille"))
+      .orderBy(col("threshold_permille"))
+  }
+
+  val q171Oracle: String =
+    s"""WITH $mslCtes,
+       |thresholds(threshold_permille) AS (
+       |  VALUES ${CurveThresholds.map(t => s"($t)").mkString(", ")}),
+       |tot AS (SELECT count(*) AS n_total FROM asgF)
+       |SELECT CAST(t.threshold_permille AS BIGINT) AS threshold_permille,
+       |       CAST(count(m.vec_id) AS BIGINT) AS n_dropped,
+       |       CAST(count(m.vec_id) * 1000 // any_value(tot.n_total) AS BIGINT)
+       |         AS drop_permille
+       |FROM thresholds t
+       |CROSS JOIN tot
+       |LEFT JOIN msl m
+       |  ON m.max_sim_lower >= CAST(t.threshold_permille AS DOUBLE) / 1000
+       |GROUP BY t.threshold_permille
+       |ORDER BY threshold_permille""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_semantic_dedup" -> (q170 _),
+    "q171_semdedup_curve" -> (q171 _))
+
+  val oracles: Map[String, String] = Map(
+    "q170_semantic_dedup" -> q170Oracle,
+    "q171_semdedup_curve" -> q171Oracle)
+}

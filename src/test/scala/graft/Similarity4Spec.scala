@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Similarity4
+
+/** q170 (SemDeDup verdict) / q171 (pruning curve): fixtures the oracle
+  * gate cannot provide — an exact-twin pair where the HIGHER id must be
+  * the one dropped (keep-lowest-id policy), a near-twin that must also
+  * drop, orthogonal vectors that must all survive, plus cross-query and
+  * monotonicity invariants on the real corpus.
+  */
+class Similarity4Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  /** 12 16-dim vectors: ids 0-9 are scaled standard-basis directions
+    * (pairwise cosine 0), id 10 is an EXACT copy of id 3's vector, and
+    * id 11 is a near-copy of id 5 (cosine ≈ 0.9997). With τ = 0.40
+    * exactly ids 10 and 11 are semantic duplicates, and each must be
+    * dropped in favor of its lower-id twin.
+    */
+  private lazy val twinDir: String = {
+    val dir = Files.createTempDirectory("graft_semdedup").toFile.getAbsolutePath
+    import spark.implicits._
+    def basis(axis: Int, scale: Float): Array[Float] = {
+      val v = Array.fill(16)(0f); v(axis) = scale; v
+    }
+    val near5 = {
+      val v = basis(5, 2.0f); v(6) = 0.05f; v // cos ≈ 0.9997 with id 5
+    }
+    val rows = (0 to 9).map(i => (i.toLong, basis(i, 1.5f + 0.1f * i), i)) ++
+      Seq((10L, basis(3, 0.7f), 10), (11L, near5, 11))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------------- q170
+
+  test("q170: exact twin and near-twin drop; keep-lowest-id holds") {
+    val rows = Similarity4.q170(spark, twinDir).collect()
+    assert(rows.map(_.getLong(1)).sum == 12L, "membership must cover the corpus")
+    assert(rows.map(_.getLong(2)).sum == 2L,
+      s"exactly the two twins drop: ${rows.mkString(";")}")
+    val droppedIds = rows.filter(_.getLong(2) > 0).map(_.getLong(4)).toSet
+    assert(droppedIds == Set(10L, 11L),
+      s"the HIGHER id of each twin pair must be the drop: $droppedIds")
+  }
+
+  test("q170: orthogonal-only corpus drops nothing") {
+    val dir = Files.createTempDirectory("graft_ortho").toFile.getAbsolutePath
+    import spark.implicits._
+    (0 to 9).map { i =>
+      val v = Array.fill(16)(0f); v(i) = 1f; (i.toLong, v, i)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity4.q170(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum == 0L)
+    assert(rows.forall(_.getLong(4) == -1L),
+      "duplicate-free clusters must carry the -1 sentinel")
+  }
+
+  test("q170: drop counts and permilles are consistent on the real corpus") {
+    val rows = Similarity4.q170(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1),
+        s"permille must be the integer ratio: $r")
+    }
+  }
+
+  // ---------------------------------------------------------------- q171
+
+  test("q171: curve is monotone non-increasing and agrees with q170 at τ=400") {
+    val curve = Similarity4.q171(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+      s"raising τ can only drop fewer docs: $curve")
+    val q170Drops = Similarity4.q170(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    assert(curve(400L) == q170Drops,
+      "q171's τ=400 point must equal q170's total drop count")
+  }
+}
