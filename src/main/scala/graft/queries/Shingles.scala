@@ -46,11 +46,14 @@ object Shingles {
       .filter(col("df") <= MaxDf)
       .drop(col("df"))
 
-  /** The oracle twin's CTE prefix: `toks`, `sh`, `hs` (doc_id, hh),
-    * `rare` (the df-capped hash set). Callers append their own `ds`
-    * join and everything downstream.
+  /** The oracle twin's CTE prefix for the UNCAPPED per-doc-distinct
+    * shingle-hash set: `toks`, `sh`, `hs` (doc_id, hh, distinct per
+    * doc — the twin of [[hashesWithDf]]'s exploded `array_distinct`,
+    * which dedups HASHES, so a within-doc hash collision cannot skew
+    * one engine only). Consumers that need the df cap use
+    * [[rareCteSql]]; q173's exact similarity join uses this directly.
     */
-  val rareCteSql: String = {
+  val hashesCteSql: String = {
     val h = CrossHash.h60Sql("shingle")
     s"""toks AS (
        |  SELECT doc_id, tok, pos FROM (
@@ -64,8 +67,18 @@ object Shingles {
        |           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
        |  WHERE shingle IS NOT NULL),
-       |hs AS (SELECT doc_id, $h AS hh FROM sh),
-       |rare AS (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= $MaxDf)"""
+       |hs AS (SELECT DISTINCT doc_id, $h AS hh FROM sh)"""
       .stripMargin
   }
+
+  /** The oracle twin's CTE prefix: `toks`, `sh`, `hs` (doc_id, hh),
+    * `rare` (the df-capped hash set). Callers append their own `ds`
+    * join and everything downstream.
+    */
+  val rareCteSql: String =
+    // concatenated, NOT interpolated into a stripMargin block — the
+    // embedded `|| ' ' ||` concat lines would lose a pipe to a second
+    // margin strip
+    hashesCteSql +
+      s",\nrare AS (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= $MaxDf)"
 }
