@@ -35,14 +35,14 @@ object CorpusStats {
   /** (lang, tok, n): per-language token frequencies — shared
     * constructor so q175 and q176 cannot drift on tokenization.
     */
-  private def tokenFreq(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def tokenFreq(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("lang"),
         explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
       .groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("n"))
 
-  private val TfCte: String =
+  private[queries] val TfCte: String =
     """tf AS (
       |  SELECT lang, tok, count(*) AS n FROM (
       |    SELECT lang, unnest(string_split(text, ' ')) AS tok

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** q180-q182: event-stream shape diagnostics — burstiness, marketing
+  * attribution, and cross-type co-movement — the monitoring companions
+  * to q140 (burst hours) and q141 (transition counts).
+  *
+  *  - q180 Fano factor (variance-to-mean ratio, Fano 1947) of hourly
+  *    event counts per type: ≈1 for a Poisson arrival process, >1 for
+  *    bursty traffic. Computed over hours WHERE THE TYPE OCCURS (no
+  *    zero-filled spine — the truncation is documented, identical on
+  *    both engines, and keeps the frame bounded by active hours).
+  *    Pure integer rational: F = (n·Σc² − (Σc)²) / (n·Σc), permille.
+  *  - q181 last-touch attribution: each purchase is attributed to the
+  *    SAME user's most recent strictly-preceding click iff it landed
+  *    within 30 minutes — the carry-forward `last(..., ignoreNulls)`
+  *    over a rows-preceding frame (the q70 idiom pointed backwards).
+  *  - q182 pairwise correlation of hourly volumes between event types
+  *    over a zero-filled hour×type spine (corr is normalization-
+  *    invariant, so sample-vs-population conventions cancel).
+  *
+  * Scale shape: q180/q182 aggregate to an (hour × type) frame first —
+  * bounded by the time domain, not the event count — so the corpus-
+  * scale work is one groupBy each; q182's self-join and q180's moment
+  * math run on that tiny frame (types² pairs). q181 is a single window
+  * pass partitioned by user — the state per user is one carried
+  * (ts, id) pair, the same bounded-state argument as the streaming
+  * sessionizer. Overflow: q180's n·Σc² stays in int64 while
+  * hours·(peak rate)² < 9·10¹⁸ — e.g. 10⁵ hours at 10⁶ events/hour;
+  * past that, shard the sum by hour ranges (associative) before the
+  * final ratio.
+  */
+object EventStats {
+
+  // ---------------------------------------------------------------- q180
+
+  /** q180: per-type Fano factor of hourly counts, permille. */
+  def q180(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        expr("1000 * (n_hours * sum_c2 - n_events * n_events)" +
+          " DIV (n_hours * n_events)").as("fano_permille"),
+        expr("1000 * n_events DIV n_hours").as("mean_permille"))
+      .orderBy(col("event_type"))
+
+  val q180Oracle: String =
+    """WITH hc AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |  FROM events GROUP BY event_type, h)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |       CAST(sum(c) AS BIGINT) AS n_events,
+      |       CAST(1000 * (count(*) * sum(c * c) - sum(c) * sum(c))
+      |            // (count(*) * sum(c)) AS BIGINT) AS fano_permille,
+      |       CAST(1000 * sum(c) // count(*) AS BIGINT) AS mean_permille
+      |FROM hc GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q181
+
+  /** q181: purchases attributed to the user's most recent preceding
+    * click within 30 min. `attributed` stays 0/1 int (driver hash).
+    */
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"),
+        when(unix_micros(col("ts")) - unix_micros(col("click_ts"))
+          <= 1800L * 1000000L, 1L).otherwise(0L).as("attributed"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q181Oracle: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |           IGNORE NULLS) OVER w AS click_id,
+      |         last_value(CASE WHEN event_type = 'click' THEN ts END
+      |           IGNORE NULLS) OVER w AS click_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, click_id,
+      |       epoch_us(ts) - epoch_us(click_ts) AS gap_us,
+      |       CASE WHEN epoch_us(ts) - epoch_us(click_ts)
+      |                 <= 1800 * 1000000 THEN 1 ELSE 0 END AS attributed
+      |FROM t WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+
+  /** q182: correlation of hourly volumes between event-type pairs over
+    * a zero-filled hour spine (hours observed anywhere in the stream).
+    */
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val hours = ev.select(col("h")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val filled = hours.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = filled.toDF("h_a", "type_a", "c_a")
+    val b = filled.toDF("h_b", "type_b", "c_b")
+    a.join(b, col("h_a") === col("h_b") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(corr(col("c_a"), col("c_b")), 4).as("volume_corr"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q182Oracle: String =
+    """WITH ev AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+      |hours AS (SELECT DISTINCT h FROM ev),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |counts AS (SELECT h, event_type, count(*) AS c FROM ev
+      |           GROUP BY h, event_type),
+      |filled AS (
+      |  SELECT hours.h, types.event_type, coalesce(counts.c, 0) AS c
+      |  FROM hours CROSS JOIN types
+      |  LEFT JOIN counts ON counts.h = hours.h
+      |    AND counts.event_type = types.event_type)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       CAST(count(*) AS BIGINT) AS n_hours,
+      |       round(corr(a.c, b.c), 4) AS volume_corr
+      |FROM filled a JOIN filled b
+      |  ON a.h = b.h AND a.event_type < b.event_type
+      |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_fano_burstiness" -> (q180 _),
+    "q181_last_touch" -> (q181 _),
+    "q182_event_corr" -> (q182 _))
+
+  val oracles: Map[String, String] = Map(
+    "q180_fano_burstiness" -> q180Oracle,
+    "q181_last_touch" -> q181Oracle,
+    "q182_event_corr" -> q182Oracle)
+}

@@ -64,7 +64,15 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Relational13" -> graft.queries.Relational13.queries.keys,
       "Relational14" -> graft.queries.Relational14.queries.keys,
       "Similarity3" -> graft.queries.Similarity3.queries.keys,
-      "PipelineOps12" -> graft.queries.PipelineOps12.queries.keys)
+      "PipelineOps12" -> graft.queries.PipelineOps12.queries.keys,
+      "Similarity4" -> graft.queries.Similarity4.queries.keys,
+      "PipelineOps13" -> graft.queries.PipelineOps13.queries.keys,
+      "SetSimJoin" -> graft.queries.SetSimJoin.queries.keys,
+      "Relational15" -> graft.queries.Relational15.queries.keys,
+      "CorpusStats" -> graft.queries.CorpusStats.queries.keys,
+      "LexicalStats" -> graft.queries.LexicalStats.queries.keys,
+      "EventStats" -> graft.queries.EventStats.queries.keys,
+      "Relational16" -> graft.queries.Relational16.queries.keys)
     val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
       "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
     val all = grid ++ packs.flatMap(_._2)
