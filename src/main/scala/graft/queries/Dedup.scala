@@ -850,7 +850,58 @@ object Dedup {
        |ORDER BY t.n_triangles DESC, t.doc_id
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+
+  /** q189: degree assortativity of the LSH candidate graph — the
+    * Pearson correlation of endpoint degrees over both orientations of
+    * every edge (Newman 2002, "Assortative mixing in networks").
+    * Positive r means near-dup hubs link to hubs (a template family);
+    * strongly negative r means star-shaped boilerplate — which of the
+    * two decides whether q156's canonical-keep or a blocklist is the
+    * right removal policy. Degrees ride the same ≤2|E| union aggregate
+    * as q160; the edge↔degree joins are co-partitioned on the 8-byte
+    * doc id, and the corr is a single moment aggregate over integer-
+    * valued pairs (exact in double below 2⁵³). One row out.
+    */
+  def q189(spark: SparkSession, dir: String): DataFrame = {
+    val e = candidatePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val deg = e.select(col("doc_a").as("id"))
+      .unionAll(e.select(col("doc_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val both = e.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionAll(e.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    both.join(deg.toDF("x", "deg_x"), "x")
+      .join(deg.toDF("y", "deg_y"), "y")
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        max(col("deg_x")).as("max_degree"),
+        round(corr(col("deg_x"), col("deg_y")), 4).as("assortativity"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("n_edges"), col("n_nodes"), col("max_degree"),
+        col("assortativity"))
+  }
+
+  val q189Oracle: String =
+    s"""WITH ${q21CandCte},
+       |e AS (SELECT doc_a, doc_b FROM cand),
+       |deg AS (
+       |  SELECT id, count(*) AS degree FROM (
+       |    SELECT doc_a AS id FROM e
+       |    UNION ALL SELECT doc_b AS id FROM e) u
+       |  GROUP BY id),
+       |both_dir AS (
+       |  SELECT doc_a AS x, doc_b AS y FROM e
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM e)
+       |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |       CAST(max(dx.degree) AS BIGINT) AS max_degree,
+       |       round(corr(dx.degree, dy.degree), 4) AS assortativity
+       |FROM both_dir b JOIN deg dx ON dx.id = b.x
+       |JOIN deg dy ON dy.id = b.y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_assortativity" -> (q189 _),
     "q17_dedup_exact" -> (q17 _),
     "q21_minhash_lsh" -> (q21 _),
     "q22_simhash" -> (q22 _),
@@ -864,6 +915,7 @@ object Dedup {
     "q160_triangle_census" -> (q160 _))
 
   val oracles: Map[String, String] = Map(
+    "q189_assortativity" -> q189Oracle,
     "q17_dedup_exact" -> q17Oracle,
     "q21_minhash_lsh" -> q21Oracle,
     "q22_simhash" -> q22Oracle,

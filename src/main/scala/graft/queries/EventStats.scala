@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 
-/** q180-q182: event-stream shape diagnostics — burstiness, marketing
-  * attribution, and cross-type co-movement — the monitoring companions
-  * to q140 (burst hours) and q141 (transition counts).
+/** q180-q188: event-stream shape diagnostics — burstiness, marketing
+  * attribution, cross-type co-movement, temporal-table reconstruction
+  * and gaps-and-islands streaks — the monitoring companions to q140
+  * (burst hours) and q141 (transition counts).
   *
   *  - q180 Fano factor (variance-to-mean ratio, Fano 1947) of hourly
   *    event counts per type: ≈1 for a Poisson arrival process, >1 for
@@ -152,13 +153,98 @@ object EventStats {
       |  ON a.h = b.h AND a.event_type < b.event_type
       |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+
+  /** q185: SCD-type-2 interval reconstruction — each event opens a
+    * "current status" validity interval per user that the user's NEXT
+    * event closes (`lead` over (ts, event_id)); open tail intervals are
+    * excluded. Aggregated to per-type interval counts and exact µs
+    * dwell totals: the temporal-table archetype (Snodgrass, "Developing
+    * Time-Oriented Database Applications in SQL") the TPC-H matrix has
+    * no shape for. One window pass partitioned by user; all durations
+    * are integer µs (int64-safe below ~292 000 years).
+    */
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(unix_micros(col("next_ts")) - unix_micros(col("ts")))
+          .as("total_us"))
+      .select(col("event_type"), col("n_intervals"), col("total_us"),
+        expr("total_us DIV n_intervals").as("mean_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val q185Oracle: String =
+    """WITH iv AS (
+      |  SELECT event_type, ts,
+      |         lead(ts) OVER (PARTITION BY user_id
+      |                        ORDER BY ts, event_id) AS next_ts
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+      |       CAST(sum(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT)
+      |         AS total_us,
+      |       CAST(sum(epoch_us(next_ts) - epoch_us(ts)) // count(*)
+      |         AS BIGINT) AS mean_us
+      |FROM iv WHERE next_ts IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+
+  /** q188: gaps-and-islands — longest consecutive-active-day streak per
+    * user. The island anchor is `day − row_number` over the user's
+    * DISTINCT active days (equal-anchor days are consecutive): the
+    * classic Tropashko dense-rank trick, integer/date-exact. Work is
+    * bounded by distinct (user, day) pairs — the time×user domain, not
+    * the event count.
+    */
+  def q188(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("anchor",
+        expr("date_sub(day, row_number() OVER (PARTITION BY user_id" +
+          " ORDER BY day))"))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val q188Oracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id, day,
+      |         day - CAST(row_number() OVER (PARTITION BY user_id
+      |                    ORDER BY day) AS INTEGER) AS anchor
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, anchor, count(*) AS len
+      |  FROM isl GROUP BY user_id, anchor)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+      |       CAST(count(*) AS BIGINT) AS n_streaks,
+      |       CAST(sum(len) AS BIGINT) AS n_active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_fano_burstiness" -> (q180 _),
     "q181_last_touch" -> (q181 _),
-    "q182_event_corr" -> (q182 _))
+    "q182_event_corr" -> (q182 _),
+    "q185_scd2_intervals" -> (q185 _),
+    "q188_activity_streaks" -> (q188 _))
 
   val oracles: Map[String, String] = Map(
     "q180_fano_burstiness" -> q180Oracle,
     "q181_last_touch" -> q181Oracle,
-    "q182_event_corr" -> q182Oracle)
+    "q182_event_corr" -> q182Oracle,
+    "q185_scd2_intervals" -> q185Oracle,
+    "q188_activity_streaks" -> q188Oracle)
 }

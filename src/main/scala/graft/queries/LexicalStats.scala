@@ -147,13 +147,56 @@ object LexicalStats {
       |FROM s JOIN c USING (tok) JOIN src USING (source) CROSS JOIN tot
       |GROUP BY s.source, src.n_source ORDER BY s.source""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+
+  /** q186: per-source quantile normalization of document length — each
+    * doc's length is mapped to its source-relative rank permille
+    * (1000·(rank−1)/(n−1), the exact percent_rank as an integer), then
+    * bucketed into deciles and counted. A calibrated source shows ~n/10
+    * docs per decile; the cross-source histogram is how mixed-source
+    * quality thresholds (q26) are made comparable before a global
+    * cutoff is applied. One window pass partitioned by source; the
+    * histogram frame is sources×10 rows. Singleton sources pin to
+    * decile 0 (n−1 guarded to 1).
+    */
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("source"),
+        least(lit(9L), expr("(1000 * (rn - 1) DIV greatest(n - 1, 1))" +
+          " DIV 100")).as("decile"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val q186Oracle: String =
+    """WITH r AS (
+      |  SELECT source,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source,
+      |       least(9, (1000 * (rn - 1) // greatest(n - 1, 1)) // 100)
+      |         AS decile,
+      |       CAST(count(*) AS BIGINT) AS n_docs
+      |FROM r GROUP BY source, decile ORDER BY source, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_zipf_slope" -> (q177 _),
     "q178_lexical_diversity" -> (q178 _),
-    "q179_kl_divergence" -> (q179 _))
+    "q179_kl_divergence" -> (q179 _),
+    "q186_quantile_normalize" -> (q186 _))
 
   val oracles: Map[String, String] = Map(
     "q177_zipf_slope" -> q177Oracle,
     "q178_lexical_diversity" -> q178Oracle,
-    "q179_kl_divergence" -> q179Oracle)
+    "q179_kl_divergence" -> q179Oracle,
+    "q186_quantile_normalize" -> q186Oracle)
 }

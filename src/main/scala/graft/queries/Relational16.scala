@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{sqlWithViews, table}
@@ -144,11 +145,59 @@ object Relational16 {
       |         AS winsor_mean_cents
       |FROM t ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+
+  /** q187: rolling 7-day exact median of daily revenue per order
+    * priority — the windowed-median archetype (no native windowed
+    * percentile in either engine's shared surface): collect the ≤7-row
+    * ROWS frame, sort it, take the middle pair under floor-average so
+    * the result stays integer cents. The frame is bounded by the
+    * LITERAL 7, and the windowed input is the (priority × day) daily
+    * aggregate — time-domain-sized, never the fact table; the corpus-
+    * scale work is the one partial-aggregated groupBy producing it.
+    */
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("day")).rowsBetween(-6, 0)
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("rev_cents"))
+      .withColumn("arr", sort_array(collect_list(col("rev_cents")).over(w)))
+      .select(col("o_orderpriority"), col("day"), col("rev_cents"),
+        size(col("arr")).cast("long").as("n_days_in_frame"),
+        expr("(element_at(arr, int((size(arr) + 1) DIV 2)) +" +
+          " element_at(arr, int(size(arr) DIV 2 + 1))) DIV 2")
+          .as("rolling_median_cents"))
+      .orderBy(col("o_orderpriority"), col("day"))
+  }
+
+  val q187Oracle: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |           AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY o_orderpriority, day),
+      |fr AS (
+      |  SELECT o_orderpriority, day, rev_cents,
+      |         list_sort(array_agg(rev_cents) OVER
+      |           (PARTITION BY o_orderpriority ORDER BY day
+      |            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      |  FROM daily)
+      |SELECT o_orderpriority, day, rev_cents,
+      |       CAST(len(arr) AS BIGINT) AS n_days_in_frame,
+      |       CAST((arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) // 2
+      |         AS BIGINT) AS rolling_median_cents
+      |FROM fr ORDER BY o_orderpriority, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_basket_lift" -> (q183 _),
-    "q184_trimmed_stats" -> (q184 _))
+    "q184_trimmed_stats" -> (q184 _),
+    "q187_rolling_median" -> (q187 _))
 
   val oracles: Map[String, String] = Map(
     "q183_basket_lift" -> q183Oracle,
-    "q184_trimmed_stats" -> q184Oracle)
+    "q184_trimmed_stats" -> q184Oracle,
+    "q187_rolling_median" -> q187Oracle)
 }
