@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables.table
 import graft.functions.VectorOps
 
 /** q170-q171: SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -178,11 +179,67 @@ object Similarity4 {
        |GROUP BY t.threshold_permille
        |ORDER BY threshold_permille""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+
+  /** q192: hard-negative mining for contrastive training — for each
+    * anchor in a deterministic panel (vec_id % 40 = 0), the top-3
+    * OTHER-label vectors by cosine (the negatives a contrastive loss
+    * learns most from; cf. Robinson et al. 2021, "Contrastive Learning
+    * with Hard Negative Samples", arXiv:2010.04592). Same plan family
+    * as q19/q103: the anchor panel is BROADCAST so the corpus side is
+    * one narrow codegen'd pass through the native `cosine_sim`
+    * expression, ranked under a literal-bound row_number →
+    * WindowGroupLimit. At 100 TB the panel is the knob: cost is
+    * O(panel × corpus), linear in the corpus for a fixed panel, and an
+    * IVF/PQ shortlist (q94/q158) slots in as the candidate side when
+    * the panel itself scales.
+    */
+  def q192(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"), col("embedding").as("ae"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("embedding").as("ce"))
+    val sims = broadcast(anchors).crossJoin(cands)
+      .filter(col("neighbor_label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        round(VectorOps.cosineNative(col("ae"), col("ce")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
+  val q192Oracle: String =
+    s"""WITH pairs AS (
+       |  SELECT p.vec_id AS pid, c.vec_id AS nid,
+       |         p.embedding AS pe, c.embedding AS ne,
+       |         p.label AS pl, c.label AS nl
+       |  FROM embeddings p, embeddings c
+       |  WHERE p.vec_id % 40 = 0 AND c.label <> p.label),
+       |${Similarity.cosineCtes("pairs", "sims")},
+       |lab AS (SELECT DISTINCT pid, nid, pl, nl FROM pairs),
+       |ranked AS (
+       |  SELECT s.pid, s.nid, l.pl, l.nl, round(sim, 6) AS sim,
+       |         row_number() OVER (PARTITION BY s.pid
+       |                            ORDER BY round(sim, 6) DESC, s.nid)
+       |           AS rnk
+       |  FROM sims s JOIN lab l ON l.pid = s.pid AND l.nid = s.nid)
+       |SELECT pid AS anchor_id, pl AS anchor_label, nid AS neighbor_id,
+       |       nl AS neighbor_label, sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY anchor_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_semantic_dedup" -> (q170 _),
-    "q171_semdedup_curve" -> (q171 _))
+    "q171_semdedup_curve" -> (q171 _),
+    "q192_hard_negatives" -> (q192 _))
 
   val oracles: Map[String, String] = Map(
     "q170_semantic_dedup" -> q170Oracle,
-    "q171_semdedup_curve" -> q171Oracle)
+    "q171_semdedup_curve" -> q171Oracle,
+    "q192_hard_negatives" -> q192Oracle)
 }
