@@ -234,17 +234,163 @@ object EventStats {
       |       CAST(sum(len) AS BIGINT) AS n_active_days
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+
+  /** q193: rolling 7-day distinct active users per day. Windowed
+    * DISTINCT has no native frame support in either engine, so the
+    * rolling set is expressed as a bounded RANGE JOIN — day spine ×
+    * (user, day) actives within 6 days back — which at scale beats any
+    * collect-the-frame approach: the join blows the (user, day) frame
+    * up by exactly 7× (the literal window), the distinct rides one
+    * shuffle on the day key, and nothing ever materializes a per-day
+    * user array (which at 10⁸ daily actives would be a straight OOM).
+    */
+  def q193(spark: SparkSession, dir: String): DataFrame = {
+    val days = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val spine = days.select(col("d").as("day")).distinct()
+    spine.join(days,
+        col("d") >= date_sub(col("day"), 6) && col("d") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active_7d"),
+        count(lit(1)).as("n_user_days"))
+      .orderBy(col("day"))
+  }
+
+  val q193Oracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |spine AS (SELECT DISTINCT d AS day FROM days)
+      |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d,
+      |       CAST(count(*) AS BIGINT) AS n_user_days
+      |FROM spine JOIN days ON d >= day - 6 AND d <= day
+      |GROUP BY day ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q194
+
+  /** q194: A/B test (variant = user id parity) on mean purchase value,
+    * as a Welch z-score from exact integer-cent moments: per variant
+    * one pass accumulates (n, Σc, Σc²); s² = (n·Σc² − (Σc)²)/(n(n−1))
+    * and z = (m_a − m_b)/√(s²_a/n_a + s²_b/n_b). Every double op in
+    * that chain (+,−,×,÷,√) is IEEE-correctly-rounded — no libm
+    * transcendental — so both engines compute the identical bits;
+    * rounded to 4dp by convention anyway. A conversion-RATE test was
+    * rejected deliberately: on this corpus every user purchases, the
+    * pooled p hits 1 and the two-proportion denominator is √0. One
+    * corpus aggregate, 2-row fold, single audit row out.
+    */
+  def q194(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("s2"))
+      .agg(
+        sum(when(col("variant") === 0L, col("n"))).as("n_a"),
+        sum(when(col("variant") === 0L, col("s"))).as("sum_a"),
+        sum(when(col("variant") === 0L, col("s2"))).as("sum2_a"),
+        sum(when(col("variant") === 1L, col("n"))).as("n_b"),
+        sum(when(col("variant") === 1L, col("s"))).as("sum_b"),
+        sum(when(col("variant") === 1L, col("s2"))).as("sum2_b"))
+      .select(col("n_a"), col("sum_a"), col("n_b"), col("sum_b"),
+        expr("sum_a DIV n_a").as("mean_a_cents"),
+        expr("sum_b DIV n_b").as("mean_b_cents"),
+        round(expr(
+          "(CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b)" +
+            " / sqrt(" +
+            "(CAST(n_a AS DOUBLE) * sum2_a - CAST(sum_a AS DOUBLE) * sum_a)" +
+            " / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a +" +
+            "(CAST(n_b AS DOUBLE) * sum2_b - CAST(sum_b AS DOUBLE) * sum_b)" +
+            " / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b)"), 4)
+          .as("z_score"))
+
+  val q194Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id % 2 AS variant, count(*) AS n,
+      |         sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+      |         sum(CAST(round(value * 100, 0) AS BIGINT)
+      |             * CAST(round(value * 100, 0) AS BIGINT)) AS s2
+      |  FROM events WHERE event_type = 'purchase' GROUP BY variant),
+      |w AS (
+      |  SELECT
+      |    sum(CASE WHEN variant = 0 THEN n END) AS n_a,
+      |    sum(CASE WHEN variant = 0 THEN s END) AS sum_a,
+      |    sum(CASE WHEN variant = 0 THEN s2 END) AS sum2_a,
+      |    sum(CASE WHEN variant = 1 THEN n END) AS n_b,
+      |    sum(CASE WHEN variant = 1 THEN s END) AS sum_b,
+      |    sum(CASE WHEN variant = 1 THEN s2 END) AS sum2_b
+      |  FROM v)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(sum_a AS BIGINT) AS sum_a,
+      |       CAST(n_b AS BIGINT) AS n_b, CAST(sum_b AS BIGINT) AS sum_b,
+      |       CAST(sum_a // n_a AS BIGINT) AS mean_a_cents,
+      |       CAST(sum_b // n_b AS BIGINT) AS mean_b_cents,
+      |       round((CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b)
+      |         / sqrt(
+      |         (CAST(n_a AS DOUBLE) * sum2_a - CAST(sum_a AS DOUBLE) * sum_a)
+      |           / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a +
+      |         (CAST(n_b AS DOUBLE) * sum2_b - CAST(sum_b AS DOUBLE) * sum_b)
+      |           / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b), 4) AS z_score
+      |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------- q195
+
+  /** q195: linear (equal-split) multi-touch attribution — q181's
+    * single-winner policy generalized: each purchase splits its credit
+    * equally across ALL of the user's clicks in the strictly-preceding
+    * 30-minute RANGE frame (ordered by exact µs, so the frame bound is
+    * a pure integer comparison). One window pass per user; per-row
+    * state is the frame's conditional count, never a collected list.
+    */
+  def q195(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-1800L * 1000000L, -1L)
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_touches",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("n_touches"),
+        expr("CASE WHEN n_touches > 0 THEN 1000 DIV n_touches" +
+          " ELSE 0 END").as("credit_permille"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q195Oracle: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                 RANGE BETWEEN 1800000000 PRECEDING
+      |                 AND 1 PRECEDING) AS n_touches
+      |  FROM events)
+      |SELECT event_id AS purchase_id, user_id,
+      |       CAST(n_touches AS BIGINT) AS n_touches,
+      |       CAST(CASE WHEN n_touches > 0 THEN 1000 // n_touches
+      |            ELSE 0 END AS BIGINT) AS credit_permille
+      |FROM t WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_fano_burstiness" -> (q180 _),
     "q181_last_touch" -> (q181 _),
     "q182_event_corr" -> (q182 _),
     "q185_scd2_intervals" -> (q185 _),
-    "q188_activity_streaks" -> (q188 _))
+    "q188_activity_streaks" -> (q188 _),
+    "q193_rolling_actives" -> (q193 _),
+    "q194_ab_test" -> (q194 _),
+    "q195_linear_attribution" -> (q195 _))
 
   val oracles: Map[String, String] = Map(
     "q180_fano_burstiness" -> q180Oracle,
     "q181_last_touch" -> q181Oracle,
     "q182_event_corr" -> q182Oracle,
     "q185_scd2_intervals" -> q185Oracle,
-    "q188_activity_streaks" -> q188Oracle)
+    "q188_activity_streaks" -> q188Oracle,
+    "q193_rolling_actives" -> q193Oracle,
+    "q194_ab_test" -> q194Oracle,
+    "q195_linear_attribution" -> q195Oracle)
 }
