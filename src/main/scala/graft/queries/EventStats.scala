@@ -374,7 +374,144 @@ object EventStats {
       |FROM t WHERE event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+
+  /** q196: behavioral-entropy histogram — per user the Shannon entropy
+    * of their event-type mix, H = ln n − (Σ c·ln c)/n, then users
+    * bucketed into quarter-nat bins. The q190/q191 integer-micronat
+    * discipline: each ln is rounded to integer micronats at the row it
+    * is computed (one libm call per (user, type) row and one per user),
+    * every fold after that is exact int64, so engines cannot drift on
+    * summation order. Work: one (user, type) aggregate, one per-user
+    * fold, and a bin-domain-sized histogram (≤ ~20 bins — entropy of a
+    * 5-type mix caps at ln 5 ≈ 1.61 nats).
+    */
+  def q196(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("clnc_micro",
+        expr("c * CAST(round(ln(c) * 1000000, 0) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("clnc_micro")).as("s"))
+      .select(
+        expr("CAST(round(ln(n) * 1000000, 0) AS BIGINT) - s DIV n")
+          .as("h_micro"))
+      .select(expr("h_micro DIV 250000").as("bin"), col("h_micro"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"), min(col("h_micro")).as("min_h"),
+        max(col("h_micro")).as("max_h"))
+      .orderBy(col("bin"))
+
+  val q196Oracle: String =
+    """WITH ut AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY user_id, event_type),
+      |u AS (
+      |  SELECT user_id, sum(c) AS n,
+      |         sum(c * CAST(round(ln(c) * 1000000, 0) AS BIGINT)) AS s
+      |  FROM ut GROUP BY user_id),
+      |h AS (
+      |  SELECT CAST(round(ln(n) * 1000000, 0) AS BIGINT)
+      |           - CAST(s // n AS BIGINT) AS h_micro
+      |  FROM u)
+      |SELECT CAST(h_micro // 250000 AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(min(h_micro) AS BIGINT) AS min_h,
+      |       CAST(max(h_micro) AS BIGINT) AS max_h
+      |FROM h GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+
+  /** q197: weekly growth accounting — every active (user, week) is
+    * exactly one of NEW (first week ever), RETAINED (also active the
+    * prior week) or RESURRECTED (returning after a gap), and a prior-
+    * week active missing this week is CHURNED into it; by construction
+    * actives = new + retained + resurrected and the churn ledger
+    * reconciles week over week. One (user, week) distinct frame drives
+    * everything: a self-join shifted 7 days back classifies, a shifted
+    * anti-join counts churn, both co-partitioned on user_id. The week
+    * spine is time-domain-sized.
+    */
+  def q197(spark: SparkSession, dir: String): DataFrame = {
+    val au = table(spark, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val first = au.groupBy(col("user_id")).agg(min(col("week")).as("fw"))
+    val prev = au.toDF("p_user", "pweek")
+    val classed = au
+      .join(first, "user_id")
+      .join(prev,
+        col("user_id") === col("p_user") &&
+          col("pweek") === date_sub(col("week"), 7), "left")
+      .select(col("user_id"), col("week"),
+        when(col("week") === col("fw"), "new")
+          .when(col("pweek").isNotNull, "retained")
+          .otherwise("resurrected").as("cls"))
+    val perWeek = classed.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val maxWeek = au.agg(max(col("week")).as("max_week"))
+    val churn = au.toDF("c_user", "cweek")
+      .join(au.toDF("n_user", "nweek"),
+        col("c_user") === col("n_user") &&
+          col("nweek") === date_add(col("cweek"), 7), "left_anti")
+      .crossJoin(broadcast(maxWeek))
+      .filter(date_add(col("cweek"), 7) <= col("max_week"))
+      .groupBy(date_add(col("cweek"), 7).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    perWeek.join(churn, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  val q197Oracle: String =
+    """WITH au AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+      |    AS week FROM events),
+      |f AS (SELECT user_id, min(week) AS fw FROM au GROUP BY user_id),
+      |cls AS (
+      |  SELECT au.user_id, au.week,
+      |         CASE WHEN au.week = f.fw THEN 'new'
+      |              WHEN p.user_id IS NOT NULL THEN 'retained'
+      |              ELSE 'resurrected' END AS cls
+      |  FROM au JOIN f ON f.user_id = au.user_id
+      |  LEFT JOIN au p ON p.user_id = au.user_id
+      |    AND p.week = au.week - 7),
+      |pw AS (
+      |  SELECT week, count(*) AS n_active,
+      |         sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+      |         sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+      |           AS n_retained,
+      |         sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+      |           AS n_resurrected
+      |  FROM cls GROUP BY week),
+      |mw AS (SELECT max(week) AS max_week FROM au),
+      |ch AS (
+      |  SELECT p.week + 7 AS week, count(*) AS n_churned
+      |  FROM au p CROSS JOIN mw
+      |  WHERE p.week + 7 <= mw.max_week
+      |    AND NOT EXISTS (SELECT 1 FROM au n
+      |      WHERE n.user_id = p.user_id AND n.week = p.week + 7)
+      |  GROUP BY p.week + 7)
+      |SELECT pw.week, CAST(n_active AS BIGINT) AS n_active,
+      |       CAST(n_new AS BIGINT) AS n_new,
+      |       CAST(n_retained AS BIGINT) AS n_retained,
+      |       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+      |       CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+      |FROM pw LEFT JOIN ch ON ch.week = pw.week
+      |ORDER BY pw.week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_behavior_entropy" -> (q196 _),
+    "q197_growth_accounting" -> (q197 _),
     "q180_fano_burstiness" -> (q180 _),
     "q181_last_touch" -> (q181 _),
     "q182_event_corr" -> (q182 _),
@@ -385,6 +522,8 @@ object EventStats {
     "q195_linear_attribution" -> (q195 _))
 
   val oracles: Map[String, String] = Map(
+    "q196_behavior_entropy" -> q196Oracle,
+    "q197_growth_accounting" -> q197Oracle,
     "q180_fano_burstiness" -> q180Oracle,
     "q181_last_touch" -> q181Oracle,
     "q182_event_corr" -> q182Oracle,

@@ -183,11 +183,61 @@ object ImportanceOps {
       |            // n_va AS BIGINT) AS oov_permille
       |FROM lp GROUP BY lang, n_tr, n_va, v ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+
+  /** q198: deterministic weighted sampling without replacement
+    * (Efraimidis-Spirakis 2006 A-ES keys, u^(1/w) order, rewritten as
+    * cost = −ln(u)/w ascending): the length-weighted document sample a
+    * token-budgeted pretraining mix draws. The "random" u is the
+    * engine-agnostic h60 of the doc id reduced mod the universal-hash
+    * prime — reproducible on any engine, any partitioning, any run
+    * (the repo's RNG-free h60 sampling discipline), and the single ln
+    * per doc is micronat-quantized before the integer cost division
+    * (negation FIRST: Spark's DIV truncates toward zero while DuckDB's
+    * // floors, so negative-operand division is forbidden ground).
+    * Plan: one narrow corpus pass + TakeOrderedAndProject.
+    */
+  def q198(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
+          .as("w"),
+        (CrossHash.h60(col("doc_id").cast("string")) % CrossHash.P)
+          .as("hm"))
+      .filter(col("w") > 0)
+      .withColumn("neg_lnu_micro",
+        expr(s"CAST(round(-ln((hm + 1.0) / ${CrossHash.P + 1}L) " +
+          "* 1000000, 0) AS BIGINT)"))
+      .select(col("doc_id"), col("w"),
+        expr("neg_lnu_micro * 1000 DIV w").as("cost_milli"))
+      .orderBy(col("cost_milli"), col("doc_id"))
+      .limit(20)
+
+  val q198Oracle: String = {
+    val h = CrossHash.h60Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(text, ' '),
+       |             t -> t <> '')) AS w,
+       |         ($h) % ${CrossHash.P} AS hm
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, CAST(w AS BIGINT) AS w,
+       |         CAST(round(-ln((hm + 1.0) / ${CrossHash.P + 1})
+       |              * 1000000, 0) AS BIGINT) AS neg_lnu_micro
+       |  FROM d WHERE w > 0)
+       |SELECT doc_id, w,
+       |       CAST(neg_lnu_micro * 1000 // w AS BIGINT) AS cost_milli
+       |FROM k ORDER BY cost_milli, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_dsir_weights" -> (q190 _),
-    "q191_cross_entropy" -> (q191 _))
+    "q191_cross_entropy" -> (q191 _),
+    "q198_weighted_sample" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
     "q190_dsir_weights" -> q190Oracle,
-    "q191_cross_entropy" -> q191Oracle)
+    "q191_cross_entropy" -> q191Oracle,
+    "q198_weighted_sample" -> q198Oracle)
 }

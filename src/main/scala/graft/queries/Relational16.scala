@@ -191,13 +191,124 @@ object Relational16 {
       |         AS BIGINT) AS rolling_median_cents
       |FROM fr ORDER BY o_orderpriority, day""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+
+  /** q199: column-profile report over `orders` — the ETL data-quality
+    * summary (row count, null count, exact distinct count per column)
+    * every ingest run logs before promoting a partition. Computed in
+    * ONE aggregate pass (count + 6 conditional counts + 6 exact
+    * count-distincts — Spark expands multi-distinct into a single
+    * expand+aggregate, not 6 scans) and unpivoted to the (column,
+    * stats) report shape with stack().
+    */
+  def q199(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))
+      }
+    val stackArgs = cols
+      .map(c => s"'$c', null_$c, nd_$c").mkString(", ")
+    table(spark, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
+  val q199Oracle: String = {
+    val branches = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+    }
+    branches.mkString("WITH u AS (\n", "\nUNION ALL\n", """)
+      |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_nulls AS BIGINT) AS n_nulls,
+      |       CAST(n_distinct AS BIGINT) AS n_distinct
+      |FROM u ORDER BY col_name""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q200
+
+  /** q200: join-key skew profile of `lineitem.l_orderkey` — the
+    * diagnostic run before choosing a salting factor (q47) or trusting
+    * AQE's skew split. Per-key multiplicities collapse to a
+    * COUNT-OF-COUNTS histogram first (distinct multiplicities are
+    * bounded by the max basket size — single digits for TPC-H, never
+    * corpus-sized), so the p50/p99 selection by cumulative rank and the
+    * max/mean run on a frame of a few rows; no global sort of the key
+    * domain ever happens. Nearest-rank percentiles as exact integers:
+    * p = min multiplicity whose cumulative key count reaches
+    * ceil(q·n_keys).
+    */
+  def q200(spark: SparkSession, dir: String): DataFrame = {
+    val cc = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_k"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cc.withColumn("cum", sum(col("n_k")).over(w))
+      .crossJoin(broadcast(cc.agg(sum(col("n_k")).as("n_keys"),
+        sum(col("c") * col("n_k")).as("n_rows"), max(col("c")).as("max_c"))))
+      .select(col("c"), col("cum"), col("n_keys"), col("n_rows"),
+        col("max_c"))
+      .agg(max(col("n_keys")).as("n_keys"), max(col("n_rows")).as("n_rows"),
+        max(col("max_c")).as("max_c"),
+        min(when(col("cum") * 2 >= col("n_keys"), col("c")))
+          .as("p50_c"),
+        min(when(col("cum") * 100 >= col("n_keys") * 99, col("c")))
+          .as("p99_c"))
+      .select(col("n_keys"), col("n_rows"), col("max_c"), col("p50_c"),
+        col("p99_c"),
+        expr("1000 * n_rows DIV n_keys").as("mean_c_permille"),
+        expr("1000 * max_c DIV p50_c").as("skew_permille"))
+  }
+
+  val q200Oracle: String =
+    """WITH kc AS (
+      |  SELECT l_orderkey, count(*) AS c FROM lineitem
+      |  GROUP BY l_orderkey),
+      |cc AS (SELECT c, count(*) AS n_k FROM kc GROUP BY c),
+      |tot AS (
+      |  SELECT sum(n_k) AS n_keys, sum(c * n_k) AS n_rows,
+      |         max(c) AS max_c
+      |  FROM cc),
+      |cum AS (
+      |  SELECT c, sum(n_k) OVER (ORDER BY c
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM cc)
+      |SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+      |       CAST(t.n_rows AS BIGINT) AS n_rows,
+      |       CAST(t.max_c AS BIGINT) AS max_c,
+      |       CAST(min(CASE WHEN cum * 2 >= t.n_keys THEN c END)
+      |         AS BIGINT) AS p50_c,
+      |       CAST(min(CASE WHEN cum * 100 >= t.n_keys * 99 THEN c END)
+      |         AS BIGINT) AS p99_c,
+      |       CAST(1000 * t.n_rows // t.n_keys AS BIGINT)
+      |         AS mean_c_permille,
+      |       CAST(1000 * t.max_c
+      |            // min(CASE WHEN cum * 2 >= t.n_keys THEN c END)
+      |         AS BIGINT) AS skew_permille
+      |FROM cum CROSS JOIN tot t
+      |GROUP BY t.n_keys, t.n_rows, t.max_c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_basket_lift" -> (q183 _),
     "q184_trimmed_stats" -> (q184 _),
-    "q187_rolling_median" -> (q187 _))
+    "q187_rolling_median" -> (q187 _),
+    "q199_data_profile" -> (q199 _),
+    "q200_skew_profile" -> (q200 _))
 
   val oracles: Map[String, String] = Map(
     "q183_basket_lift" -> q183Oracle,
     "q184_trimmed_stats" -> q184Oracle,
-    "q187_rolling_median" -> q187Oracle)
+    "q187_rolling_median" -> q187Oracle,
+    "q199_data_profile" -> q199Oracle,
+    "q200_skew_profile" -> q200Oracle)
 }
