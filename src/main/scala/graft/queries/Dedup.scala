@@ -860,8 +860,11 @@ object Dedup {
     * two decides whether q156's canonical-keep or a blocklist is the
     * right removal policy. Degrees ride the same ≤2|E| union aggregate
     * as q160; the edge↔degree joins are co-partitioned on the 8-byte
-    * doc id, and the corr is a single moment aggregate over integer-
-    * valued pairs (exact in double below 2⁵³). One row out.
+    * doc id. Pearson r comes from integer-exact moments, not corr():
+    * the integer sums are order-independent (exact below 2⁵³ pair
+    * volume), and a constant-degree graph — e.g. a perfect matching —
+    * yields NULL via nullif where ANSI corr() raises DIVIDE_BY_ZERO
+    * mid-aggregation. One row out.
     */
   def q189(spark: SparkSession, dir: String): DataFrame = {
     val e = candidatePairs(spark, dir)
@@ -874,12 +877,19 @@ object Dedup {
       .unionAll(e.select(col("doc_b").as("x"), col("doc_a").as("y")))
     both.join(deg.toDF("x", "deg_x"), "x")
       .join(deg.toDF("y", "deg_y"), "y")
-      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+      .agg(count(lit(1)).as("n"),
         max(col("deg_x")).as("max_degree"),
-        round(corr(col("deg_x"), col("deg_y")), 4).as("assortativity"))
+        sum(col("deg_x")).as("sx"), sum(col("deg_y")).as("sy"),
+        sum(col("deg_x") * col("deg_y")).as("sxy"),
+        sum(col("deg_x") * col("deg_x")).as("sxx"),
+        sum(col("deg_y") * col("deg_y")).as("syy"))
       .crossJoin(broadcast(nNodes))
-      .select(col("n_edges"), col("n_nodes"), col("max_degree"),
-        col("assortativity"))
+      .select((col("n") / 2).cast("long").as("n_edges"), col("n_nodes"),
+        col("max_degree"),
+        expr("""round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)""")
+          .as("assortativity"))
   }
 
   val q189Oracle: String =
@@ -892,13 +902,23 @@ object Dedup {
        |  GROUP BY id),
        |both_dir AS (
        |  SELECT doc_a AS x, doc_b AS y FROM e
-       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM e)
-       |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM e),
+       |m AS (
+       |  SELECT count(*) AS n, max(dx.degree) AS max_degree,
+       |         sum(dx.degree) AS sx, sum(dy.degree) AS sy,
+       |         sum(dx.degree * dy.degree) AS sxy,
+       |         sum(dx.degree * dx.degree) AS sxx,
+       |         sum(dy.degree * dy.degree) AS syy
+       |  FROM both_dir b JOIN deg dx ON dx.id = b.x
+       |  JOIN deg dy ON dy.id = b.y)
+       |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
        |       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
-       |       CAST(max(dx.degree) AS BIGINT) AS max_degree,
-       |       round(corr(dx.degree, dy.degree), 4) AS assortativity
-       |FROM both_dir b JOIN deg dx ON dx.id = b.x
-       |JOIN deg dy ON dy.id = b.y""".stripMargin
+       |       CAST(max_degree AS BIGINT) AS max_degree,
+       |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |             nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |                       * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)
+       |         AS assortativity
+       |FROM m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_assortativity" -> (q189 _),

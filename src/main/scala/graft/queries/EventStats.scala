@@ -22,8 +22,12 @@ import graft.Tables.table
   *    within 30 minutes — the carry-forward `last(..., ignoreNulls)`
   *    over a rows-preceding frame (the q70 idiom pointed backwards).
   *  - q182 pairwise correlation of hourly volumes between event types
-  *    over a zero-filled hour×type spine (corr is normalization-
-  *    invariant, so sample-vs-population conventions cancel).
+  *    over a zero-filled hour×type spine. Pearson r is computed from
+  *    integer-exact moments (n·Σxy − Σx·Σy over √(dx·dy)) rather than
+  *    corr(): the integer sums are order-independent, the single final
+  *    division is IEEE-rounded identically on both engines, and a
+  *    zero-variance series yields NULL (nullif) instead of the ANSI
+  *    DIVIDE_BY_ZERO corr() raises.
   *
   * Scale shape: q180/q182 aggregate to an (hour × type) frame first —
   * bounded by the time domain, not the event count — so the corpus-
@@ -104,8 +108,9 @@ object EventStats {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |SELECT event_id AS purchase_id, user_id, click_id,
       |       epoch_us(ts) - epoch_us(click_ts) AS gap_us,
-      |       CASE WHEN epoch_us(ts) - epoch_us(click_ts)
-      |                 <= 1800 * 1000000 THEN 1 ELSE 0 END AS attributed
+      |       CAST(CASE WHEN epoch_us(ts) - epoch_us(click_ts)
+      |                 <= 1800 * 1000000 THEN 1 ELSE 0 END AS BIGINT)
+      |         AS attributed
       |FROM t WHERE event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
@@ -127,10 +132,24 @@ object EventStats {
         coalesce(col("c"), lit(0L)).as("c"))
     val a = filled.toDF("h_a", "type_a", "c_a")
     val b = filled.toDF("h_b", "type_b", "c_b")
+    // Pearson r from integer-exact moments instead of corr(): integer
+    // sums are order-independent (bit-identical cross-engine where
+    // corr()'s float co-moment accumulation is not), and the nullif'd
+    // denominator returns NULL for a zero-variance series where ANSI
+    // corr() raises DIVIDE_BY_ZERO mid-aggregation (e.g. a type with a
+    // constant hourly count over the spine).
     a.join(b, col("h_a") === col("h_b") && col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
-      .agg(count(lit(1)).as("n_hours"),
-        round(corr(col("c_a"), col("c_b")), 4).as("volume_corr"))
+      .agg(count(lit(1)).as("n"), sum(col("c_a")).as("sx"),
+        sum(col("c_b")).as("sy"),
+        sum(col("c_a") * col("c_b")).as("sxy"),
+        sum(col("c_a") * col("c_a")).as("sxx"),
+        sum(col("c_b") * col("c_b")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("n").as("n_hours"),
+        expr("""round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)""")
+          .as("volume_corr"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -145,13 +164,21 @@ object EventStats {
       |  SELECT hours.h, types.event_type, coalesce(counts.c, 0) AS c
       |  FROM hours CROSS JOIN types
       |  LEFT JOIN counts ON counts.h = hours.h
-      |    AND counts.event_type = types.event_type)
-      |SELECT a.event_type AS type_a, b.event_type AS type_b,
-      |       CAST(count(*) AS BIGINT) AS n_hours,
-      |       round(corr(a.c, b.c), 4) AS volume_corr
-      |FROM filled a JOIN filled b
-      |  ON a.h = b.h AND a.event_type < b.event_type
-      |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin
+      |    AND counts.event_type = types.event_type),
+      |m AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         count(*) AS n, sum(a.c) AS sx, sum(b.c) AS sy,
+      |         sum(a.c * b.c) AS sxy, sum(a.c * a.c) AS sxx,
+      |         sum(b.c * b.c) AS syy
+      |  FROM filled a JOIN filled b
+      |    ON a.h = b.h AND a.event_type < b.event_type
+      |  GROUP BY type_a, type_b)
+      |SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |             nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |                       * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)
+      |         AS volume_corr
+      |FROM m ORDER BY type_a, type_b""".stripMargin
 
   // ---------------------------------------------------------------- q185
 
@@ -434,10 +461,15 @@ object EventStats {
     * spine is time-domain-sized.
     */
   def q197(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: au feeds five differently-keyed consumers
+    // (first-week agg, classification join, prev side, max-week scalar,
+    // both churn sides) — without it each re-plans the events scan +
+    // distinct shuffle (the q173/q189 shared-frame pattern)
     val au = table(spark, dir, "events")
       .select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("week"))
       .distinct()
+      .localCheckpoint()
     val first = au.groupBy(col("user_id")).agg(min(col("week")).as("fw"))
     val prev = au.toDF("p_user", "pweek")
     val classed = au

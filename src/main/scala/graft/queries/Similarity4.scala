@@ -148,9 +148,14 @@ object Similarity4 {
       .agg(count(lit(1)).as("n_total"))
     // One conditional-sum pass over the per-doc scalar covers every τ —
     // no threshold join at all; stack() unpivots the single row.
+    // coalesce: the global agg over an EMPTY per-doc frame (every
+    // cluster a singleton, e.g. k ≥ n) yields one all-NULL row where
+    // the oracle's LEFT JOIN + count() yields 0
     val sums = CurveThresholds.map { t =>
-      sum(when(col("max_sim_lower") >= lit(t).cast("double") / 1000d, 1L)
-        .otherwise(0L)).as(s"d$t")
+      coalesce(
+        sum(when(col("max_sim_lower") >= lit(t).cast("double") / 1000d, 1L)
+          .otherwise(0L)),
+        lit(0L)).as(s"d$t")
     }
     val wide = maxSimToLower(spark, dir).agg(sums.head, sums.tail: _*)
     val stackArgs = CurveThresholds

@@ -22,7 +22,8 @@ class StreamingAttributionSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val T0 = 1700000000000L
-  private def m(min: Long): Long = T0 + min * 60000L
+  /** Minute marks as epoch MICROSECONDS (the operator's resolution). */
+  private def m(min: Long): Long = (T0 + min * 60000L) * 1000L
 
   private def withRocksDb[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -43,7 +44,7 @@ class StreamingAttributionSpec extends AnyFunSuite {
     withRocksDb {
       val input = MemoryStream[AttrEvent]
       val withTime = input.toDS()
-        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withColumn("ts", timestamp_micros(col("ts_us")))
         .withWatermark("ts", "0 seconds")
         .as[AttrEvent]
       val q = StreamingAttribution.attribute(withTime)
@@ -66,9 +67,24 @@ class StreamingAttributionSpec extends AnyFunSuite {
         AttrEvent(2, 20, m(1), "purchase")) // no click at all
     }
     assert(rows == Set(
-      AttrOut(1, 13, 11, 8 * 60000L, attributed = true),
-      AttrOut(1, 14, 11, 18 * 60000L, attributed = true),
+      AttrOut(1, 13, 11, 8 * 60000000L, attributed = true),
+      AttrOut(1, 14, 11, 18 * 60000000L, attributed = true),
       AttrOut(2, 20, -1, -1, attributed = false)), rows.toString)
+  }
+
+  test("same-millisecond click/purchase pairs order by microsecond, as batch does") {
+    // purchase at T+100µs precedes click at T+900µs within one ms: a
+    // ms-truncated operator would sort by event_id, process the click
+    // first, and wrongly attribute (the round-9 review's scenario)
+    val rows = run("attr_same_ms") { (input, _) =>
+      input.addData(
+        AttrEvent(1, 9, m(0) + 100L, "purchase"),
+        AttrEvent(1, 5, m(0) + 900L, "click"),
+        AttrEvent(1, 6, m(1), "purchase")) // after the click: attributes
+    }
+    assert(rows == Set(
+      AttrOut(1, 9, -1, -1, attributed = false),
+      AttrOut(1, 6, 5, 60000000L - 900L, attributed = true)), rows.toString)
   }
 
   test("stale click in live state yields gap but no attribution; expired state forgets it") {
@@ -84,7 +100,7 @@ class StreamingAttributionSpec extends AnyFunSuite {
       input.addData(AttrEvent(1, 12, m(50), "purchase"))
     }
     assert(rows == Set(
-      AttrOut(1, 11, 10, 40 * 60000L, attributed = false),
+      AttrOut(1, 11, 10, 40 * 60000000L, attributed = false),
       AttrOut(1, 12, -1, -1, attributed = false)), rows.toString)
   }
 
@@ -93,7 +109,7 @@ class StreamingAttributionSpec extends AnyFunSuite {
     val sfDir = "/root/testdata/sf0.001"
     val events = Tables.table(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"),
-        expr("unix_micros(ts) DIV 1000").as("ts_ms"), col("event_type"))
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
       .as[AttrEvent].collect().toSeq
     val streamed = run("attr_parity")((in, _) => in.addData(events))
       .map(o => o.purchase_id -> o).toMap
@@ -110,11 +126,9 @@ class StreamingAttributionSpec extends AnyFunSuite {
       val batchAttributed = r.getLong(r.fieldIndex("attributed")) == 1L
       assert(o.attributed == batchAttributed, s"purchase $pid verdict")
       if (batchClick >= 0) {
-        // stream times are ms-truncated µs: the two floors differ by
-        // at most one ms from the batch's exact µs gap
+        // both twins run at µs resolution: gaps match exactly
         val gapUs = r.getLong(r.fieldIndex("gap_us"))
-        assert(math.abs(o.gap_ms - gapUs / 1000L) <= 1L,
-          s"purchase $pid gap ${o.gap_ms} vs $gapUs µs")
+        assert(o.gap_us == gapUs, s"purchase $pid gap ${o.gap_us} vs $gapUs µs")
       }
     }
     assert(streamed.size == batch.length)
