@@ -920,7 +920,108 @@ object Dedup {
        |         AS assortativity
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+
+  /** Peel rounds for [[q201]]'s k-core — a LITERAL bound unrolled
+    * identically in the oracle's CTE chain, so both engines compute the
+    * same bounded-round result whether or not the peel has converged
+    * (it has: [[KCoreSpec]] pins fixpoint-by-round-8 on the test
+    * corpora, and one extra round changes nothing by construction once
+    * the alive set is stable). The bounded-iteration discipline is
+    * q161's Bellman-Ford pattern applied to Matula-Beck peeling.
+    */
+  private[graft] val KCorePeelRounds = 8
+
+  private[graft] val KCoreK = 2
+
+  /** k-core of an id-oriented edge frame by iterative peel: drop nodes
+    * with degree < k, recompute, repeat. Each round is one join of the
+    * (checkpointed) bidirected edge list against the shrinking alive
+    * set plus a count — shuffle keys are the 8-byte doc ids, volume
+    * only ever decreases, and the alive frame is checkpointed per round
+    * so the plan stays flat at any round count. Returns the final
+    * survivors with their within-core degree.
+    */
+  private[graft] def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val bidir = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionAll(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .localCheckpoint()
+    var alive = bidir.select(col("x").as("id")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = bidir
+        .join(alive.toDF("x"), "x").join(alive.toDF("y"), "y")
+        .groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("id"))
+        .localCheckpoint()
+    }
+    bidir.join(alive.toDF("x"), "x").join(alive.toDF("y"), "y")
+      .groupBy(col("x").as("doc_id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** q201: the 2-core of the LSH candidate graph — peel away pendant
+    * vertices (isolated dup PAIRS and chain tails) until only cyclic
+    * structure remains; what survives is the template-family core
+    * where a blocklist beats per-pair review. Top-20 core members by
+    * (degree, id) with the core's node/edge totals on every row (the
+    * broadcast-scalar idiom). Complements q160 (triangles = smallest
+    * 2-core witnesses) and q189 (who links to whom).
+    */
+  def q201(spark: SparkSession, dir: String): DataFrame = {
+    val core = kCore(
+      candidatePairs(spark, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(),
+      KCoreK, KCorePeelRounds).localCheckpoint()
+    val totals = core.agg(count(lit(1)).as("n_core_nodes"),
+      (sum(col("core_degree")) / 2).cast("long").as("n_core_edges"))
+    core
+      .orderBy(col("core_degree").desc, col("doc_id"))
+      .limit(20)
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("core_degree"), col("n_core_nodes"),
+        col("n_core_edges"))
+      .orderBy(col("core_degree").desc, col("doc_id"))
+  }
+
+  val q201Oracle: String = {
+    // every round references the previous alive set TWICE (both join
+    // endpoints): un-materialized CTEs would be inlined, doubling the
+    // whole upstream LSH tree per round (2^rounds scans of documents —
+    // observed as an fd-exhaustion failure). MATERIALIZED pins each
+    // round to one evaluation, the exact analogue of the Spark side's
+    // per-round localCheckpoint.
+    val rounds = (1 to KCorePeelRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT b.x AS id, count(*) AS deg
+         |  FROM bd b JOIN alive${r - 1} ax ON ax.id = b.x
+         |  JOIN alive${r - 1} ay ON ay.id = b.y
+         |  GROUP BY b.x),
+         |alive$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${q21CandCte},
+       |bd AS MATERIALIZED (
+       |  SELECT doc_a AS x, doc_b AS y FROM cand
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM cand),
+       |alive0 AS MATERIALIZED (SELECT DISTINCT x AS id FROM bd),
+       |$rounds,
+       |core AS (
+       |  SELECT b.x AS doc_id, count(*) AS core_degree
+       |  FROM bd b JOIN alive$KCorePeelRounds ax ON ax.id = b.x
+       |  JOIN alive$KCorePeelRounds ay ON ay.id = b.y
+       |  GROUP BY b.x),
+       |tot AS (
+       |  SELECT count(*) AS n_core_nodes,
+       |         CAST(coalesce(sum(core_degree), 0) / 2 AS BIGINT)
+       |           AS n_core_edges
+       |  FROM core)
+       |SELECT doc_id, CAST(core_degree AS BIGINT) AS core_degree,
+       |       CAST(n_core_nodes AS BIGINT) AS n_core_nodes, n_core_edges
+       |FROM core CROSS JOIN tot
+       |ORDER BY core_degree DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_kcore" -> (q201 _),
     "q189_assortativity" -> (q189 _),
     "q17_dedup_exact" -> (q17 _),
     "q21_minhash_lsh" -> (q21 _),
@@ -935,6 +1036,7 @@ object Dedup {
     "q160_triangle_census" -> (q160 _))
 
   val oracles: Map[String, String] = Map(
+    "q201_kcore" -> q201Oracle,
     "q189_assortativity" -> q189Oracle,
     "q17_dedup_exact" -> q17Oracle,
     "q21_minhash_lsh" -> q21Oracle,

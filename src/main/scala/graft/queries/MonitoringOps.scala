@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** q202-q203: data-quality monitoring probes — the checks an ingest
+  * pipeline runs BEFORE trusting a new batch, complementing q199's
+  * column profile and q200's skew report.
+  *
+  *  - q202 Benford first-digit profile of order values (Benford 1938;
+  *    Nigrini's fraud-audit use): natural multi-scale amounts follow
+  *    P(d) = log10(1+1/d); a flat or spiked digit histogram flags
+  *    synthetic or truncated data. Expected permilles are LITERAL
+  *    integers (floor of the closed form, precomputed below) — no libm
+  *    log10 at query time, so both engines agree bit-for-bit.
+  *  - q203 CUSUM change-point scan over daily event volume (Page 1954):
+  *    S_t = Σ_{i≤t} (c_i·D − T) — the cumulative deviation from the
+  *    global daily mean kept EXACT by scaling through the day count D
+  *    instead of dividing (S_D telescopes to 0 by construction, which
+  *    the oracle pins). The top-|S_t| days are where the level shifted.
+  *
+  * Scale shape: q202 is one groupBy on a 9-value key (digit) after a
+  * narrow per-row projection — map-side partials collapse the corpus
+  * before the exchange. q203 aggregates the corpus to a per-day frame
+  * first (time-domain-sized, the q180/q182 argument); the cumulative
+  * window then runs un-partitioned over that BOUNDED frame only — the
+  * single-partition WindowExec never sees corpus-sized input. Overflow:
+  * q203's c·D ≤ total events × day count < 2⁶³ up to ~10¹⁴ events over
+  * 10⁴ days; q202's 1000·n is trivially safe.
+  */
+object MonitoringOps {
+
+  /** floor(1000·log10(1+1/d)) for d = 1..9, precomputed so the query
+    * never calls a transcendental. */
+  private val BenfordPermille =
+    Seq(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+      6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+
+  // ---------------------------------------------------------------- q202
+
+  /** q202: observed vs Benford-expected first-digit distribution of
+    * o_totalprice (in integer cents), with the permille deviation. */
+  def q202(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = BenfordPermille.toDF("digit", "exp_permille")
+    val digits = table(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val total = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .join(broadcast(expected.withColumn("digit", col("digit").cast("long"))),
+        Seq("digit"), "right") // every digit row even if absent
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("1000 * n DIV n_total").as("obs_permille"),
+        col("exp_permille"),
+        expr("1000 * n DIV n_total - exp_permille").as("dev_permille"))
+      .orderBy(col("digit"))
+  }
+
+  val q202Oracle: String = {
+    val vals = BenfordPermille.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH expected(digit, exp_permille) AS (VALUES $vals),
+       |digits AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+       |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders),
+       |tot AS (SELECT count(*) AS n_total FROM digits),
+       |obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit)
+       |SELECT CAST(e.digit AS BIGINT) AS digit,
+       |       CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+       |       CAST(1000 * coalesce(o.n, 0) // n_total AS BIGINT)
+       |         AS obs_permille,
+       |       CAST(e.exp_permille AS BIGINT) AS exp_permille,
+       |       CAST(1000 * coalesce(o.n, 0) // n_total - e.exp_permille
+       |         AS BIGINT) AS dev_permille
+       |FROM expected e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
+       |ORDER BY digit""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q203
+
+  /** q203: top-5 CUSUM change-point candidates over daily event
+    * volume — the days with the largest |cumulative deviation from the
+    * global daily mean|, deviation kept exact by D-scaling. */
+  def q203(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val totals = daily.agg(count(lit(1)).as("d_days"), sum(col("c")).as("t_total"))
+    // the cumulative window runs over the BOUNDED per-day frame — the
+    // un-partitioned WindowExec is safe here and only here
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(totals))
+      .withColumn("cusum_scaled",
+        sum(col("c") * col("d_days") - col("t_total")).over(w))
+      .select(col("day"), col("c"), col("cusum_scaled"))
+      .orderBy(abs(col("cusum_scaled")).desc, col("day"))
+      .limit(5)
+  }
+
+  val q203Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events GROUP BY day),
+      |tot AS (SELECT count(*) AS d_days, sum(c) AS t_total FROM daily),
+      |cu AS (
+      |  SELECT day, c,
+      |         sum(c * d_days - t_total) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cusum_scaled
+      |  FROM daily CROSS JOIN tot)
+      |SELECT day, CAST(c AS BIGINT) AS c,
+      |       CAST(cusum_scaled AS BIGINT) AS cusum_scaled
+      |FROM cu ORDER BY abs(cusum_scaled) DESC, day LIMIT 5""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_benford_digits" -> (q202 _),
+    "q203_cusum_changepoint" -> (q203 _))
+
+  val oracles: Map[String, String] = Map(
+    "q202_benford_digits" -> q202Oracle,
+    "q203_cusum_changepoint" -> q203Oracle)
+}

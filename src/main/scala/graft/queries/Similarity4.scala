@@ -238,13 +238,85 @@ object Similarity4 {
        |       nl AS neighbor_label, sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY anchor_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+
+  /** q204: mutual (reciprocal) nearest neighbors between two fixed
+    * vector panels — the bitext-mining/embedding-alignment primitive
+    * (Artetxe & Schwenk 2019, margin-based mining): a pair (a, b) is
+    * kept iff b is a's top-1 AND a is b's top-1, scored with the
+    * top1−top2 margin that separates confident alignments from hubs.
+    * Panels are FIXED id ranges (the q19 discipline — never a corpus
+    * fraction), so the pair frame is panel², constant at any corpus
+    * size; production replaces the exhaustive pair pass with an IVF/PQ
+    * shortlist (q94/q158) per side. Ranking runs on integer micro-sims
+    * (one quantization, both engines); the margin is an exact integer
+    * difference of those micros.
+    */
+  def q204(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val a = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+    val b = emb.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+      .select(col("vec_id").as("b_id"), col("embedding").as("be"))
+    // both sim (reported) and sm (ranking key) quantize the RAW cosine —
+    // deriving sm from the already-rounded sim would double-round, which
+    // the oracle cannot reproduce exactly
+    val pairs = broadcast(a).crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        VectorOps.cosineNative(col("ae"), col("be")).as("raw"))
+      .select(col("a_id"), col("b_id"),
+        round(col("raw"), 6).as("sim"),
+        round(col("raw") * 1000000d, 0).cast("long").as("sm"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("sm").desc, col("b_id"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b_id")).orderBy(col("sm").desc, col("a_id"))
+    pairs
+      .withColumn("rka", row_number().over(wa))
+      .withColumn("next_sm", lead(col("sm"), 1).over(wa))
+      .withColumn("rkb", row_number().over(wb))
+      .filter(col("rka") === 1 && col("rkb") === 1)
+      .select(col("a_id"), col("b_id"), col("sim"),
+        (col("sm") - col("next_sm")).as("margin_micro"))
+      .orderBy(col("a_id"))
+  }
+
+  val q204Oracle: String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS pid, b.vec_id AS nid,
+       |         a.embedding AS pe, b.embedding AS ne
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < 40 AND b.vec_id >= 100 AND b.vec_id < 140),
+       |${Similarity.cosineCtes("pairs", "sims")},
+       |q AS (
+       |  SELECT s.pid, s.nid, round(s.sim, 6) AS sim,
+       |         CAST(round(s.sim * 1000000, 0) AS BIGINT) AS sm
+       |  FROM sims s),
+       |ra AS (
+       |  SELECT pid, nid, sim, sm,
+       |         row_number() OVER wa AS rka,
+       |         lead(sm, 1) OVER wa AS next_sm
+       |  FROM q WINDOW wa AS (PARTITION BY pid ORDER BY sm DESC, nid)),
+       |rb AS (
+       |  SELECT pid, nid,
+       |         row_number() OVER (PARTITION BY nid ORDER BY sm DESC, pid)
+       |           AS rkb
+       |  FROM q)
+       |SELECT ra.pid AS a_id, ra.nid AS b_id, ra.sim,
+       |       CAST(ra.sm - ra.next_sm AS BIGINT) AS margin_micro
+       |FROM ra JOIN rb ON rb.pid = ra.pid AND rb.nid = ra.nid
+       |WHERE ra.rka = 1 AND rb.rkb = 1
+       |ORDER BY a_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_semantic_dedup" -> (q170 _),
     "q171_semdedup_curve" -> (q171 _),
-    "q192_hard_negatives" -> (q192 _))
+    "q192_hard_negatives" -> (q192 _),
+    "q204_mutual_nn" -> (q204 _))
 
   val oracles: Map[String, String] = Map(
     "q170_semantic_dedup" -> q170Oracle,
     "q171_semdedup_curve" -> q171Oracle,
-    "q192_hard_negatives" -> q192Oracle)
+    "q192_hard_negatives" -> q192Oracle,
+    "q204_mutual_nn" -> q204Oracle)
 }

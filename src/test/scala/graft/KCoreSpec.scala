@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Dedup
+
+/** q201's bounded k-core peel: hand graphs where the 2-core is known in
+  * closed form, the cascade property (each peel round can expose new
+  * peelable nodes), and the fixpoint claim the unrolled oracle rests on
+  * (running MORE rounds than [[Dedup.KCorePeelRounds]] changes nothing
+  * on the gated corpus).
+  */
+class KCoreSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+
+  private def edgeDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("doc_a", "doc_b")
+  }
+
+  private def coreMap(pairs: Seq[(Long, Long)], rounds: Int = Dedup.KCorePeelRounds) =
+    Dedup.kCore(edgeDf(pairs), Dedup.KCoreK, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangle survives the 2-core; a pendant chain peels away") {
+    // triangle {1,2,3} + chain 3-4-5: 5 peels first (deg 1), then 4 —
+    // TWO rounds are needed (the cascade a single-pass degree filter
+    // would miss), leaving the pure triangle at degree 2 each
+    val core = coreMap(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("isolated dup pairs (the LSH-graph common case) peel to an empty core") {
+    val core = coreMap(Seq((1L, 2L), (3L, 4L), (5L, 6L)))
+    assert(core.isEmpty)
+  }
+
+  test("a path longer than the round bound is only partially peeled — and the gated corpus is NOT in that regime") {
+    // path 0-1-2-...-20: each round peels both ends; 8 rounds leave the
+    // middle 21-16=5 nodes still standing even though the true 2-core
+    // is empty. This pins WHY the spec below must hold: the bounded
+    // result equals the true k-core only at fixpoint.
+    val path = (0L until 20L).map(i => (i, i + 1))
+    val bounded = coreMap(path)
+    assert(bounded.nonEmpty && bounded.size == 21 - 2 * Dedup.KCorePeelRounds)
+  }
+
+  test("fixpoint by the round bound on the sf0.001 candidate graph") {
+    val edges = Dedup.candidatePairs(spark, "/root/testdata/sf0.001")
+      .select("doc_a", "doc_b").localCheckpoint()
+    val atBound = Dedup.kCore(edges, Dedup.KCoreK, Dedup.KCorePeelRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beyond = Dedup.kCore(edges, Dedup.KCoreK, Dedup.KCorePeelRounds + 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atBound == beyond, "peel had not converged by the round bound")
+  }
+}

@@ -94,4 +94,30 @@ class Similarity4Spec extends AnyFunSuite {
     assert(curve(400L) == q170Drops,
       "q171's τ=400 point must equal q170's total drop count")
   }
+
+  test("q204: every reported pair is mutually top-1, margins non-negative, at most min(|A|,|B|) rows") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i); i += 1 }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val aIds = emb.keys.filter(_ < 40).toSeq.sorted
+    val bIds = emb.keys.filter(i => i >= 100 && i < 140).toSeq.sorted
+    def micro(x: Double): Long = math.round(x * 1000000d)
+    def top1(from: Long, cands: Seq[Long]): Long =
+      cands.map(c => (micro(cos(emb(from), emb(c))), c))
+        .maxBy { case (sm, c) => (sm, -c) }._2
+    val rows = Similarity4.q204(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= math.min(aIds.length, bIds.length))
+    rows.foreach { r =>
+      val (a, b, margin) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(top1(a, bIds) == b, s"$b is not $a's top-1")
+      assert(top1(b, aIds) == a, s"$a is not $b's top-1")
+      assert(margin >= 0L, s"negative margin for ($a,$b)")
+    }
+  }
 }
