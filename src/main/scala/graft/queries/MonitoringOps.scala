@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 
-/** q202-q203: data-quality monitoring probes — the checks an ingest
-  * pipeline runs BEFORE trusting a new batch, complementing q199's
-  * column profile and q200's skew report.
+/** q202/q203/q205: data-quality monitoring probes — the checks an
+  * ingest pipeline runs BEFORE trusting a new batch, complementing
+  * q199's column profile and q200's skew report.
   *
   *  - q202 Benford first-digit profile of order values (Benford 1938;
   *    Nigrini's fraud-audit use): natural multi-scale amounts follow
@@ -120,11 +120,72 @@ object MonitoringOps {
       |       CAST(cusum_scaled AS BIGINT) AS cusum_scaled
       |FROM cu ORDER BY abs(cusum_scaled) DESC, day LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- q205
+
+  /** q205: mutual information between event type and day-of-week — the
+    * column-dependence probe (does traffic mix shift by weekday?) that
+    * complements q196's per-user entropy and q179's cross-corpus KL.
+    * MI·N in micronats: S = Σ_xy c_xy·(L(c_xy) + L(N) − L(c_x) − L(c_y))
+    * with L = round(ln·10⁶) under the q190 micronat discipline (one ln
+    * per DISTINCT count, quantized identically on both engines). S is
+    * reported UNDIVIDED (scaled by N): true MI ≥ 0, but micronat
+    * rounding can push a near-independent S a few micro below zero, and
+    * Spark DIV truncates where DuckDB // floors — division by N is the
+    * reader's step, not the query's (the q198 negative-operand rule).
+    *
+    * Scale shape: ONE corpus groupBy to the (type × dow) cell frame
+    * (≤ |types|·7 rows); marginals, N and the MI fold all run on that
+    * bounded frame. Day-of-week is epoch-day mod 7 — engine-neutral
+    * where dayofweek() origins differ (Spark 1=Sun, DuckDB 0=Sun).
+    * Overflow: |each term| ≤ c·4·L(N) — int64-safe below ~10¹¹ events.
+    */
+  def q205(spark: SparkSession, dir: String): DataFrame = {
+    val lnMicro = (c: org.apache.spark.sql.Column) =>
+      round(log(c.cast("double")) * 1000000d, 0).cast("long")
+    val cells = table(spark, dir, "events")
+      .select(col("event_type").as("x"),
+        expr("unix_micros(ts) DIV 86400000000 % 7").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // 3 marginal consumers + the fold
+    val mx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val n = cells.agg(sum(col("c")).as("n_events"))
+    cells
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n))
+      .select(col("n_events"),
+        (col("c") * (lnMicro(col("c")) + lnMicro(col("n_events"))
+          - lnMicro(col("cx")) - lnMicro(col("cy")))).as("term"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("term")).as("mi_sum_micro"))
+      .select(col("n_events"), col("n_cells"), col("mi_sum_micro"))
+  }
+
+  val q205Oracle: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT event_type AS x, epoch_us(ts) // 86400000000 % 7 AS y,
+      |         count(*) AS c
+      |  FROM events GROUP BY x, y),
+      |mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY x),
+      |my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY y),
+      |tot AS (SELECT sum(c) AS n_events FROM cells)
+      |SELECT CAST(n_events AS BIGINT) AS n_events,
+      |       CAST(count(*) AS BIGINT) AS n_cells,
+      |       CAST(sum(c * (CAST(round(ln(c) * 1000000, 0) AS BIGINT)
+      |                   + CAST(round(ln(n_events) * 1000000, 0) AS BIGINT)
+      |                   - CAST(round(ln(cx) * 1000000, 0) AS BIGINT)
+      |                   - CAST(round(ln(cy) * 1000000, 0) AS BIGINT)))
+      |         AS BIGINT) AS mi_sum_micro
+      |FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+      |GROUP BY n_events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_benford_digits" -> (q202 _),
-    "q203_cusum_changepoint" -> (q203 _))
+    "q203_cusum_changepoint" -> (q203 _),
+    "q205_mutual_information" -> (q205 _))
 
   val oracles: Map[String, String] = Map(
     "q202_benford_digits" -> q202Oracle,
-    "q203_cusum_changepoint" -> q203Oracle)
+    "q203_cusum_changepoint" -> q203Oracle,
+    "q205_mutual_information" -> q205Oracle)
 }

@@ -33,6 +33,26 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum == 995L) // floor(1000·log10(1+1/d)) sums to 995
   }
 
+  test("q205: MI·N is bounded by N·min(H(x), H(y)) and near-zero quantization noise is tolerated") {
+    import org.apache.spark.sql.functions._
+    val row = MonitoringOps.q205(spark, sfDir).collect().head
+    val (n, miSum) = (row.getLong(0), row.getLong(2))
+    // recompute the marginals' entropy bound independently
+    val ev = graft.Tables.table(spark, sfDir, "events")
+      .select(col("event_type").as("x"),
+        expr("unix_micros(ts) DIV 86400000000 % 7").as("y")).collect()
+    def entropyN(counts: Seq[Long]): Double = {
+      val total = counts.sum.toDouble
+      counts.map(c => -c * math.log(c / total)).sum // in nats·N
+    }
+    val hx = entropyN(ev.groupBy(_.getString(0)).map(_._2.length.toLong).toSeq)
+    val hy = entropyN(ev.groupBy(_.getLong(1)).map(_._2.length.toLong).toSeq)
+    val bound = math.min(hx, hy) * 1000000d
+    assert(n == ev.length.toLong)
+    assert(miSum <= bound + n, s"MI·N $miSum exceeds the entropy bound $bound")
+    assert(miSum >= -n, s"MI·N $miSum below quantization floor") // ≥ −1 micronat/event
+  }
+
   test("q203: the D-scaled CUSUM telescopes to 0 on the last day (exact mean removal)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
