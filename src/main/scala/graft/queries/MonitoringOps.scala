@@ -51,9 +51,13 @@ object MonitoringOps {
       .select(substring(col("cents").cast("string"), 1, 1)
         .cast("long").as("digit"))
     val total = digits.agg(count(lit(1)).as("n_total"))
-    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
-      .join(broadcast(expected.withColumn("digit", col("digit").cast("long"))),
-        Seq("digit"), "right") // every digit row even if absent
+    // expected (9 local rows) preserved on the LEFT, the aggregated
+    // observed counts (≤9 rows post-agg) broadcast as the build side —
+    // a broadcast hint on the PRESERVED side of an outer join would be
+    // silently ignored (only the non-preserved side can be built)
+    expected.withColumn("digit", col("digit").cast("long"))
+      .join(broadcast(digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))),
+        Seq("digit"), "left") // every digit row even if absent
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(total))
       .select(col("digit"), col("n"),

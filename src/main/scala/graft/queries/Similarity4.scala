@@ -260,13 +260,16 @@ object Similarity4 {
       .select(col("vec_id").as("b_id"), col("embedding").as("be"))
     // both sim (reported) and sm (ranking key) quantize the RAW cosine —
     // deriving sm from the already-rounded sim would double-round, which
-    // the oracle cannot reproduce exactly
+    // the oracle cannot reproduce exactly. sm is FLOOR-quantized (the
+    // round-6 ranking-key discipline: Spark's Round re-reads the double
+    // through its shortest decimal repr before HALF_UP, DuckDB rounds
+    // the exact binary — floor of the identical product is safe).
     val pairs = broadcast(a).crossJoin(broadcast(b))
       .select(col("a_id"), col("b_id"),
         VectorOps.cosineNative(col("ae"), col("be")).as("raw"))
       .select(col("a_id"), col("b_id"),
         round(col("raw"), 6).as("sim"),
-        round(col("raw") * 1000000d, 0).cast("long").as("sm"))
+        floor(col("raw") * 1000000d).cast("long").as("sm"))
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id")).orderBy(col("sm").desc, col("b_id"))
     val wb = org.apache.spark.sql.expressions.Window
@@ -290,7 +293,7 @@ object Similarity4 {
        |${Similarity.cosineCtes("pairs", "sims")},
        |q AS (
        |  SELECT s.pid, s.nid, round(s.sim, 6) AS sim,
-       |         CAST(round(s.sim * 1000000, 0) AS BIGINT) AS sm
+       |         CAST(floor(s.sim * 1000000) AS BIGINT) AS sm
        |  FROM sims s),
        |ra AS (
        |  SELECT pid, nid, sim, sm,

@@ -47,13 +47,19 @@ class KCoreSpec extends AnyFunSuite {
     assert(bounded.nonEmpty && bounded.size == 21 - 2 * Dedup.KCorePeelRounds)
   }
 
-  test("fixpoint by the round bound on the sf0.001 candidate graph") {
-    val edges = Dedup.candidatePairs(spark, "/root/testdata/sf0.001")
-      .select("doc_a", "doc_b").localCheckpoint()
-    val atBound = Dedup.kCore(edges, Dedup.KCoreK, Dedup.KCorePeelRounds)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val beyond = Dedup.kCore(edges, Dedup.KCoreK, Dedup.KCorePeelRounds + 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(atBound == beyond, "peel had not converged by the round bound")
+  test("fixpoint by the round bound on every gated corpus (sf0.001, sf0.01, sf0.1)") {
+    // the unrolled oracle computes the same bounded-round result by
+    // construction, so an UNCONVERGED peel would pass the hash gate
+    // while reporting non-core nodes — convergence must be pinned on
+    // the corpora the gate actually runs, not just the smallest
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val edges = Dedup.candidatePairs(spark, s"/root/testdata/$sf")
+        .select("doc_a", "doc_b").localCheckpoint()
+      val atBound = Dedup.kCore(edges, Dedup.KCoreK, Dedup.KCorePeelRounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val beyond = Dedup.kCore(edges, Dedup.KCoreK, Dedup.KCorePeelRounds + 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(atBound == beyond, s"peel had not converged by the round bound at $sf")
+    }
   }
 }

@@ -107,7 +107,7 @@ class Similarity4Spec extends AnyFunSuite {
     }
     val aIds = emb.keys.filter(_ < 40).toSeq.sorted
     val bIds = emb.keys.filter(i => i >= 100 && i < 140).toSeq.sorted
-    def micro(x: Double): Long = math.round(x * 1000000d)
+    def micro(x: Double): Long = math.floor(x * 1000000d).toLong
     def top1(from: Long, cands: Seq[Long]): Long =
       cands.map(c => (micro(cos(emb(from), emb(c))), c))
         .maxBy { case (sm, c) => (sm, -c) }._2
