@@ -12,15 +12,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`bom-partition/bom_partition.py:29-49`) is subsumed by running MSCK
   * idempotently; incremental single-partition registration stays
   * available for the per-file path.
+  *
+  * Every method takes an optional [[DdlLedger]] — the analogue of the
+  * reference's Athena query-log OutputLocation
+  * (`bom-partition/bom_partition.py:71-74,120-123`): pass one and each
+  * statement lands an execution record (statement, SUCCEEDED/FAILED,
+  * error, timing) in the ledger directory; the default Noop keeps the
+  * plain synchronous behavior.
   */
 object Catalog {
 
   /** `CREATE DATABASE IF NOT EXISTS`, with the reference's `-`→`_` name
     * sanitization (`bom-create-database/bom_create_database.py:27`).
     */
-  def createDatabase(spark: SparkSession, name: String): String = {
+  def createDatabase(
+      spark: SparkSession,
+      name: String,
+      ledger: DdlLedger = DdlLedger.Noop): String = {
     val db = sanitize(name)
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    run(spark, s"CREATE DATABASE IF NOT EXISTS $db", ledger)
     db
   }
 
@@ -35,19 +45,25 @@ object Catalog {
       spark: SparkSession,
       db: String,
       table: String,
-      location: String): Unit =
-    spark.sql(
+      location: String,
+      ledger: DdlLedger = DdlLedger.Noop): Unit =
+    run(spark,
       s"""CREATE TABLE IF NOT EXISTS $db.$table
          |  (date STRING, radiation_type STRING,
          |   longitude DOUBLE, latitude DOUBLE, radiation INT,
          |   year INT, month INT, day INT, hour INT)
          |USING PARQUET
          |PARTITIONED BY (year, month, day, hour)
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION '$location'""".stripMargin,
+      ledger)
 
   /** O21: discover all partitions after a bulk load. */
-  def repairTable(spark: SparkSession, db: String, table: String): Unit =
-    spark.sql(s"MSCK REPAIR TABLE $db.$table")
+  def repairTable(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      ledger: DdlLedger = DdlLedger.Noop): Unit =
+    run(spark, s"MSCK REPAIR TABLE $db.$table", ledger)
 
   /** O22: incremental single-partition registration (the per-file path,
     * `bom-partition/bom_partition.py:126`, on the unified
@@ -57,11 +73,20 @@ object Catalog {
       spark: SparkSession,
       db: String,
       table: String,
-      year: Int, month: Int, day: Int, hour: Int): Unit =
-    spark.sql(
+      year: Int, month: Int, day: Int, hour: Int,
+      ledger: DdlLedger = DdlLedger.Noop): Unit =
+    run(spark,
       s"""ALTER TABLE $db.$table ADD IF NOT EXISTS
          |PARTITION (year=$year, month=$month, day=$day, hour=$hour)"""
-        .stripMargin)
+        .stripMargin,
+      ledger)
 
   def query(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
+  /** Single DDL funnel: every catalog statement executes here, so a
+    * ledger observes ALL of them or none.
+    */
+  private def run(
+      spark: SparkSession, sql: String, ledger: DdlLedger): Unit =
+    ledger.record(sql) { spark.sql(sql) }
 }

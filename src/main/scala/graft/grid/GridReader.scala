@@ -144,4 +144,29 @@ object GridReader {
       .mode(mode)
       .partitionBy("year", "month", "day", "hour")
       .parquet(servingDir)
+
+  /** OPT-IN reference-layout sink: the same Hive tree but with the
+    * reference's zero-padded STRING partition values
+    * (`year=2020/month=01/day=05/hour=09` — `bom/bom.py:28-32` builds
+    * keys from strftime, so Athena sees strings). [[writePartitioned]]
+    * stays the default (int partitions, SURVEY.md §1.2); this mode
+    * exists for users serving INTO an existing Athena layout, where a
+    * byte-for-byte path diff against the reference tree must come up
+    * empty. Reading the tree back with Spark re-infers ints unless
+    * `spark.sql.sources.partitionColumnTypeInference.enabled=false` —
+    * set it when byte-parity matters on the read side too.
+    */
+  def writePartitionedRefLayout(
+      points: Dataset[RadiationPoint],
+      servingDir: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    points.toDF()
+      .withColumn("year", format_string("%04d", col("year")))
+      .withColumn("month", format_string("%02d", col("month")))
+      .withColumn("day", format_string("%02d", col("day")))
+      .withColumn("hour", format_string("%02d", col("hour")))
+      .write
+      .mode(mode)
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(servingDir)
 }

@@ -107,13 +107,47 @@ object Dedup {
         col("band.bh").as("bh"))
   }
 
+  /** Memoized default-cap candidate pairs per (session, dir) — the
+    * PQ-codebook/kmClusters discipline applied to the LSH frame: NINE
+    * queries (q21/q78/q87/q147/q156/q157/q160/q189/q201) consume the
+    * identical banding + self-join, and before this memo each recomputed
+    * it from the raw corpus. `localCheckpoint` materializes the pair
+    * frame once (pairs are bounded by banding + the hot-bucket cap —
+    * never corpus-sized); keyed by applicationId so a stopped session's
+    * blocks are never served to a new one. The capped overload below
+    * stays un-memoized (spec hook).
+    */
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** UNSORTED LSH candidate pairs with both signatures — shared by q21
     * (which scores and sorts them) and q78 (which only needs the edge
     * list; consuming q21 directly would drag its global ORDER BY
     * range-exchange into the checkpoint for nothing).
     */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    candidatePairs(spark, dir, MaxBucketDocs)
+    candCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
+      candidatePairs(spark, dir, MaxBucketDocs).localCheckpoint())
+
+  /** Memoized connected-components labels + drop count over the
+    * [[candidatePairs]] graph per (session, dir): q78, q87, q156 and
+    * q157 all need the identical banding + CC fixpoint — the round-9
+    * verdict's exact analogue of the PQ-codebook memo. Labels are
+    * `localCheckpoint`'ed so the final star-map join is not replayed
+    * per consumer.
+    */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+
+  private[graft] def ccLabels(
+      spark: SparkSession, dir: String): (DataFrame, Long) =
+    ccCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val edges = candidatePairs(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (labels, nDropped) =
+        graft.ops.ConnectedComponents.runWithDropCount(edges)
+      (labels.localCheckpoint(), nDropped)
+    })
 
   /** As above with an explicit hot-bucket cap (spec hook). The cap's
     * row_number window partitions by exactly the join keys, so its
@@ -307,13 +341,10 @@ object Dedup {
     * component minimum either way, so the WITH RECURSIVE closure oracle
     * is unchanged.
     */
-  def q78(spark: SparkSession, dir: String): DataFrame = {
-    val edges = candidatePairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    graft.ops.ConnectedComponents.run(edges)
+  def q78(spark: SparkSession, dir: String): DataFrame =
+    ccLabels(spark, dir)._1
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
-  }
 
   /** Recursive-CTE twin: the closure of reachable labels per node; the
     * min reachable node IS the component minimum (undirected graph).
@@ -370,10 +401,7 @@ object Dedup {
     * join, broadcast or shuffled by the drop set's measured size.
     */
   def q87(spark: SparkSession, dir: String): DataFrame = {
-    val edges = candidatePairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val (labels, nDropped) =
-      graft.ops.ConnectedComponents.runWithDropCount(edges)
+    val (labels, nDropped) = ccLabels(spark, dir)
     val dropIds = labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
@@ -626,10 +654,7 @@ object Dedup {
     */
   def q156(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = candidatePairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val (labels, nDropped) =
-      graft.ops.ConnectedComponents.runWithDropCount(edges)
+    val (labels, nDropped) = ccLabels(spark, dir)
     // Quality for the RANKING is computed only for cluster members: the
     // labels join bounds the frame BEFORE the expensive text projection
     // runs (the corpus-wide evaluation below serves the kept-quality
@@ -724,9 +749,7 @@ object Dedup {
     * grouped histogram.
     */
   def q157(spark: SparkSession, dir: String): DataFrame = {
-    val edges = candidatePairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = graft.ops.ConnectedComponents.run(edges)
+    val labels = ccLabels(spark, dir)._1
     val hist = labels
       .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
@@ -785,8 +808,9 @@ object Dedup {
     */
   def q160(spark: SparkSession, dir: String): DataFrame =
     triangleCensus(
-      candidatePairs(spark, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(),
+      // the memoized candidate frame is already checkpointed; the
+      // narrow select on top costs nothing to replay
+      candidatePairs(spark, dir).select(col("doc_a"), col("doc_b")),
       topK = 20)
 
   /** Wedges of an id-oriented (doc_a < doc_b) edge frame: pairs of
@@ -860,15 +884,17 @@ object Dedup {
     * two decides whether q156's canonical-keep or a blocklist is the
     * right removal policy. Degrees ride the same ≤2|E| union aggregate
     * as q160; the edge↔degree joins are co-partitioned on the 8-byte
-    * doc id. Pearson r comes from integer-exact moments, not corr():
-    * the integer sums are order-independent (exact below 2⁵³ pair
-    * volume), and a constant-degree graph — e.g. a perfect matching —
-    * yields NULL via nullif where ANSI corr() raises DIVIDE_BY_ZERO
-    * mid-aggregation. One row out.
+    * doc id. Pearson r comes from integer-exact moment SUMS, not
+    * corr(): the int64 sums are order-independent (Σ deg² stays exact
+    * below ~10¹⁴ cap-bounded edges), the moment COMBINATION then runs
+    * in doubles (see the in-query comment — n·sxx in int64 would wrap
+    * where the oracle's HUGEINT stays exact), and a constant-degree
+    * graph — e.g. a perfect matching — yields NULL via nullif where
+    * ANSI corr() raises DIVIDE_BY_ZERO mid-aggregation. One row out.
     */
   def q189(spark: SparkSession, dir: String): DataFrame = {
     val e = candidatePairs(spark, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b"))
     val deg = e.select(col("doc_a").as("id"))
       .unionAll(e.select(col("doc_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
@@ -884,11 +910,19 @@ object Dedup {
         sum(col("deg_x") * col("deg_x")).as("sxx"),
         sum(col("deg_y") * col("deg_y")).as("syy"))
       .crossJoin(broadcast(nNodes))
+      // the moment COMBINATION runs in doubles: n·sxx in int64 wraps
+      // (silently, or as an ANSI error) once n·max_deg² nears 2⁶³,
+      // while the oracle's HUGEINT-promoted sums stay exact — a
+      // cross-engine fork. BIGINT→DOUBLE casts and each * and − are
+      // single correctly-rounded IEEE ops, identical on both engines;
+      // only the SUM stage still needs int64 headroom (Σ deg² < 2⁶³ —
+      // safe below ~10¹⁴ cap-bounded edges).
       .select((col("n") / 2).cast("long").as("n_edges"), col("n_nodes"),
         col("max_degree"),
-        expr("""round(CAST(n * sxy - sx * sy AS DOUBLE) /
-                nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                          * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)""")
+        expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                       0.0), 4)""")
           .as("assortativity"))
   }
 
@@ -914,49 +948,84 @@ object Dedup {
        |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
        |       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        |       CAST(max_degree AS BIGINT) AS max_degree,
-       |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
-       |             nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-       |                       * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)
+       |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+       |             nullif(sqrt((CAST(n AS DOUBLE) * sxx
+       |                          - CAST(sx AS DOUBLE) * sx)
+       |                       * (CAST(n AS DOUBLE) * syy
+       |                          - CAST(sy AS DOUBLE) * sy)), 0.0), 4)
        |         AS assortativity
        |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- q201
 
-  /** Peel rounds for [[q201]]'s k-core — a LITERAL bound unrolled
-    * identically in the oracle's CTE chain, so both engines compute the
-    * same bounded-round result whether or not the peel has converged
-    * (it has: [[KCoreSpec]] pins fixpoint-by-round-8 on the test
-    * corpora, and one extra round changes nothing by construction once
-    * the alive set is stable). The bounded-iteration discipline is
-    * q161's Bellman-Ford pattern applied to Matula-Beck peeling.
+  /** Peel-round bound for [[q201]]'s k-core — a LITERAL bound unrolled
+    * identically in the oracle's CTE chain. The Spark loop EARLY-EXITS
+    * the moment a round is a fixpoint (the alive set stops changing —
+    * one tiny checksum row per round, the ConnectedComponents
+    * discipline), which produces the identical result with fewer jobs:
+    * once stable, every further peel is a no-op by construction. If the
+    * bound is exhausted WITHOUT reaching a fixpoint the peel fails
+    * loudly instead of silently reporting pendant nodes as core members
+    * (both engines would agree on the bounded-but-wrong answer, so the
+    * hash gate cannot catch it — the round-9 advisor's witness).
     */
   private[graft] val KCorePeelRounds = 8
 
   private[graft] val KCoreK = 2
 
-  /** k-core of an id-oriented edge frame by iterative peel: drop nodes
-    * with degree < k, recompute, repeat. Each round is one join of the
-    * (checkpointed) bidirected edge list against the shrinking alive
-    * set plus a count — shuffle keys are the 8-byte doc ids, volume
-    * only ever decreases, and the alive frame is checkpointed per round
-    * so the plan stays flat at any round count. Returns the final
-    * survivors with their within-core degree.
+  /** Order-insensitive fingerprint of the alive-id set (count + xor of
+    * xxhash64(id)) — one tiny driver-side row per peel round, and the
+    * round's only action (it also materializes the checkpoint).
     */
-  private[graft] def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private def aliveSig(alive: DataFrame): (Long, Long) = {
+    val r = alive.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("id"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private[graft] def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreWithRounds(edges, k, rounds)._1
+
+  /** k-core of an id-oriented edge frame by iterative peel: drop nodes
+    * with degree < k, recompute, repeat — early-exiting at fixpoint,
+    * failing loudly on cap-out (see [[KCorePeelRounds]]). Each round is
+    * one join of the (checkpointed) bidirected edge list against the
+    * shrinking alive set plus the checksum — shuffle keys are the
+    * 8-byte doc ids, volume only ever decreases, and the alive frame is
+    * checkpointed per round so the plan stays flat at any round count.
+    * Returns the final survivors with their within-core degree plus the
+    * number of peel rounds actually executed (spec hook for the
+    * early-exit claim).
+    */
+  private[graft] def kCoreWithRounds(
+      edges: DataFrame, k: Int, rounds: Int): (DataFrame, Int) = {
     val bidir = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .unionAll(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
       .localCheckpoint()
     var alive = bidir.select(col("x").as("id")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
-      alive = bidir
+    var sig = aliveSig(alive)
+    var used = 0
+    var converged = false
+    while (used < rounds && !converged) {
+      val next = bidir
         .join(alive.toDF("x"), "x").join(alive.toDF("y"), "y")
         .groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
+      val nextSig = aliveSig(next)
+      converged = nextSig == sig
+      alive = next
+      sig = nextSig
+      used += 1
     }
-    bidir.join(alive.toDF("x"), "x").join(alive.toDF("y"), "y")
-      .groupBy(col("x").as("doc_id")).agg(count(lit(1)).as("core_degree"))
+    if (!converged) throw new IllegalStateException(
+      s"$k-core peel did not reach a fixpoint in $rounds rounds — the " +
+        "bounded result would misreport pendant nodes as core members; " +
+        "raise the round bound (and mirror it in the oracle's CTE chain)")
+    (bidir.join(alive.toDF("x"), "x").join(alive.toDF("y"), "y")
+      .groupBy(col("x").as("doc_id")).agg(count(lit(1)).as("core_degree")),
+      used)
   }
 
   /** q201: the 2-core of the LSH candidate graph — peel away pendant
@@ -969,8 +1038,7 @@ object Dedup {
     */
   def q201(spark: SparkSession, dir: String): DataFrame = {
     val core = kCore(
-      candidatePairs(spark, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(),
+      candidatePairs(spark, dir).select(col("doc_a"), col("doc_b")),
       KCoreK, KCorePeelRounds).localCheckpoint()
     val totals = core.agg(count(lit(1)).as("n_core_nodes"),
       (sum(col("core_degree")) / 2).cast("long").as("n_core_edges"))

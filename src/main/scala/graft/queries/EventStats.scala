@@ -132,12 +132,16 @@ object EventStats {
         coalesce(col("c"), lit(0L)).as("c"))
     val a = filled.toDF("h_a", "type_a", "c_a")
     val b = filled.toDF("h_b", "type_b", "c_b")
-    // Pearson r from integer-exact moments instead of corr(): integer
-    // sums are order-independent (bit-identical cross-engine where
-    // corr()'s float co-moment accumulation is not), and the nullif'd
-    // denominator returns NULL for a zero-variance series where ANSI
-    // corr() raises DIVIDE_BY_ZERO mid-aggregation (e.g. a type with a
-    // constant hourly count over the spine).
+    // Pearson r from integer-exact moment SUMS instead of corr():
+    // int64 sums are order-independent (bit-identical cross-engine
+    // where corr()'s float co-moment accumulation is not; Σ c² stays
+    // exact below ~10¹⁴ hour-cells), and the nullif'd denominator
+    // returns NULL for a zero-variance series where ANSI corr() raises
+    // DIVIDE_BY_ZERO mid-aggregation. The moment COMBINATION runs in
+    // doubles: n·sxx in int64 wraps once n·max_c² nears 2⁶³ (skewed
+    // hourly volumes breach that long before the sums do) while the
+    // oracle's HUGEINT stays exact — BIGINT→DOUBLE casts and each */−
+    // are single correctly-rounded IEEE ops, identical on both engines.
     a.join(b, col("h_a") === col("h_b") && col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n"), sum(col("c_a")).as("sx"),
@@ -146,9 +150,10 @@ object EventStats {
         sum(col("c_a") * col("c_a")).as("sxx"),
         sum(col("c_b") * col("c_b")).as("syy"))
       .select(col("type_a"), col("type_b"), col("n").as("n_hours"),
-        expr("""round(CAST(n * sxy - sx * sy AS DOUBLE) /
-                nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                          * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)""")
+        expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                       0.0), 4)""")
           .as("volume_corr"))
       .orderBy(col("type_a"), col("type_b"))
   }
@@ -174,9 +179,11 @@ object EventStats {
       |    ON a.h = b.h AND a.event_type < b.event_type
       |  GROUP BY type_a, type_b)
       |SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
-      |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
-      |             nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-      |                       * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)
+      |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |             nullif(sqrt((CAST(n AS DOUBLE) * sxx
+      |                          - CAST(sx AS DOUBLE) * sx)
+      |                       * (CAST(n AS DOUBLE) * syy
+      |                          - CAST(sy AS DOUBLE) * sy)), 0.0), 4)
       |         AS volume_corr
       |FROM m ORDER BY type_a, type_b""".stripMargin
 

@@ -192,9 +192,22 @@ object GraphRank {
     * has converged (Bellman-Ford invariant), so bounding rounds at
     * [[MaxHops]] computes exactly "min path length, capped at
     * MaxHops" — the same set the oracle's depth-guarded recursion
-    * enumerates.
+    * enumerates. The loop EARLY-EXITS once a round relaxes nothing
+    * (dist-set checksum unchanged — one tiny driver row per round):
+    * at fixpoint every further round is an identity, so the result is
+    * bit-identical with fewer jobs; on a graph whose eccentricity from
+    * the seed exceeds MaxHops the cap itself is the declared semantics
+    * (unreached sources report as absent), so cap-out is NOT an error
+    * here — unlike [[Dedup.kCoreWithRounds]], where it is.
     */
-  def q161(spark: SparkSession, dir: String): DataFrame = {
+  def q161(spark: SparkSession, dir: String): DataFrame =
+    bfsHopsWithRounds(spark, dir)._1.orderBy(col("dist"), col("source"))
+
+  /** The BFS frame plus the number of relaxation rounds actually run
+    * (spec hook for the early-exit claim).
+    */
+  private[graft] def bfsHopsWithRounds(
+      spark: SparkSession, dir: String): (DataFrame, Int) = {
     val directed = syndicationEdges(spark, dir)
     val edges = directed
       .select(col("src_from").as("src"), col("src_to").as("dst"))
@@ -203,15 +216,32 @@ object GraphRank {
       .distinct().localCheckpoint(true)
     val seed = edges.agg(min(col("src")).as("source"))
     var dist = seed.select(col("source"), lit(0L).as("dist"))
-    for (_ <- 1 to MaxHops) {
+      .localCheckpoint(true)
+    // order-insensitive fingerprint of the (source, dist) set; dist
+    // rows are distinct per source so the xor is a set fingerprint
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("source"), col("dist"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = sig(dist)
+    var rounds = 0
+    var converged = false
+    while (rounds < MaxHops && !converged) {
       val relaxed = edges
         .join(broadcast(dist.withColumnRenamed("source", "src")), Seq("src"))
         .select(col("dst").as("source"), (col("dist") + lit(1L)).as("dist"))
-      dist = dist.unionAll(relaxed)
+      val next = dist.unionAll(relaxed)
         .groupBy(col("source")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      val nextSig = sig(next) // one action: persists next + fingerprints
+      converged = nextSig == cur
+      dist = next
+      cur = nextSig
+      rounds += 1
     }
-    dist.orderBy(col("dist"), col("source"))
+    (dist, rounds)
   }
 
   /** The non-recursive CTE prefix up to the verified cross-source doc

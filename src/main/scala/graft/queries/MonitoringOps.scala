@@ -42,12 +42,18 @@ object MonitoringOps {
   // ---------------------------------------------------------------- q202
 
   /** q202: observed vs Benford-expected first-digit distribution of
-    * o_totalprice (in integer cents), with the permille deviation. */
+    * o_totalprice (in integer cents), with the permille deviation.
+    * Cents quantize as floor(x·100 + 0.5) — the repo's standing cents
+    * discipline (Relational14/SourceSink): Spark's Round on DOUBLE
+    * re-reads the shortest-decimal repr before HALF_UP while DuckDB
+    * rounds the exact binary, so round() can fork on either side of a
+    * representation boundary where the floor of the identical product
+    * cannot. */
   def q202(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val expected = BenfordPermille.toDF("digit", "exp_permille")
     val digits = table(spark, dir, "orders")
-      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       .select(substring(col("cents").cast("string"), 1, 1)
         .cast("long").as("digit"))
     val total = digits.agg(count(lit(1)).as("n_total"))
@@ -71,7 +77,7 @@ object MonitoringOps {
     val vals = BenfordPermille.map { case (d, p) => s"($d, $p)" }.mkString(", ")
     s"""WITH expected(digit, exp_permille) AS (VALUES $vals),
        |digits AS (
-       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
        |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
        |  FROM orders),
        |tot AS (SELECT count(*) AS n_total FROM digits),

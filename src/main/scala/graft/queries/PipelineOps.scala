@@ -70,16 +70,33 @@ object PipelineOps {
 
   // ---------------------------------------------------------------- q52
 
+  /** Per-brand membership cap for q52's blocks — brand COUNT is a
+    * constant of the data model (~25 values), so without a cap each
+    * block grows linearly with the corpus and the levenshtein pass is
+    * quadratic (round 9 measured 7.6× wall at 10× data). The cap
+    * bounds every block's pair fan-out at cap·(cap−1)/2; lowest part
+    * keys keep their seat (deterministic), mirrored verbatim in the
+    * oracle's QUALIFY — the [[Dedup.MaxBucketDocs]] hot-bucket
+    * discipline applied to entity-resolution blocking.
+    */
+  private[queries] val Q52BrandCap = 40
+
   /** Edit-distance similarity inside brand blocks: levenshtein over
     * same-brand part-name pairs. Blocking on p_brand keeps the self-join
     * quadratic only within each block (the standard entity-resolution
     * trick — at 100 TB you never levenshtein the full cross product);
-    * the key inequality halves the pairs.
+    * the key inequality halves the pairs, and block membership is
+    * bounded by [[Q52BrandCap]] so total pair volume is brands × cap² —
+    * constant per brand at any corpus size.
     */
   def q52(spark: SparkSession, dir: String): DataFrame = {
     val p = table(spark, dir, "part")
       .filter(col("p_partkey") % 13 === 0)
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))))
+      .filter(col("rn") <= Q52BrandCap)
+      .drop("rn")
     val a = p.toDF("key_a", "brand", "name_a")
     val b = p.toDF("key_b", "brand_b", "name_b")
     a.join(b, col("brand") === col("brand_b") && (col("key_a") < col("key_b")))
@@ -91,12 +108,16 @@ object PipelineOps {
   }
 
   val q52Oracle: String =
-    """SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+    s"""WITH p AS (
+      |  SELECT p_partkey, p_brand, p_name
+      |  FROM part WHERE p_partkey % 13 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY p_brand
+      |                             ORDER BY p_partkey) <= $Q52BrandCap)
+      |SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
       |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-      |FROM part a JOIN part b
+      |FROM p a JOIN p b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-      |WHERE a.p_partkey % 13 = 0 AND b.p_partkey % 13 = 0
-      |  AND levenshtein(a.p_name, b.p_name) <= 25
+      |WHERE levenshtein(a.p_name, b.p_name) <= 25
       |ORDER BY brand, key_a, key_b""".stripMargin
 
   // ---------------------------------------------------------------- q56

@@ -78,6 +78,17 @@ object PipelineOps2 {
 
   // ---------------------------------------------------------------- q61
 
+  /** Per-(lang, band) membership cap for q61's pair blocks — the
+    * hot-bucket discipline ([[Dedup.MaxBucketDocs]]'s pattern): the
+    * band count is bounded by the max document length, so WITHOUT a
+    * cap each cell grows linearly with the corpus and the pair pass
+    * is quadratic (round 9 measured 12× wall at 10× data). Capping
+    * membership bounds every cell's pair fan-out at cap·(cap−1)/2;
+    * the rank runs on exactly the join keys, so its exchange IS the
+    * join's exchange. Mirrored verbatim in the oracle's QUALIFY.
+    */
+  private[queries] val Q61CellCap = 32
+
   /** Token-set algebra between same-language document pairs:
     * |A ∩ B|, |A ∪ B| and exact Jaccard from array_intersect/array_union
     * over deduplicated whitespace tokens. Sizes are exact ints; the
@@ -88,6 +99,9 @@ object PipelineOps2 {
     * multiplies the join-key cardinality — joining on lang alone puts
     * the whole dominant-language block in ONE reducer task (observed
     * 5.4 s at sf0.1, single straggler; banded: ~60 cells, 0.6 s).
+    * Cell membership is bounded by [[Q61CellCap]] (lowest doc_ids keep
+    * their seat — deterministic, oracle-mirrored), so total pair volume
+    * is cells × cap², linear in the corpus at any scale.
     */
   def q61(spark: SparkSession, dir: String): DataFrame = {
     val toks = table(spark, dir, "documents")
@@ -95,6 +109,10 @@ object PipelineOps2 {
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 50).cast("long").as("band"),
         array_distinct(split(lower(col("text")), " +")).as("toks"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("band")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= Q61CellCap)
+      .drop("rn")
     val a = toks.toDF("id_a", "lang", "band", "toks_a")
     val b = toks.toDF("id_b", "lang_b", "band_b", "toks_b")
     a.join(b, col("lang") === col("lang_b") &&
@@ -110,10 +128,12 @@ object PipelineOps2 {
   }
 
   val q61Oracle: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS band,
       |         list_distinct(string_split_regex(lower(text), ' +')) AS toks
-      |  FROM documents WHERE doc_id % 5 = 0)
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY lang, band
+      |                             ORDER BY doc_id) <= $Q61CellCap)
       |SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
       |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
       |       CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)

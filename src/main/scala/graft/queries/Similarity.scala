@@ -188,18 +188,35 @@ object Similarity {
 
   // ---------------------------------------------------------------- q94
 
-  private[queries] val KmK = 8
+  private[graft] val KmK = 8
   private[queries] val KmIters = 3
   private[queries] val KmScale = 10000L
 
+  /** Target expected cluster size for the ADAPTIVE cluster count:
+    * k = max([[KmK]], n div KmDocsPerCluster). SemDeDup's own recipe
+    * (k=50 000 on LAION) grows k with the corpus so the expected
+    * within-cluster block — and therefore q170/q171's pair volume per
+    * document — stays CONSTANT as the corpus scales; a fixed k would
+    * make the pair pass O(n²/k) (measured 16× wall at 10× data in
+    * round 9). The oracle computes the same k from the same count
+    * (`kpar` CTE), so the trained assignment stays cross-engine exact
+    * at every scale factor.
+    */
+  private[graft] val KmDocsPerCluster = 200L
+
+  private[graft] def kForCorpus(n: Long): Int =
+    math.max(KmK.toLong, n / KmDocsPerCluster).toInt
+
   /** Memoized trained clustering per (session, dir): q94, q170 and
-    * q171 all need the same k=8 assignment over the embeddings —
+    * q171 all need the same adaptive-k assignment over the embeddings —
     * without sharing, each pays the collect-driven Lloyd fit (and its
     * corpus scans) again for a bit-identical result. Returns the
     * (vec_id, embedding, cluster) frame, `localCheckpoint`'ed so the
     * lineage (3 crossJoin-assign rounds) is not replayed per consumer.
     * Keyed by applicationId so a stopped session's checkpointed blocks
-    * are never served to a new one.
+    * are never served to a new one. The corpus count that sizes k is
+    * one driver-side scalar (the same bounded coordination state as
+    * the codebook itself).
     */
   private val kmCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -207,8 +224,9 @@ object Similarity {
   private[queries] def kmClusters(spark: SparkSession, dir: String): DataFrame =
     kmCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
       val emb = table(spark, dir, "embeddings")
+      val k = kForCorpus(emb.count())
       val km = KMeans.fitQuantized(emb, "vec_id", "embedding",
-        k = KmK, iters = KmIters, scale = KmScale)
+        k = k, iters = KmIters, scale = KmScale)
       km.assignments
         .join(emb, col("id") === col("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cluster"))
@@ -216,11 +234,13 @@ object Similarity {
     })
 
   /** The trained IVF pipeline end-to-end under the hash gate:
-    * [[KMeans.fitQuantized]] fits a k=8 codebook on the embeddings in
-    * EXACT int64 arithmetic (3 fixed Lloyd rounds, floor(x·10⁴)
-    * quantization, floor(sum/count) updates — bit-reproducible on any
-    * IEEE engine regardless of partitioning), then probes 10–14 search
-    * only their own trained cluster with the exact codegen'd cosine.
+    * [[KMeans.fitQuantized]] fits an adaptive-k codebook
+    * ([[kForCorpus]] — nlist grows with the corpus, the IVF sizing
+    * rule) on the embeddings in EXACT int64 arithmetic (3 fixed Lloyd
+    * rounds, floor(x·10⁴) quantization, floor(sum/count) updates —
+    * bit-reproducible on any IEEE engine regardless of partitioning),
+    * then probes 10–14 search only their own trained cluster with the
+    * exact codegen'd cosine.
     * Unlike q24 (fixed stand-in codebook), the codebook here is the
     * trainer's actual output; the oracle unrolls the same three
     * iterations as DuckDB CTEs, so train → index → search is verified
@@ -281,7 +301,13 @@ object Similarity {
     * queries verify against ONE spelling of the trainer.
     */
   private[queries] val kmAssignCtes: String =
-    s"""eq AS (
+    s"""kpar AS (
+       |  -- adaptive cluster count, the SemDeDup discipline: k grows with
+       |  -- the corpus so expected cluster size stays ~$KmDocsPerCluster
+       |  -- (mirrors kForCorpus exactly — integer division, floor 8)
+       |  SELECT GREATEST($KmK, count(*) // $KmDocsPerCluster) AS k
+       |  FROM embeddings),
+       |eq AS (
        |  SELECT vec_id,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $KmScale) AS BIGINT) AS x,
        |         generate_subscripts(embedding, 1) AS d
@@ -293,7 +319,7 @@ object Similarity {
        |  SELECT CAST(rnk - 1 AS INT) AS cent_id, d, x FROM (
        |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) AS rnk
        |    FROM eq) s
-       |  WHERE rnk <= $KmK),
+       |  WHERE rnk <= (SELECT k FROM kpar)),
        |${(1 to KmIters).map(kmIterCtes).mkString(",\n")},
        |aF AS (
        |  SELECT eq.vec_id, c.cent_id,

@@ -19,8 +19,8 @@ import graft.functions.VectorOps
   * within ε (cosine ≥ τ); one representative per ε-ball is kept.
   *
   * Grounding in the shared exact-KMeans contract: the clustering is
-  * [[Similarity.kmClusters]] — the SAME memoized k=8 integer-exact fit
-  * q94 verifies, and the oracles below reuse [[Similarity.kmAssignCtes]]
+  * [[Similarity.kmClusters]] — the SAME memoized integer-exact fit q94
+  * verifies, and the oracles below reuse [[Similarity.kmAssignCtes]]
   * verbatim, so trainer drift between the three queries is impossible.
   * Keep policy is deterministic keep-lowest-id: a doc is dropped iff a
   * LOWER-id member of its cluster sits at sim ≥ τ (SemDeDup keeps the
@@ -28,11 +28,15 @@ import graft.functions.VectorOps
   * gives the same drop COUNT per ε-chain, and min-id is the one a SQL
   * oracle can spell exactly).
   *
-  * At 100 TB: k grows with the corpus so that n/k (the cluster block
-  * size, hence the per-block pair count) stays constant — SemDeDup's
-  * published config uses k=50 000 on LAION; k=8 here is pinned tiny so
-  * the oracle's unrolled Lloyd CTEs stay readable. The pair join
-  * shuffles on the cluster id, so at real k the join keys are
+  * At 100 TB: k GROWS with the corpus — [[Similarity.kForCorpus]]
+  * targets a constant expected cluster size
+  * ([[Similarity.KmDocsPerCluster]] docs), SemDeDup's own scaling rule
+  * (the paper uses k=50 000 on LAION), so the within-cluster pair pass
+  * is O(n · blockSize) = LINEAR in the corpus, never O(n²/k) with a
+  * pinned k (round 9 measured the pinned-k version at 16× wall on 10×
+  * data; the oracle's `kpar` CTE derives the identical k from the same
+  * count, keeping every scale factor under the hash gate). The pair
+  * join shuffles on the cluster id, so at real k the join keys are
   * plentiful and well-spread (the assignment itself balances blocks);
   * the per-doc max-sim aggregation rides the same partitioning.
   * Threshold τ=0.40 is calibrated to this synthetic corpus (random-ish

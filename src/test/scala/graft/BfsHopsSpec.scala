@@ -45,7 +45,8 @@ class BfsHopsSpec extends AnyFunSuite {
         }
     }
 
-    val got = GraphRank.q161(spark, sfDir).collect()
+    val (gotDf, rounds) = GraphRank.bfsHopsWithRounds(spark, sfDir)
+    val got = gotDf.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == dist.toMap,
       s"join-relaxation distances must equal queue BFS; " +
@@ -54,5 +55,10 @@ class BfsHopsSpec extends AnyFunSuite {
         s"diff=${got.collect { case (k, v) if dist.get(k).exists(_ != v) => (k, v, dist(k)) }}")
     // the seed really is the lexicographic minimum and sits at distance 0
     assert(got(seed) == 0L)
+    // early exit: the loop stops one confirming round past the seed's
+    // capped eccentricity instead of always burning MaxHops rounds
+    val ecc = dist.values.max
+    assert(rounds == math.min(ecc + 1, GraphRank.MaxHops.toLong),
+      s"expected fixpoint exit after ecc+1=${ecc + 1} rounds, ran $rounds")
   }
 }

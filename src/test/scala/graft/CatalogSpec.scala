@@ -52,4 +52,32 @@ class CatalogSpec extends AnyFunSuite {
     val parts = spark.sql(s"SHOW PARTITIONS $db.radiation").count()
     assert(parts == 5)
   }
+
+  test("DDL ledger records every statement with terminal status, and failures rethrow") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("ddl-ledger").toString
+    val ledger = DdlLedger(spark, dir)
+    // two successes + one failure (table does not exist) — the failure
+    // must BOTH land in the ledger and still surface to the caller
+    val db = Catalog.createDatabase(spark, "bom-ledger-db", ledger)
+    Catalog.createDatabase(spark, "bom-ledger-db", ledger) // idempotent rerun
+    intercept[Exception] {
+      Catalog.addPartition(spark, db, "no_such_table", 2030, 1, 2, 3, ledger)
+    }
+    val rows = DdlLedger.read(spark, dir)
+      .orderBy(col("seq")).collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(_.getAs[String]("status") == "SUCCEEDED"))
+    val failed = rows(2)
+    assert(failed.getAs[String]("status") == "FAILED")
+    assert(failed.getAs[String]("statement").contains("no_such_table"))
+    assert(failed.getAs[String]("error") != null)
+    assert(rows.forall(r => r.getAs[String]("statement").nonEmpty))
+    // statements are the exact DDL text the catalog ran
+    assert(rows.head.getAs[String]("statement")
+      == "CREATE DATABASE IF NOT EXISTS bom_ledger_db")
+    // an empty ledger reads as an empty frame, not a schema error
+    val empty = Files.createTempDirectory("ddl-empty").toString
+    assert(DdlLedger.read(spark, empty).isEmpty)
+  }
 }

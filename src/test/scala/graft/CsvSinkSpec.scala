@@ -53,6 +53,34 @@ class CsvSinkSpec extends AnyFunSuite {
     assert(back.columns.contains("year") && back.columns.contains("hour"))
   }
 
+  test("reference-layout parquet sink emits the exact zero-padded string key paths") {
+    val in = Files.createTempDirectory("ref-in")
+    GridFixtures.files.foreach(f => Files.writeString(in.resolve(f.name), f.content))
+    val out = Files.createTempDirectory("ref-out").toString
+    val points = GridReader.readGrids(spark, in.toString)
+    GridReader.writePartitionedRefLayout(points, out)
+    // every emitted partition directory must equal the reference key
+    // builder's prefix (CsvSink.partitionKey IS bom.py:28-32), byte for
+    // byte — `month=01`, never `month=1`
+    val expectedKeys = points.collect()
+      .map(p => CsvSink.partitionKey(p, "x").split("/").dropRight(1).mkString("/"))
+      .toSet
+    val emittedKeys = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(out)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("hour="))
+        .map(p => Paths.get(out).relativize(p).toString)
+        .toSet
+    }
+    assert(emittedKeys == expectedKeys,
+      s"layout mismatch: emitted=$emittedKeys expected=$expectedKeys")
+    // reading back WITHOUT type inference preserves the string keys
+    val back = spark.read
+      .option("basePath", out)
+      .parquet(out)
+    assert(back.count() == 14)
+  }
+
   test("lossy decode drops undecodable bytes like Python errors='ignore'") {
     val dirty = Array[Byte]('n', 'c', 0xff.toByte, 'o', 'l', 's')
     assert(GridReader.decodeLossy(dirty) == "ncols")

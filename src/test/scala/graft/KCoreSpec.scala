@@ -6,9 +6,13 @@ import graft.queries.Dedup
 
 /** q201's bounded k-core peel: hand graphs where the 2-core is known in
   * closed form, the cascade property (each peel round can expose new
-  * peelable nodes), and the fixpoint claim the unrolled oracle rests on
-  * (running MORE rounds than [[Dedup.KCorePeelRounds]] changes nothing
-  * on the gated corpus).
+  * peelable nodes), the early-exit claim (the loop stops at fixpoint,
+  * not at the round bound), the convergence witness (an UNCONVERGED
+  * peel fails loudly instead of silently reporting pendant nodes as
+  * core members — both engines would agree on the bounded-but-wrong
+  * answer, so the hash gate can't catch it), and the fixpoint claim the
+  * unrolled oracle rests on (running MORE rounds than
+  * [[Dedup.KCorePeelRounds]] changes nothing on the gated corpus).
   */
 class KCoreSpec extends AnyFunSuite {
 
@@ -24,12 +28,17 @@ class KCoreSpec extends AnyFunSuite {
     Dedup.kCore(edgeDf(pairs), Dedup.KCoreK, rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("triangle survives the 2-core; a pendant chain peels away") {
+  test("triangle survives the 2-core; a pendant chain peels away; the loop early-exits at fixpoint") {
     // triangle {1,2,3} + chain 3-4-5: 5 peels first (deg 1), then 4 —
     // TWO rounds are needed (the cascade a single-pass degree filter
-    // would miss), leaving the pure triangle at degree 2 each
-    val core = coreMap(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    // would miss), leaving the pure triangle at degree 2 each; round 3
+    // witnesses the fixpoint, so only 3 of the 8 budgeted rounds run
+    val (coreDf, used) = Dedup.kCoreWithRounds(
+      edgeDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))),
+      Dedup.KCoreK, Dedup.KCorePeelRounds)
+    val core = coreDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(used == 3, s"expected early exit at round 3, ran $used")
   }
 
   test("isolated dup pairs (the LSH-graph common case) peel to an empty core") {
@@ -37,14 +46,16 @@ class KCoreSpec extends AnyFunSuite {
     assert(core.isEmpty)
   }
 
-  test("a path longer than the round bound is only partially peeled — and the gated corpus is NOT in that regime") {
-    // path 0-1-2-...-20: each round peels both ends; 8 rounds leave the
-    // middle 21-16=5 nodes still standing even though the true 2-core
-    // is empty. This pins WHY the spec below must hold: the bounded
-    // result equals the true k-core only at fixpoint.
+  test("a peel that cannot reach fixpoint within the bound fails loudly (convergence witness)") {
+    // path 0-1-2-...-20: each round peels both ends; 8 rounds would
+    // leave 5 middle nodes standing even though the true 2-core is
+    // empty — the bounded-but-wrong answer both engines would AGREE on.
+    // The witness turns that silent misreport into an error; a longer
+    // budget peels the path to its (empty) fixpoint.
     val path = (0L until 20L).map(i => (i, i + 1))
-    val bounded = coreMap(path)
-    assert(bounded.nonEmpty && bounded.size == 21 - 2 * Dedup.KCorePeelRounds)
+    val e = intercept[IllegalStateException] { coreMap(path) }
+    assert(e.getMessage.contains("fixpoint"))
+    assert(coreMap(path, rounds = 12).isEmpty) // 10 peel rounds + witness
   }
 
   test("fixpoint by the round bound on every gated corpus (sf0.001, sf0.01, sf0.1)") {

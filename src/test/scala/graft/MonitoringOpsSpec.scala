@@ -5,10 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.MonitoringOps
 
-/** q202/q203 invariants that hold by construction and must survive any
-  * refactor: Benford rows are a complete digit domain whose counts sum
-  * to the order count, and the D-scaled CUSUM telescopes to exactly
-  * zero at the final day (the "exact mean removal" claim).
+/** q202/q203/q205 invariants that hold by construction and must
+  * survive any refactor: Benford rows are a complete digit domain
+  * whose counts sum to the order count, the D-scaled CUSUM telescopes
+  * to exactly zero at the final day (the "exact mean removal" claim),
+  * and q205's MI·N respects the N·min(H(x), H(y)) entropy bound up to
+  * micronat quantization noise.
   */
 class MonitoringOpsSpec extends AnyFunSuite {
 

@@ -46,6 +46,28 @@ class Similarity4Spec extends AnyFunSuite {
     dir
   }
 
+  // ------------------------------------------------------- adaptive k
+
+  test("kForCorpus: cluster count grows with the corpus, floor 8, constant expected block size") {
+    import graft.queries.Similarity
+    // floor regime: tiny corpora keep the readable k=8
+    assert(Similarity.kForCorpus(12) == 8)
+    assert(Similarity.kForCorpus(500) == 8)
+    assert(Similarity.kForCorpus(1599) == 8)
+    // adaptive regime: k = n div KmDocsPerCluster
+    assert(Similarity.kForCorpus(2000) == 10)
+    assert(Similarity.kForCorpus(20000) == 100)
+    assert(Similarity.kForCorpus(1000000) == 5000)
+    // the scale claim itself: expected block size n/k is bounded by
+    // KmDocsPerCluster(1 + 1/k) for every n past the floor regime, so
+    // the within-cluster pair pass stays LINEAR in the corpus
+    for (n <- Seq(2000L, 20000L, 123457L, 10000000L)) {
+      val k = Similarity.kForCorpus(n)
+      assert(n.toDouble / k <= Similarity.KmDocsPerCluster * 2,
+        s"expected block size ${n / k} at n=$n k=$k")
+    }
+  }
+
   // ---------------------------------------------------------------- q170
 
   test("q170: exact twin and near-twin drop; keep-lowest-id holds") {
