@@ -336,13 +336,141 @@ object GraphRank {
        |FROM cell CROSS JOIN tot
        |ORDER BY n_pairs DESC, s_lo, s_hi LIMIT $DupMatrixTop""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+
+  /** Fixed-point scale for HITS scores; renormalized to this ceiling
+    * after every half-step, so values never compound past
+    * maxdeg · 10⁶ ≪ 2⁶³ regardless of graph size or round count.
+    */
+  val HitsScale: Long = 1000000L
+
+  /** HITS rounds (hub half-step + authority half-step each). Two rounds
+    * separate mirrors-of-many from mirrors-of-one on syndication
+    * graphs; fixed and literal so the oracle unrolls.
+    */
+  val HitsIterations: Int = 2
+
+  /** q206: HITS hubs and authorities (Kleinberg 1999, "Authoritative
+    * sources in a hyperlinked environment") over the syndication
+    * graph — the DUAL ranking q123's PageRank cannot give: an
+    * AUTHORITY is a source many copiers draw from (the originals a
+    * curation pass should prefer), a HUB is a source that copies from
+    * many authorities (the aggregators/mirrors it should drop first).
+    * One number per source conflates the two roles; a mirror farm has
+    * huge hub mass and near-zero authority.
+    *
+    * Arithmetic is EXACT int64 fixed-point like q123: each half-step
+    * sums the opposite score over the edge list, then renormalizes to
+    * [[HitsScale]] via `(raw · scale) div max(raw)` — truncated
+    * division, non-negative values, and the max is ONE broadcast
+    * scalar row (the oracle's scalar subquery), so both engines agree
+    * bit-for-bit with no float anywhere (the classic HITS L2
+    * normalization needs sqrt; max-norm is the standard integer-exact
+    * substitute and preserves the ranking). Overflow headroom: a raw
+    * half-step sum is ≤ maxdeg·scale and the renorm multiplies by
+    * scale before dividing, so maxdeg·10¹² must stay < 2⁶³ — safe
+    * below ~9·10⁶ distinct-source degree, far above any real
+    * syndication domain; a graph past that would divide first.
+    *
+    * Scale shape: identical to q123 — corpus-scale work ends at
+    * [[syndicationEdges]]; the iteration runs on the DOMAIN graph
+    * (distinct source pairs), checkpointed once, every per-round side
+    * broadcast.
+    */
+  def q206(spark: SparkSession, dir: String): DataFrame = {
+    val edges = syndicationEdges(spark, dir).localCheckpoint(true)
+    val nodes = table(spark, dir, "documents")
+      .select(col("source")).distinct().localCheckpoint(true)
+    def renorm(raw: DataFrame, scoreCol: String): DataFrame = {
+      val mx = broadcast(raw.agg(max(col(scoreCol)).as("mx")))
+      raw.crossJoin(mx)
+        .select(col("source"),
+          expr(s"($scoreCol * $HitsScale) div nullif(mx, 0)").as(scoreCol))
+    }
+    var auth = nodes.select(col("source"), lit(HitsScale).as("a"))
+    var hub = nodes.select(col("source"), lit(HitsScale).as("h"))
+    for (_ <- 1 to HitsIterations) {
+      // hub half-step: h(v) = Σ_{v→w} a(w), renormalized
+      hub = renorm(
+        nodes.join(
+          broadcast(edges
+            .join(broadcast(auth.withColumnRenamed("source", "src_to")),
+              Seq("src_to"))
+            .groupBy(col("src_from").as("source"))
+            .agg(sum(col("a")).as("raw"))),
+          Seq("source"), "left")
+          .select(col("source"), coalesce(col("raw"), lit(0L)).as("h")),
+        "h")
+      // authority half-step: a(v) = Σ_{u→v} h(u), renormalized
+      auth = renorm(
+        nodes.join(
+          broadcast(edges
+            .join(broadcast(hub.withColumnRenamed("source", "src_from")),
+              Seq("src_from"))
+            .groupBy(col("src_to").as("source"))
+            .agg(sum(col("h")).as("raw"))),
+          Seq("source"), "left")
+          .select(col("source"), coalesce(col("raw"), lit(0L)).as("a")),
+        "a")
+    }
+    nodes
+      .join(broadcast(hub), Seq("source"))
+      .join(broadcast(auth), Seq("source"))
+      .select(col("source"), col("h").as("hub"), col("a").as("authority"))
+      .orderBy(col("authority").desc, col("hub").desc, col("source"))
+  }
+
+  val q206Oracle: String = {
+    // every step CTE is referenced twice (the join and the scalar-max
+    // subquery) — un-materialized CTEs would be inlined, re-expanding
+    // the corpus-scale shingle prefix per reference (2^steps scans:
+    // observed as a DuckDB OOM at sf0.1). MATERIALIZED pins each to one
+    // evaluation — the q201 oracle's discipline.
+    val steps = (1 to HitsIterations).map { k =>
+      s"""hraw$k AS MATERIALIZED (
+         |  SELECT e.src_from AS source, sum(a.a) AS raw
+         |  FROM medges e JOIN a${k - 1} a ON a.source = e.src_to
+         |  GROUP BY e.src_from),
+         |h$k AS MATERIALIZED (
+         |  SELECT nd.source,
+         |         CAST(COALESCE(r.raw, 0) * $HitsScale
+         |              // nullif((SELECT max(raw) FROM hraw$k), 0) AS BIGINT)
+         |           AS h
+         |  FROM nodes nd LEFT JOIN hraw$k r ON r.source = nd.source),
+         |araw$k AS MATERIALIZED (
+         |  SELECT e.src_to AS source, sum(h.h) AS raw
+         |  FROM medges e JOIN h$k h ON h.source = e.src_from
+         |  GROUP BY e.src_to),
+         |a$k AS MATERIALIZED (
+         |  SELECT nd.source,
+         |         CAST(COALESCE(r.raw, 0) * $HitsScale
+         |              // nullif((SELECT max(raw) FROM araw$k), 0) AS BIGINT)
+         |           AS a
+         |  FROM nodes nd LEFT JOIN araw$k r ON r.source = nd.source)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"WITH $edgesCtePrefix,\n" +
+    s"""medges AS MATERIALIZED (SELECT src_from, src_to FROM edges),
+       |nodes AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+       |a0 AS (SELECT source, $HitsScale AS a FROM nodes),
+       |$steps
+       |SELECT nd.source, h$HitsIterations.h AS hub,
+       |       a$HitsIterations.a AS authority
+       |FROM nodes nd
+       |JOIN h$HitsIterations ON h$HitsIterations.source = nd.source
+       |JOIN a$HitsIterations ON a$HitsIterations.source = nd.source
+       |ORDER BY authority DESC, hub DESC, nd.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_source_pagerank" -> (q123 _),
     "q161_bfs_hops" -> (q161 _),
-    "q169_source_dup_matrix" -> (q169 _))
+    "q169_source_dup_matrix" -> (q169 _),
+    "q206_hits_scores" -> (q206 _))
 
   val oracles: Map[String, String] = Map(
     "q123_source_pagerank" -> q123Oracle,
     "q161_bfs_hops" -> q161Oracle,
-    "q169_source_dup_matrix" -> q169Oracle)
+    "q169_source_dup_matrix" -> q169Oracle,
+    "q206_hits_scores" -> q206Oracle)
 }
