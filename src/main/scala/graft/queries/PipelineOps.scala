@@ -79,7 +79,7 @@ object PipelineOps {
     * oracle's QUALIFY — the [[Dedup.MaxBucketDocs]] hot-bucket
     * discipline applied to entity-resolution blocking.
     */
-  private[queries] val Q52BrandCap = 40
+  private[graft] val Q52BrandCap = 40
 
   /** Edit-distance similarity inside brand blocks: levenshtein over
     * same-brand part-name pairs. Blocking on p_brand keeps the self-join

@@ -50,20 +50,31 @@ object PipelineOps14 {
     * language domain. Value-distinct winnow sets (positions dropped
     * after selection) — the variant a dedup INDEX stores.
     */
-  def q207(spark: SparkSession, dir: String): DataFrame = {
-    val grams = table(spark, dir, "documents")
+  /** Ordered k-gram hash stream (doc_id, lang, pos, h) for docs long
+    * enough to hold one full winnow window.
+    */
+  private def gramStream(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), col("lang"),
         posexplode(graft.functions.WordShingles60
           .wordShingles60(col("toks"), WinnowK)).as(Seq("pos", "h")))
+
+  /** Value-distinct winnow selection per doc: (doc_id, lang, wh). */
+  private def selectedFps(grams: DataFrame): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(WinnowW - 1), 0)
-    val perDocSel = grams
+    grams
       .withColumn("wh", min(col("h")).over(win))
       .filter(col("pos") >= WinnowW - 1) // full windows only (0-based)
       .select(col("doc_id"), col("lang"), col("wh")).distinct()
+  }
+
+  def q207(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gramStream(spark, dir)
+    val perDocSel = selectedFps(grams)
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_selected"))
     val perDocGrams = grams.groupBy(col("doc_id"))
@@ -221,11 +232,198 @@ object PipelineOps14 {
        |ORDER BY delta_micro DESC, source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q210
+
+  /** Hot-fingerprint cap for q210's pair join: a winnow value shared by
+    * more docs than this is boilerplate (the [[Dedup.MaxBucketDocs]]
+    * hazard — one viral footer makes the join quadratic in ITS bucket)
+    * and is excluded from pairing.
+    */
+  val WinnowMaxDf = 64
+
+  /** Minimum shared fingerprints before a pair is reported. */
+  val WinnowMinShared = 3L
+
+  /** Pairs reported by q210. */
+  val WinnowTop = 30
+
+  /** q210: the DETECTION half of MOSS — probe the q207 winnow index
+    * for document pairs sharing ≥ [[WinnowMinShared]] selected
+    * fingerprints, with the shared count and the containment permille
+    * against the SMALLER doc's fingerprint set (a near-total
+    * containment of a small doc inside a big one scores ~1000‰ where
+    * symmetric measures dilute it — the quote/extract case). By the
+    * winnowing guarantee every shared passage ≥ k+w−1 tokens
+    * contributes at least one shared fingerprint, so recall over
+    * passages of that length is structural, at ~2/(w+1) of the
+    * full-shingle index cost that q123's rare-shingle machinery pays.
+    *
+    * Scale shape: the pair join runs over the winnow-SELECTED frame
+    * (≈40% of grams), bucketed by fingerprint value with the
+    * [[WinnowMaxDf]] hot-bucket cap bounding any bucket's fan-out —
+    * never all-pairs; per-doc set sizes ride a tiny re-aggregation;
+    * top-k is TakeOrderedAndProject under a literal bound.
+    */
+  def q210(spark: SparkSession, dir: String): DataFrame = {
+    val sel = selectedFps(gramStream(spark, dir))
+      .select(col("doc_id"), col("wh")).localCheckpoint()
+    val pairable = sel.join(
+      sel.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, WinnowMaxDf))
+        .select(col("wh")),
+      Seq("wh"), "left_semi")
+    val shared = pairable.toDF("wh", "doc_a")
+      .join(pairable.toDF("wh", "doc_b"),
+        Seq("wh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sel"))
+    shared
+      .join(sizes.toDF("doc_a", "sel_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "sel_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("1000 * n_shared DIV least(sel_a, sel_b)")
+          .as("containment_permille"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(WinnowTop)
+  }
+
+  val q210Oracle: String = {
+    val leads = (1 until WinnowK)
+      .map(i => s"|| ' ' || lead(tok, $i) OVER w ").mkString
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t
+       |  WHERE tok <> ''),
+       |sh AS (
+       |  SELECT doc_id, pos, tok $leads AS shingle
+       |  FROM toks
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |g AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+       |         ${h60Sql("shingle")} AS h
+       |  FROM sh WHERE shingle IS NOT NULL),
+       |sel AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY rn
+       |           ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wh
+       |  FROM g QUALIFY rn >= $WinnowW),
+       |pairable AS MATERIALIZED (
+       |  SELECT doc_id, wh FROM sel
+       |  WHERE wh IN (SELECT wh FROM sel GROUP BY wh
+       |               HAVING count(*) BETWEEN 2 AND $WinnowMaxDf)),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM pairable a JOIN pairable b
+       |    ON a.wh = b.wh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
+       |sizes AS (SELECT doc_id, count(*) AS n_sel FROM sel GROUP BY doc_id)
+       |SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       |       CAST(1000 * s.n_shared // least(sa.n_sel, sb.n_sel) AS BIGINT)
+       |         AS containment_permille
+       |FROM shared s
+       |JOIN sizes sa ON sa.doc_id = s.doc_a
+       |JOIN sizes sb ON sb.doc_id = s.doc_b
+       |ORDER BY n_shared DESC, doc_a, doc_b LIMIT $WinnowTop""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q209
+
+  /** The derived release's documents as a DuckDB CTE — the exact
+    * spelling q121's oracle uses for [[PipelineOps8.snapshotBDocs]].
+    */
+  private val BdocsCte: String =
+    """bdocs AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS doc_id, lang, 'new:' || text AS text
+      |  FROM documents WHERE doc_id % 17 = 0)""".stripMargin
+
+  /** q209: EXACT two-sample Kolmogorov–Smirnov statistic between the
+    * shipped corpus and the derived release over document length — the
+    * order-statistic drift test q117's 20-bin histogram TVD
+    * approximates: D = sup over ALL thresholds of |F_A(v) − F_B(v)|,
+    * so a shift concentrated inside one histogram bin (invisible to
+    * TVD-over-bins) still moves D. Reported EXACTLY in integers by
+    * cross-multiplying the CDFs (gap = |cumA·n_B − cumB·n_A|, max over
+    * the value domain, denominator n_A·n_B) with the argmax threshold
+    * (lowest value attaining D) — no division until the final permille
+    * readout. Int64-safe while n_A·n_B < 2⁶³ (~3·10⁹ docs per side).
+    *
+    * Scale shape: both corpus scans collapse to per-length counts
+    * (value-domain-sized — thousands of rows at any corpus size)
+    * before the single unpartitioned cumulative window runs, the q203
+    * bounded-spine argument; the max+argmax fold is one min-struct
+    * aggregate over that domain frame.
+    */
+  def q209(spark: SparkSession, dir: String): DataFrame = {
+    val a = table(spark, dir, "documents")
+      .select(length(col("text")).cast("long").as("v"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val b = PipelineOps8.snapshotBDocs(spark, dir)
+      .select(length(col("text")).cast("long").as("v"),
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    val counts = a.unionAll(b).groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .select(col("n_a"), col("n_b"), col("v"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(struct(col("gap").as("g"), (-col("v")).as("nv"))).as("best"))
+      .select(col("n_a"), col("n_b"),
+        col("best.g").as("ks_scaled"),
+        expr("1000 * best.g DIV (n_a * n_b)").as("ks_permille"),
+        (-col("best.nv")).as("at_value"))
+  }
+
+  val q209Oracle: String =
+    s"""WITH $BdocsCte,
+       |vals AS (
+       |  SELECT length(text) AS v, 1 AS ia, 0 AS ib FROM documents
+       |  UNION ALL
+       |  SELECT length(text) AS v, 0 AS ia, 1 AS ib FROM bdocs),
+       |counts AS (
+       |  SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM vals GROUP BY v),
+       |tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM counts),
+       |cum AS (
+       |  SELECT v,
+       |         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |                       AND CURRENT ROW) AS cum_a,
+       |         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |                       AND CURRENT ROW) AS cum_b
+       |  FROM counts),
+       |gaps AS (
+       |  SELECT v, abs(cum_a * n_b - cum_b * n_a) AS gap
+       |  FROM cum CROSS JOIN tot),
+       |best AS (SELECT max(gap) AS d FROM gaps)
+       |SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+       |       CAST(b.d AS BIGINT) AS ks_scaled,
+       |       CAST(1000 * b.d // (t.n_a * t.n_b) AS BIGINT) AS ks_permille,
+       |       CAST((SELECT min(v) FROM gaps WHERE gap = b.d) AS BIGINT)
+       |         AS at_value
+       |FROM tot t CROSS JOIN best b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_winnowing" -> (q207 _),
-    "q208_stopword_delta" -> (q208 _))
+    "q208_stopword_delta" -> (q208 _),
+    "q209_ks_drift" -> (q209 _),
+    "q210_winnow_overlap" -> (q210 _))
 
   val oracles: Map[String, String] = Map(
     "q207_winnowing" -> q207Oracle,
-    "q208_stopword_delta" -> q208Oracle)
+    "q208_stopword_delta" -> q208Oracle,
+    "q209_ks_drift" -> q209Oracle,
+    "q210_winnow_overlap" -> q210Oracle)
 }

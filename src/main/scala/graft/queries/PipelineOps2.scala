@@ -87,7 +87,7 @@ object PipelineOps2 {
     * the rank runs on exactly the join keys, so its exchange IS the
     * join's exchange. Mirrored verbatim in the oracle's QUALIFY.
     */
-  private[queries] val Q61CellCap = 32
+  private[graft] val Q61CellCap = 32
 
   /** Token-set algebra between same-language document pairs:
     * |A ∩ B|, |A ∪ B| and exact Jaccard from array_intersect/array_union

@@ -116,6 +116,60 @@ class PipelineOps14Spec extends AnyFunSuite {
     assert(got.exists { case (_, h, a) => h != a })
   }
 
+  // ---------------------------------------------------------------- q209
+
+  test("q209 equals a first-principles exact KS statistic over collected lengths") {
+    val aLens = graft.Tables.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0).length.toLong)
+    val bLens = graft.queries.PipelineOps8.snapshotBDocs(spark, sfDir)
+      .select("text").collect().map(_.getString(0).length.toLong)
+    val (na, nb) = (aLens.length.toLong, bLens.length.toLong)
+    val domain = (aLens ++ bLens).distinct.sorted
+    var best = -1L
+    var atValue = -1L
+    domain.foreach { v =>
+      val gap = math.abs(
+        aLens.count(_ <= v) * nb - bLens.count(_ <= v) * na)
+      if (gap > best) { best = gap; atValue = v }
+    }
+    val row = PipelineOps14.q209(spark, sfDir).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(row.getLong(2) == best, s"D ${row.getLong(2)} vs model $best")
+    assert(row.getLong(3) == 1000 * best / (na * nb))
+    assert(row.getLong(4) == atValue)
+    assert(best > 0, "the derived release must actually drift")
+  }
+
+  // ---------------------------------------------------------------- q210
+
+  test("q210 equals a first-principles winnow-index overlap probe") {
+    val docs = graft.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sets = docs.flatMap { case (id, text) =>
+      winnowSets(text).map { case (_, sel) => id -> sel }
+    }.toMap
+    val df = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pairable = df.filter { case (_, ds) =>
+      ds.size >= 2 && ds.size <= PipelineOps14.WinnowMaxDf }
+    val shared = pairable.values.flatMap { ds =>
+      val sorted = ds.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= PipelineOps14.WinnowMinShared).toMap
+    val expected = shared.toSeq.map { case ((a, b), n) =>
+      (a, b, n, 1000 * n / math.min(sets(a).size, sets(b).size))
+    }.sortBy { case (a, b, n, _) => (-n, a, b) }
+      .take(PipelineOps14.WinnowTop)
+    val got = PipelineOps14.q210(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected,
+      s"got=${got.take(5)}... expected=${expected.take(5)}...")
+    assert(got.nonEmpty, "the near-dup corpus must surface overlap pairs")
+  }
+
   // ---------------------------------------------------------------- q208
 
   test("q208: a stopword-free source is the stylometric outlier; clones tie at equal delta") {
