@@ -190,7 +190,7 @@ object Similarity {
 
   private[graft] val KmK = 8
   private[queries] val KmIters = 3
-  private[queries] val KmScale = 10000L
+  private[graft] val KmScale = 10000L
 
   /** Target expected cluster size for the ADAPTIVE cluster count:
     * k = max([[KmK]], n div KmDocsPerCluster). SemDeDup's own recipe
@@ -218,20 +218,37 @@ object Similarity {
     * one driver-side scalar (the same bounded coordination state as
     * the codebook itself).
     */
-  private val kmCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, Array[(Int, Array[Long])])]
 
-  private[queries] def kmClusters(spark: SparkSession, dir: String): DataFrame =
+  private def kmFit(
+      spark: SparkSession, dir: String): (DataFrame, Array[(Int, Array[Long])]) =
     kmCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
       val emb = table(spark, dir, "embeddings")
       val k = kForCorpus(emb.count())
       val km = KMeans.fitQuantized(emb, "vec_id", "embedding",
         k = k, iters = KmIters, scale = KmScale)
-      km.assignments
+      (km.assignments
         .join(emb, col("id") === col("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(),
+        km.centroids)
     })
+
+  private[graft] def kmClusters(spark: SparkSession, dir: String): DataFrame =
+    kmFit(spark, dir)._1
+
+  /** The settled integer codebook of the memoized fit — (cent_id, cq)
+    * rows, the coordinates the final assignment ran against (q211's
+    * nprobe ranking needs them; recomputing floor-means from the
+    * assignments would produce the NEXT round's codebook, not this
+    * one).
+    */
+  private[graft] def kmCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    kmFit(spark, dir)._2.toSeq.toDF("cent_id", "cq")
+  }
 
   /** The trained IVF pipeline end-to-end under the hash gate:
     * [[KMeans.fitQuantized]] fits an adaptive-k codebook

@@ -315,15 +315,168 @@ object Similarity4 {
        |WHERE ra.rka = 1 AND rb.rkb = 1
        |ORDER BY a_id""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+
+  /** nprobe values swept by q211. */
+  private val NProbes = Seq(1, 2, 4)
+
+  /** q211: the IVF recall/nprobe tuning curve — the knob-sweep view of
+    * the trained index that q103's single-point recall cannot give
+    * (the SemDeDup analogue is q171's τ-sweep): for the fixed probe
+    * panel (vec_id 10–14), search the [[Similarity.kmClusters]] index
+    * with nprobe ∈ {1, 2, 4} nearest centroids and report, per nprobe,
+    * the candidate volume actually scanned and recall@3 against the
+    * exhaustive ground truth, in integer permille. This is THE
+    * operating table an ANN deployment tunes from: how much recall
+    * each unit of extra scan buys.
+    *
+    * Exactness: centroid ranking runs on the integer squared-L2
+    * distances of the SETTLED codebook ([[Similarity.kmCentroids]] —
+    * the coordinates the final assignment used, not a recomputed
+    * mean); cosine ranking keys are floor-quantized micro-sims (the
+    * q204 discipline). Scale shape: the panel is FIXED (q19 rule), the
+    * candidate side is cluster-pruned (expected blockSize·nprobe per
+    * probe at any corpus size — adaptive k keeps that constant), and
+    * the exhaustive ground-truth pass is O(panel × corpus), linear in
+    * the corpus — the eval cost, not the index cost.
+    */
+  def q211(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = Similarity.kmClusters(spark, dir)
+    val cents = Similarity.kmCentroids(spark, dir)
+    val probes = clusters.filter(col("vec_id").between(10, 14))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.KmScale}D) AS BIGINT))")
+          .as("pq"))
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val selected = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pe"), col("cent_id"),
+        expr("aggregate(zip_with(pq, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+          .as("dist"))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= NProbes.max)
+      .select(col("probe_id"), col("pe"), col("cent_id"), col("crank"))
+    val nps = explode(array(NProbes.map(lit): _*)).as("nprobe")
+    val cands = selected.select(col("probe_id"), col("pe"), col("cent_id"),
+        col("crank"), nps)
+      .filter(col("crank") <= col("nprobe"))
+      .join(clusters.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("cluster")),
+        col("cent_id") === col("cluster") &&
+          col("neighbor_id") =!= col("probe_id"))
+      .select(col("nprobe"), col("probe_id"), col("neighbor_id"),
+        col("pe"), col("ce"))
+      .localCheckpoint() // 2 consumers: volume count + ranked search
+    val wTop = Window.partitionBy(col("nprobe"), col("probe_id"))
+      .orderBy(col("sm").desc, col("neighbor_id"))
+    val approx3 = cands
+      .select(col("nprobe"), col("probe_id"), col("neighbor_id"),
+        floor(VectorOps.cosineNative(col("pe"), col("ce")) * 1000000d)
+          .cast("long").as("sm"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3)
+      .select(col("nprobe"), col("probe_id"), col("neighbor_id"))
+    val wGt = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sm").desc, col("neighbor_id"))
+    val gt3 = broadcast(probes.select(col("probe_id"), col("pe")))
+      .crossJoin(table(spark, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        floor(VectorOps.cosineNative(col("pe"), col("ce")) * 1000000d)
+          .cast("long").as("sm"))
+      .withColumn("rnk", row_number().over(wGt))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = approx3
+      .join(broadcast(gt3), Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val nPanel = 5L
+    cands.groupBy(col("nprobe")).agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"1000 * coalesce(n_hits, 0) DIV ${3 * nPanel}")
+          .as("recall_permille"))
+      .orderBy(col("nprobe"))
+  }
+
+  val q211Oracle: String = {
+    val npValues = NProbes.map(n => s"($n)").mkString(", ")
+    s"""WITH ${Similarity.kmAssignCtes},
+       |cdist AS (
+       |  SELECT eq.vec_id AS pid, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+       |  FROM eq JOIN c${Similarity.KmIters} c ON eq.d = c.d
+       |  WHERE eq.vec_id BETWEEN 10 AND 14
+       |  GROUP BY eq.vec_id, c.cent_id),
+       |crank AS (
+       |  SELECT pid, cent_id,
+       |         row_number() OVER (PARTITION BY pid
+       |                            ORDER BY dist, cent_id) AS rnk
+       |  FROM cdist),
+       |nps(np) AS (VALUES $npValues),
+       |cands AS MATERIALIZED (
+       |  SELECT n.np, r.pid, a.vec_id AS nid
+       |  FROM crank r CROSS JOIN nps n
+       |  JOIN asgF a ON a.cluster = r.cent_id AND a.vec_id <> r.pid
+       |  WHERE r.rnk <= n.np),
+       |spairs AS (
+       |  SELECT DISTINCT c.pid, c.nid, ep.embedding AS pe, en.embedding AS ne
+       |  FROM cands c
+       |  JOIN embeddings ep ON ep.vec_id = c.pid
+       |  JOIN embeddings en ON en.vec_id = c.nid),
+       |${Similarity.cosineCtes("spairs", "csims")},
+       |approx3 AS (
+       |  SELECT np, pid, nid FROM (
+       |    SELECT c.np, c.pid, c.nid,
+       |           row_number() OVER (
+       |             PARTITION BY c.np, c.pid
+       |             ORDER BY CAST(floor(s.sim * 1000000) AS BIGINT) DESC,
+       |                      c.nid) AS rnk
+       |    FROM cands c JOIN csims s ON s.pid = c.pid AND s.nid = c.nid) t
+       |  WHERE rnk <= 3),
+       |gpairs AS (
+       |  SELECT p.vec_id AS pid, e.vec_id AS nid,
+       |         p.embedding AS pe, e.embedding AS ne
+       |  FROM embeddings p, embeddings e
+       |  WHERE p.vec_id BETWEEN 10 AND 14 AND e.vec_id <> p.vec_id),
+       |${Similarity.cosineCtes("gpairs", "gsims")},
+       |gt3 AS MATERIALIZED (
+       |  SELECT pid, nid FROM (
+       |    SELECT pid, nid,
+       |           row_number() OVER (
+       |             PARTITION BY pid
+       |             ORDER BY CAST(floor(sim * 1000000) AS BIGINT) DESC,
+       |                      nid) AS rnk
+       |    FROM gsims) t
+       |  WHERE rnk <= 3),
+       |hits AS (
+       |  SELECT a.np, count(*) AS n_hits
+       |  FROM approx3 a JOIN gt3 g ON g.pid = a.pid AND g.nid = a.nid
+       |  GROUP BY a.np),
+       |vol AS (SELECT np, count(*) AS n_candidates FROM cands GROUP BY np)
+       |SELECT CAST(v.np AS BIGINT) AS nprobe,
+       |       CAST(v.n_candidates AS BIGINT) AS n_candidates,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(1000 * COALESCE(h.n_hits, 0) // 15 AS BIGINT)
+       |         AS recall_permille
+       |FROM vol v LEFT JOIN hits h ON h.np = v.np
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_semantic_dedup" -> (q170 _),
     "q171_semdedup_curve" -> (q171 _),
     "q192_hard_negatives" -> (q192 _),
-    "q204_mutual_nn" -> (q204 _))
+    "q204_mutual_nn" -> (q204 _),
+    "q211_ivf_nprobe_sweep" -> (q211 _))
 
   val oracles: Map[String, String] = Map(
     "q170_semantic_dedup" -> q170Oracle,
     "q171_semdedup_curve" -> q171Oracle,
     "q192_hard_negatives" -> q192Oracle,
-    "q204_mutual_nn" -> q204Oracle)
+    "q204_mutual_nn" -> q204Oracle,
+    "q211_ivf_nprobe_sweep" -> q211Oracle)
 }

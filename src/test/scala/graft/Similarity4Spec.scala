@@ -117,6 +117,59 @@ class Similarity4Spec extends AnyFunSuite {
       "q171's τ=400 point must equal q170's total drop count")
   }
 
+  // ---------------------------------------------------------------- q211
+
+  test("q211 equals a first-principles nprobe sweep over the collected trained index") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val clusters = Similarity.kmClusters(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val cents = Similarity.kmCentroids(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * Similarity.KmScale).toLong)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def micro(x: Double): Long = math.floor(x * 1000000d).toLong
+    val byId = clusters.map(c => c._1 -> c).toMap
+    val probes = (10L to 14L).map(byId)
+    def top3(from: Array[Float], cands: Seq[(Long, Array[Float])]): Set[Long] =
+      cands.map { case (id, e) => (micro(cos(from, e)), id) }
+        .sortBy { case (sm, id) => (-sm, id) }.take(3).map(_._2).toSet
+    val gt = probes.map { case (pid, pe, _) =>
+      pid -> top3(pe, clusters.collect { case (id, e, _) if id != pid => (id, e) })
+    }.toMap
+    val expected = Seq(1, 2, 4).map { np =>
+      var nCands = 0L; var nHits = 0L
+      probes.foreach { case (pid, pe, _) =>
+        val pq = quant(pe)
+        val ranked = cents.toSeq.map { case (cid, cq) =>
+          (pq.zip(cq).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.sortBy { case (d, cid) => (d, cid) }.take(np).map(_._2).toSet
+        val cands = clusters.collect {
+          case (id, e, cl) if id != pid && ranked(cl) => (id, e)
+        }.toSeq
+        nCands += cands.size
+        nHits += (top3(pe, cands) & gt(pid)).size
+      }
+      (np.toLong, nCands, nHits, 1000 * nHits / 15)
+    }
+    val got = Similarity4.q211(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected, s"got=$got expected=$expected")
+    // the curve the query exists for: candidates and recall are
+    // monotone non-decreasing in nprobe
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
   test("q204: every reported pair is mutually top-1, margins non-negative, at most min(|A|,|B|) rows") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.table(spark, sfDir, "embeddings")
