@@ -393,11 +393,18 @@ object GraphRank {
     val edges = syndicationEdges(spark, dir).localCheckpoint(true)
     val nodes = table(spark, dir, "documents")
       .select(col("source")).distinct().localCheckpoint(true)
+    // each half-step is checkpointed: hub(k) feeds auth(k) AND the
+    // next round AND the final join, so an un-truncated lineage
+    // re-plans every upstream subtree per reference (~360 exchanges in
+    // the formatted plan before this; 10 after). The frames are
+    // domain-sized (distinct sources) — the checkpoint is trivially
+    // cheap, the q201/CC loop discipline.
     def renorm(raw: DataFrame, scoreCol: String): DataFrame = {
       val mx = broadcast(raw.agg(max(col(scoreCol)).as("mx")))
       raw.crossJoin(mx)
         .select(col("source"),
           expr(s"($scoreCol * $HitsScale) div nullif(mx, 0)").as(scoreCol))
+        .localCheckpoint(true)
     }
     var auth = nodes.select(col("source"), lit(HitsScale).as("a"))
     var hub = nodes.select(col("source"), lit(HitsScale).as("h"))
