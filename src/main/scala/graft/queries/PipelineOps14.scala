@@ -50,27 +50,38 @@ object PipelineOps14 {
     * language domain. Value-distinct winnow sets (positions dropped
     * after selection) — the variant a dedup INDEX stores.
     */
-  /** Ordered k-gram hash stream (doc_id, lang, pos, h) for docs long
-    * enough to hold one full winnow window.
+  /** Ordered k-gram hash stream (doc_id, keep..., pos, h) of a
+    * (doc_id, text, ...) frame, for docs long enough to hold one full
+    * winnow window. Shared by the batch queries and
+    * [[graft.streaming.StreamingWinnow]] so the live probe can never
+    * disagree with the batch index on what a fingerprint is.
     */
-  private def gramStream(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+  private[graft] def gramStreamOf(
+      docs: DataFrame, keep: Seq[String]): DataFrame =
+    docs
+      .select((col("doc_id") +: keep.map(col)) :+
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"): _*)
       .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
-      .select(col("doc_id"), col("lang"),
+      .select((col("doc_id") +: keep.map(col)) :+
         posexplode(graft.functions.WordShingles60
-          .wordShingles60(col("toks"), WinnowK)).as(Seq("pos", "h")))
+          .wordShingles60(col("toks"), WinnowK)).as(Seq("pos", "h")): _*)
 
-  /** Value-distinct winnow selection per doc: (doc_id, lang, wh). */
-  private def selectedFps(grams: DataFrame): DataFrame = {
+  private def gramStream(spark: SparkSession, dir: String): DataFrame =
+    gramStreamOf(table(spark, dir, "documents"), Seq("lang"))
+
+  /** Value-distinct winnow selection per doc: (doc_id, keep..., wh). */
+  private[graft] def selectedFpsOf(
+      grams: DataFrame, keep: Seq[String]): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(WinnowW - 1), 0)
     grams
       .withColumn("wh", min(col("h")).over(win))
       .filter(col("pos") >= WinnowW - 1) // full windows only (0-based)
-      .select(col("doc_id"), col("lang"), col("wh")).distinct()
+      .select((col("doc_id") +: keep.map(col)) :+ col("wh"): _*).distinct()
   }
+
+  private def selectedFps(grams: DataFrame): DataFrame =
+    selectedFpsOf(grams, Seq("lang"))
 
   def q207(spark: SparkSession, dir: String): DataFrame = {
     val grams = gramStream(spark, dir)
