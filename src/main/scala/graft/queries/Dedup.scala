@@ -1088,7 +1088,95 @@ object Dedup {
        |ORDER BY core_degree DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q212
+
+  /** Group split for a cluster id — the same 900/50/50 permille
+    * thresholds as [[PipelineOps9.splitOf]] under a DIFFERENT salt, so
+    * group and doc assignments are independent hashes and the
+    * migration count is a real measurement, not an artifact.
+    */
+  private[graft] def groupSplitOf(
+      cluster: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = CrossHash.h60(concat(lit("gsplit:"),
+      cluster.cast("string"))) % 1000
+    when(bucket < PipelineOps9.SplitTrainUpto, "train")
+      .when(bucket < PipelineOps9.SplitValUpto, "val")
+      .otherwise("test")
+  }
+
+  /** q212: near-dup-GROUP-aware train/val/test split — the leakage-free
+    * assignment a curation pipeline must use instead of per-doc hashing
+    * (q114): hash the dedup CLUSTER, not the document, so near-
+    * duplicates can never straddle train and test (the contamination
+    * q120/q162 would otherwise measure after the fact is prevented by
+    * construction — grouped splitting is the standard remedy, cf.
+    * scikit-learn's GroupKFold). Clusters come from the SAME memoized
+    * LSH + connected-components labels as q78/q87/q156/q157; docs
+    * outside the candidate graph are their own singleton group. Per
+    * split: group count, doc count, and the migration count (docs whose
+    * naive per-doc split differs from their group split) — the price of
+    * leakage-freedom.
+    *
+    * Scale shape: one left join of the corpus against the (bounded)
+    * label frame, two pure-projection hash splits, one aggregate on the
+    * 3-value split domain. The cluster hash is a pure function of the
+    * label, so "no cluster straddles splits" holds by construction (the
+    * spec pins it anyway — it is the property the operator exists for).
+    */
+  def q212(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(spark, dir)._1
+      .select(col("id").as("doc_id"), col("label"))
+    table(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        PipelineOps9.splitOf(col("doc_id")).as("doc_split"),
+        groupSplitOf(col("cluster")).as("group_split"))
+      .groupBy(col("group_split"))
+      .agg(countDistinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_split") =!= col("group_split"), 1L).otherwise(0L))
+          .as("n_migrated"))
+      .orderBy(col("group_split"))
+  }
+
+  val q212Oracle: String = {
+    val dh = CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    val gh = CrossHash.h60Sql("'gsplit:' || CAST(cluster AS VARCHAR)")
+    def splitCase(h: String) =
+      s"""CASE WHEN ($h) % 1000 < ${PipelineOps9.SplitTrainUpto} THEN 'train'
+         |     WHEN ($h) % 1000 < ${PipelineOps9.SplitValUpto} THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE ${q21CandCte},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM cand),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |walk(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id),
+       |labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+       |g AS (
+       |  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+       |a AS (
+       |  SELECT doc_id, cluster,
+       |         ${splitCase(dh)} AS doc_split,
+       |         ${splitCase(gh)} AS group_split
+       |  FROM g)
+       |SELECT group_split,
+       |       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       |       count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_split <> group_split THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_migrated
+       |FROM a GROUP BY group_split ORDER BY group_split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_group_split" -> (q212 _),
     "q201_kcore" -> (q201 _),
     "q189_assortativity" -> (q189 _),
     "q17_dedup_exact" -> (q17 _),
@@ -1104,6 +1192,7 @@ object Dedup {
     "q160_triangle_census" -> (q160 _))
 
   val oracles: Map[String, String] = Map(
+    "q212_group_split" -> q212Oracle,
     "q201_kcore" -> q201Oracle,
     "q189_assortativity" -> q189Oracle,
     "q17_dedup_exact" -> q17Oracle,
