@@ -51,6 +51,11 @@ final case class AudioFeatures(
     n_zero_cross: Long,
     decode_error: String)
 
+final case class PhashRow(
+    asset_id: Long,
+    phash: Long,
+    decode_error: String)
+
 final case class ResampledAudio(
     asset_id: Long,
     sample_rate: Double,
@@ -283,6 +288,89 @@ object Multimodal {
                 png.length.toLong, lumaOf(thumb), null)
             case Left(err) =>
               ThumbFeatures(a.asset_id, -1, -1, 0L, 0.0, err)
+          }
+        }
+      }
+  }
+
+  /** 64-bit perceptual average-hash (aHash — the classic pHash-family
+    * baseline: Zauner 2010, "Implementation and Benchmarking of
+    * Perceptual Image Hash Functions"): decode, partition into an 8×8
+    * grid of integer block-mean lumas (BT.601 in integer millis —
+    * 299r+587g+114b — block mean = floor of the exact integer sum /
+    * block area, trailing rows/cols that don't fill a block dropped),
+    * set bit i iff block i's mean is STRICTLY above the floor of the
+    * 64-block grand mean. All-integer end to end, so the hash is
+    * bit-identical on every JVM — the same reproducibility contract as
+    * [[resizeImage]], where a float resize + float mean would drift.
+    * Left for unreadable payloads or images smaller than the grid.
+    */
+  def phash64(payload: Array[Byte]): Either[String, Long] =
+    readBounded(payload).flatMap { img =>
+      val bw = img.getWidth / 8
+      val bh = img.getHeight / 8
+      if (bw == 0 || bh == 0)
+        Left(s"too small for the 8x8 grid: ${img.getWidth}x${img.getHeight}")
+      else {
+        val means = new Array[Long](64)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            var sum = 0L
+            var y = gy * bh
+            while (y < (gy + 1) * bh) {
+              var x = gx * bw
+              while (x < (gx + 1) * bw) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sum += 299L * r + 587L * g + 114L * b
+                x += 1
+              }
+              y += 1
+            }
+            means(gy * 8 + gx) = sum / (bw.toLong * bh)
+            gx += 1
+          }
+          gy += 1
+        }
+        val grand = means.sum / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (means(i) > grand) hash |= (1L << i)
+          i += 1
+        }
+        Right(hash)
+      }
+    }
+
+  /** Near-duplicate variant of an image: the lowest blue bit of pixel
+    * (0,0) flipped and the result re-encoded — visually identical, a
+    * different payload byte stream (the perceptual-dedup test case an
+    * exact fingerprint like q29's md5 can never match).
+    */
+  def perturbPixel(payload: Array[Byte]): Array[Byte] =
+    readBounded(payload) match {
+      case Right(img) =>
+        img.setRGB(0, 0, img.getRGB(0, 0) ^ 1)
+        encodePng(img)
+      case Left(_) => payload
+    }
+
+  /** Batch perceptual hashing: one `mapPartitions` pass. */
+  def extractPhashes(
+      assets: Dataset[MediaAsset], parallelism: Int): Dataset[PhashRow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(parallelism, col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          phash64(a.payload) match {
+            case Right(h) => PhashRow(a.asset_id, h, null)
+            case Left(err) => PhashRow(a.asset_id, 0L, err)
           }
         }
       }

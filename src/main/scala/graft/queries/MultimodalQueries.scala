@@ -101,12 +101,61 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** Hamming radius for q213's perceptual near-dup verdict. */
+  val PhashMaxHamming = 6
+
+  /** q213: PERCEPTUAL image dedup — the multimodal answer to q17/q21:
+    * an exact payload fingerprint (q29's md5) misses a re-encoded or
+    * trivially-retouched copy, while the 64-bit average-hash
+    * ([[graft.multimodal.Multimodal.phash64]], integer-exact aHash)
+    * lands within a small Hamming radius of the original. Corpus: the
+    * 64 seeded PNGs plus 16 single-pixel-perturbed near-duplicates
+    * (different BYTES, same picture). Per asset: the phash and how
+    * many OTHER assets sit within Hamming ≤ [[PhashMaxHamming]]
+    * (`bit_count(xor)` — codegen'd). Declared oracle-free by the codec
+    * policy (DuckDB has no image decoder); determinism and the
+    * near-dup verdicts are pinned in MultimodalSpec.
+    *
+    * Scale shape: hashing is one executor-side `mapPartitions` pass
+    * (payloads never visit the driver); the pair pass here is a tiny
+    * broadcast self-join over the 80-asset panel — at corpus scale the
+    * 64-bit hash BANDS into prefix buckets exactly like SimHash q42
+    * (same key structure, same hot-bucket cap), which is why the hash,
+    * not the pairing, is the operator.
+    */
+  def q213(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Dataset
+    val base = graft.multimodal.Multimodal.syntheticImages(spark, 64)
+    val dups: Dataset[graft.multimodal.MediaAsset] = {
+      import spark.implicits._
+      base.filter(col("asset_id") % 4 === 0).map { a =>
+        a.copy(asset_id = a.asset_id + 100,
+          payload = graft.multimodal.Multimodal.perturbPixel(a.payload))
+      }
+    }
+    val hashes = graft.multimodal.Multimodal
+      .extractPhashes(base.unionByName(dups), 8).toDF()
+      .select(col("asset_id"), col("phash"),
+        col("decode_error").isNotNull.as("failed"))
+    val near = hashes.toDF("asset_id", "phash", "failed")
+      .join(broadcast(hashes.toDF("b_id", "b_phash", "b_failed")),
+        col("b_id") =!= col("asset_id") &&
+          expr(s"bit_count(phash ^ b_phash) <= $PhashMaxHamming"))
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
+    hashes
+      .join(near, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("phash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"), col("failed"))
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_binary" -> (q29 _),
     "q48_image_features" -> (q48 _),
     "q69_audio_features" -> (q69 _),
     "q112_image_resize" -> (q112 _),
-    "q122_audio_resample" -> (q122 _))
+    "q122_audio_resample" -> (q122 _),
+    "q213_image_phash" -> (q213 _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_binary" -> q29Oracle)

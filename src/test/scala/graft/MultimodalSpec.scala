@@ -283,4 +283,61 @@ class MultimodalSpec extends AnyFunSuite {
       assert(luma > 0 && luma < 255)
     }
   }
+
+  test("phash64 equals a first-principles block-mean hash, pixel for pixel") {
+    // independent recompute: decode the payload with ImageIO directly,
+    // derive the 8x8 integer block means and the threshold bits
+    val payload = Multimodal.renderPng(7L, 16, 12)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val (bw, bh) = (img.getWidth / 8, img.getHeight / 8)
+    val means = (0 until 64).map { i =>
+      val (gx, gy) = (i % 8, i / 8)
+      var sum = 0L
+      for (y <- gy * bh until (gy + 1) * bh; x <- gx * bw until (gx + 1) * bw) {
+        val rgb = img.getRGB(x, y)
+        sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+      }
+      sum / (bw.toLong * bh)
+    }
+    val grand = means.sum / 64
+    val expected = means.zipWithIndex.foldLeft(0L) { case (h, (m, i)) =>
+      if (m > grand) h | (1L << i) else h
+    }
+    assert(Multimodal.phash64(payload) == Right(expected))
+    // deterministic across calls
+    assert(Multimodal.phash64(payload) == Multimodal.phash64(payload))
+    // too-small images fail loudly, not wrongly
+    assert(Multimodal.phash64(Multimodal.renderPng(1L, 4, 4)).isLeft)
+  }
+
+  test("q213: perturbed copies are perceptual near-dups; exact fingerprints disagree") {
+    val base = Multimodal.renderPng(3L, 16, 12)
+    val dup = Multimodal.perturbPixel(base)
+    assert(!java.util.Arrays.equals(base, dup),
+      "the perturbed payload must differ byte-wise (md5 would miss it)")
+    val Right(h1) = Multimodal.phash64(base)
+    val Right(h2) = Multimodal.phash64(dup)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 1,
+      "a one-bit pixel change moves at most one block past its threshold")
+
+    val out = graft.queries.MultimodalQueries.q213(spark, "unused").collect()
+    assert(out.length == 80, "64 originals + 16 perturbed copies")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId.values.forall(!_._3), "every payload decodes")
+    // every perturbed copy finds its original (and vice versa)
+    (0L until 64L by 4).foreach { id =>
+      assert(byId(id + 100)._2 >= 1L, s"copy of $id must match something")
+      assert(byId(id)._2 >= 1L, s"original $id must be matched back")
+      assert(java.lang.Long.bitCount(byId(id)._1 ^ byId(id + 100)._1) <=
+        graft.queries.MultimodalQueries.PhashMaxHamming)
+    }
+    // determinism: a rerun is value-identical
+    val again = graft.queries.MultimodalQueries.q213(spark, "unused").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(again == byId)
+  }
 }
