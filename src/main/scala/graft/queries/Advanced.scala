@@ -97,11 +97,54 @@ object Advanced {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+
+  /** q214: the BUCKETED co-located join under the gate — q47's
+    * companion for the other scale knob the brief names: both sides
+    * are written `bucketBy(8, key)` + `sortBy` into warehouse tables
+    * ([[ScaleOps.writeBucketed]]), and the subsequent join is
+    * SHUFFLE-FREE (bucket-local; ScaleOpsSpec pins zero Exchange nodes
+    * in the plan) — at 100 TB this is the difference between a join
+    * that moves both tables over the network every run and one that
+    * reads co-located files. The oracle runs the PLAIN join over the
+    * original parquet — identical output certifies that bucketing is a
+    * pure physical layout choice, exactly the q47 salting contract.
+    * The write cost is the point: pay one layout pass, then every
+    * subsequent join on that key is exchange-free.
+    */
+  def q214(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-q214-bucketed").toString
+    val o = ScaleOps.writeBucketed(
+      table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")),
+      "o_custkey", 8, "graft_q214_orders", s"$wh/orders")
+    val c = ScaleOps.writeBucketed(
+      table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+      "c_custkey", 8, "graft_q214_customer", s"$wh/customer")
+    spark.table(o)
+      .join(spark.table(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q214Oracle: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_udaf" -> (q46 _),
-    "q47_salted_join" -> (q47 _))
+    "q47_salted_join" -> (q47 _),
+    "q214_bucketed_join" -> (q214 _))
 
   val oracles: Map[String, String] = Map(
     "q46_minhash_udaf" -> q46Oracle,
-    "q47_salted_join" -> q47Oracle)
+    "q47_salted_join" -> q47Oracle,
+    "q214_bucketed_join" -> q214Oracle)
 }
