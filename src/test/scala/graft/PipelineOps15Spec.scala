@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.PipelineOps15
+
+/** q215 dynamic partition pruning (plan marker + plain-join identity)
+  * and q217 FORCAST readability (first-principles recompute).
+  */
+class PipelineOps15Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q215 executes with a dynamicpruning partition filter in the plan") {
+    // DPP's reuse path rides the broadcast exchange of the dim side, so
+    // this test needs broadcast joins ON even if an earlier suite in the
+    // shared test JVM disabled them (save/restore, ScaleProofSpec style).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      val df = PipelineOps15.q215(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamicpruning partition filter in:\n$plan")
+
+      // layout + DPP must be a pure physical choice: identical rows to
+      // the plain join over the original parquet
+      val plain = spark.read.parquet(s"$sfDir/customer.parquet")
+        .join(
+          spark.read.parquet(s"$sfDir/nation.parquet")
+            .filter(col("n_regionkey") === 1),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy(col("n_name"))
+      assert(df.collect().toSeq == plain.collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q217 matches a first-principles FORCAST recompute") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vowelRuns = "[aeiouy]+".r
+    val perDoc = docs.map { case (lang, text) =>
+      val toks = text.split(' ').filter(_.nonEmpty)
+      val sylls = toks.map(t => vowelRuns.findAllIn(t).size.toLong)
+      val words = toks.length.toLong
+      val mono = sylls.count(_ == 1L).toLong
+      (lang, words, sylls.sum, mono, 20000L - (15000L * mono) / words)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      val n = rows.length.toLong
+      val words = rows.map(_._2).sum
+      val mono = rows.map(_._4).sum
+      (lang, n, words, rows.map(_._3).sum, mono,
+        1000L * mono / words, rows.map(_._5).sum / n)
+    }.toSeq.sortBy(_._1)
+
+    val got = PipelineOps15.q217(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got == expected)
+  }
+}
