@@ -481,15 +481,90 @@ object GraphRank {
        |ORDER BY authority DESC, hub DESC, nd.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q216
+
+  /** Predicted links reported (total tie-break below makes the cut
+    * deterministic). */
+  val LinkPredTop = 20
+
+  /** q216: link prediction on the syndication graph — for every
+    * NON-adjacent source pair, the common-neighbor count (the classic
+    * Liben-Nowell/Kleinberg predictor) plus the preferential-attachment
+    * product deg(a)·deg(b), top [[LinkPredTop]] pairs by common
+    * neighbors. The curation read: two sources that share many
+    * syndication partners but no direct edge are the next mirror
+    * relationship the dedup pipeline should expect — the q169 heat
+    * matrix for pairs that have NOT collided yet. Both scores are
+    * integer counts, so the gate certifies them exactly.
+    *
+    * Scale shape: the corpus-scale shingle chain is the memoized
+    * [[syndicationEdges]] (shared with q123/q161/q206); everything
+    * here runs on the DOMAIN graph — the wedge self-join is bounded by
+    * Σ deg² over sources (millions of pairs at worst under a 100 TB
+    * corpus, and a hub cap like q160's wedge cap would bound it
+    * further if the source domain ever grew hubs), never by document
+    * count.
+    */
+  def q216(spark: SparkSession, dir: String): DataFrame = {
+    val edges = syndicationEdges(spark, dir).localCheckpoint(true)
+    val ue = edges.select(col("src_from").as("s"), col("src_to").as("t"))
+      .unionAll(edges.select(col("src_to").as("s"), col("src_from").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = ue.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val cand = ue.select(col("s").as("src_a"), col("t").as("n"))
+      .join(ue.select(col("s").as("src_b"), col("t").as("n")), Seq("n"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    val nonEdge = cand.join(
+      ue.select(col("s").as("src_a"), col("t").as("src_b")),
+      Seq("src_a", "src_b"), "left_anti")
+    nonEdge
+      .join(broadcast(deg.select(col("s").as("src_a"), col("d").as("da"))),
+        Seq("src_a"))
+      .join(broadcast(deg.select(col("s").as("src_b"), col("d").as("db"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("common_neighbors"),
+        (col("da") * col("db")).as("pref_attach"))
+      .orderBy(col("common_neighbors").desc, col("src_a"), col("src_b"))
+      .limit(LinkPredTop)
+  }
+
+  val q216Oracle: String =
+    s"WITH $edgesCtePrefix,\n" +
+    s"""ue AS (
+       |  SELECT src_from AS s, src_to AS t FROM edges
+       |  UNION
+       |  SELECT src_to AS s, src_from AS t FROM edges),
+       |deg AS (SELECT s, count(*) AS d FROM ue GROUP BY s),
+       |cand AS (
+       |  SELECT a.s AS src_a, b.s AS src_b, count(*) AS common_neighbors
+       |  FROM ue a JOIN ue b ON a.t = b.t AND a.s < b.s
+       |  GROUP BY 1, 2),
+       |non_edge AS (
+       |  SELECT c.* FROM cand c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ue e WHERE e.s = c.src_a AND e.t = c.src_b))
+       |SELECT src_a, src_b, common_neighbors,
+       |       da.d * db.d AS pref_attach
+       |FROM non_edge
+       |JOIN deg da ON da.s = src_a
+       |JOIN deg db ON db.s = src_b
+       |ORDER BY common_neighbors DESC, src_a, src_b
+       |LIMIT $LinkPredTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_source_pagerank" -> (q123 _),
     "q161_bfs_hops" -> (q161 _),
     "q169_source_dup_matrix" -> (q169 _),
-    "q206_hits_scores" -> (q206 _))
+    "q206_hits_scores" -> (q206 _),
+    "q216_link_prediction" -> (q216 _))
 
   val oracles: Map[String, String] = Map(
     "q123_source_pagerank" -> q123Oracle,
     "q161_bfs_hops" -> q161Oracle,
     "q169_source_dup_matrix" -> q169Oracle,
-    "q206_hits_scores" -> q206Oracle)
+    "q206_hits_scores" -> q206Oracle,
+    "q216_link_prediction" -> q216Oracle)
 }

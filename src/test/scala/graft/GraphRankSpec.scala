@@ -69,4 +69,25 @@ class GraphRankSpec extends AnyFunSuite {
     assert(edges.forall { case (a, b) => a != b })
     assert(edges.length == edges.distinct.length, "edges are distinct pairs")
   }
+
+  test("q216 matches a first-principles link-prediction model") {
+    val edges = GraphRank.syndicationEdges(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ue = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = ue.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b
+      if !adj(a).contains(b)
+      cn = (adj(a) & adj(b)).size.toLong if cn > 0
+    } yield (a, b, cn, adj(a).size.toLong * adj(b).size.toLong))
+      .sortBy { case (a, b, cn, _) => (-cn, a, b) }
+      .take(GraphRank.LinkPredTop)
+
+    // read columns by name — the join order puts src_b first positionally
+    val got = GraphRank.q216(spark, sfDir).collect().toSeq
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("common_neighbors"), r.getAs[Long]("pref_attach")))
+    assert(got == expected)
+  }
 }
