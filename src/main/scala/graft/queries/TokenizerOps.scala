@@ -208,11 +208,136 @@ object TokenizerOps {
        |ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q218
+
+  /** Merge rounds the q218 trainer runs. Fixed and small so the oracle
+    * stays expressible as an unrolled CTE chain (the q206 discipline).
+    */
+  val BpeMergeRounds: Int = 10
+
+  /** The '·'-delimited symbol string of a word (one char per symbol).
+    * The delimiter cannot occur in `[a-z]+` words, so the last symbol
+    * of a partial string is always the text after the last '·' — the
+    * invariant the greedy-merge fold's `LIKE '%·l'` test relies on.
+    */
+  private def charSyms(wordCol: String): String =
+    s"trim(TRAILING '·' FROM regexp_replace($wordCol, '(.)', '$$1·'))"
+
+  /** q218: the BPE trainer q124 only unrolls two rounds of — a full
+    * [[BpeMergeRounds]]-round merge-learning loop with REAL multi-char
+    * symbols (q124 collapses the winning pair to a 1-char marker, which
+    * cannot express merge-of-merge tokens like `ta`+`ble`). Each word
+    * is a '·'-delimited symbol string; a round counts adjacent symbol
+    * pairs weighted by word frequency, picks the argmax under the total
+    * order (weight DESC, left, right), and applies the merge with a
+    * greedy LEFT-TO-RIGHT fold (`aggregate` HOF here, `list_reduce` in
+    * the oracle): append `x`, or extend the last symbol to `l||r` when
+    * it equals `l` and `x = r` — a fold that is exactly Sennrich's
+    * greedy non-overlapping application (a just-merged symbol can't
+    * re-merge this round). Output: the learned merge table
+    * (step, left, right, weight) — the tokenizer artifact itself.
+    *
+    * Scale shape: the corpus touches ONE scan (the word count); all
+    * [[BpeMergeRounds]] rounds run on the bounded top-[[BpeVocabWords]]
+    * frequency table, localCheckpointed per round to keep lineage flat
+    * (the q206 lesson). The per-round argmax is a 1-row collect — the
+    * KMeans-codebook class of bounded driver data: the winning pair
+    * must become a literal in the next round's fold expression.
+    */
+  def q218(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = table(spark, dir, "documents")
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), w -> length(w) >= 2)"))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(BpeVocabWords)
+    var words = vocab
+      .select(expr(charSyms("word")).as("sym"), col("freq"))
+      .localCheckpoint(true)
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeMergeRounds && !exhausted) {
+      val best = words
+        .select(col("freq"), expr("split(sym, '·')").as("sp"))
+        .filter(size(col("sp")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(slice(sp, 1, size(sp) - 1)," +
+            " (x, i) -> struct(x AS l, element_at(sp, i + 2) AS r))"))
+          .as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, w) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, w))
+        words = words.select(expr(
+          s"""aggregate(
+             |  slice(split(sym, '·'), 2, size(split(sym, '·')) - 1),
+             |  element_at(split(sym, '·'), 1),
+             |  (acc, x) -> CASE WHEN (acc = '$l' OR acc LIKE '%·$l')
+             |                    AND x = '$r'
+             |              THEN acc || '$r' ELSE acc || '·' || x END)"""
+            .stripMargin).as("sym"), col("freq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "left_sym", "right_sym", "pair_freq")
+      .select(col("step"), col("left_sym"), col("right_sym"),
+        col("pair_freq"))
+      .orderBy(col("step"))
+  }
+
+  val q218Oracle: String = {
+    val rounds = (1 to BpeMergeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS w
+         |  FROM (SELECT string_split(sym, '·') AS s, freq FROM w${k - 1}) t,
+         |       unnest(range(1, len(s))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, w FROM p$k ORDER BY w DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT list_reduce(string_split(t.sym, '·'),
+         |    (acc, x) -> CASE WHEN (acc = b.l OR acc LIKE '%·' || b.l)
+         |                      AND x = b.r
+         |                THEN acc || b.r ELSE acc || '·' || x END) AS sym,
+         |         t.freq
+         |  FROM w${k - 1} t CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMergeRounds).map { k =>
+      s"SELECT $k AS step, l AS left_sym, r AS right_sym, w AS pair_freq FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                              w -> length(w) >= 2)) AS word
+       |    FROM documents)
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $BpeVocabWords),
+       |w0 AS MATERIALIZED (
+       |  SELECT rtrim(regexp_replace(word, '(.)', '\\1·', 'g'), '·') AS sym,
+       |         freq
+       |  FROM wf),
+       |$rounds
+       |SELECT CAST(step AS INT) AS step, left_sym, right_sym, pair_freq
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_bpe_pairs" -> (q124 _),
-    "q129_vocab_growth" -> (q129 _))
+    "q129_vocab_growth" -> (q129 _),
+    "q218_bpe_train" -> (q218 _))
 
   val oracles: Map[String, String] = Map(
     "q124_bpe_pairs" -> q124Oracle,
-    "q129_vocab_growth" -> q129Oracle)
+    "q129_vocab_growth" -> q129Oracle,
+    "q218_bpe_train" -> q218Oracle)
 }

@@ -105,4 +105,48 @@ class TokenizerOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(1).length == 2), "pairs are 2 symbols")
     assert(rows.forall(_.getLong(2) > 0L))
   }
+
+  test("q218 matches a first-principles greedy BPE trainer") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text").as[String].collect()
+    val wf = texts
+      .flatMap(t => t.toLowerCase.split("[^a-z]+").filter(_.length >= 2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, f) => (-f, w) }
+      .take(TokenizerOps.BpeVocabWords)
+
+    // greedy left-to-right merge application (Sennrich's rule): consume
+    // both symbols on a match so a just-merged token can't re-merge
+    def applyMerge(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r =>
+          (l + r) :: applyMerge(rest, l, r)
+        case a :: rest => a :: applyMerge(rest, l, r)
+        case Nil => Nil
+      }
+
+    var words = wf.map { case (w, f) => (w.map(_.toString).toList, f) }
+    val expected = (1 to TokenizerOps.BpeMergeRounds).map { step =>
+      val counts = words
+        .flatMap { case (s, f) =>
+          s.zip(s.drop(1)).map { case (a, b) => ((a, b), f) }
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((l, r), w) =
+        counts.minBy { case ((a, b), wt) => (-wt, a, b) }
+      words = words.map { case (s, f) => (applyMerge(s, l, r), f) }
+      (step, l, r, w)
+    }
+
+    val got = TokenizerOps.q218(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // merge-of-merge must actually occur within 6 rounds on this corpus
+    // for the multi-char symbol representation to be exercised
+    val learned = expected.map { case (_, l, r, _) => l + r }
+    assert(expected.exists { case (_, l, r, _) =>
+      l.length > 1 || r.length > 1 },
+      s"no multi-char symbol in any learned merge: $learned")
+  }
 }
