@@ -131,11 +131,138 @@ object PipelineOps15 {
       |       CAST(sum(grade_milli) // count(*) AS BIGINT) AS avg_grade_milli
       |FROM graded GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q219
+
+  /** Power-iteration rounds. Fixed and small so the oracle stays an
+    * unrolled CTE chain (the q206/q218 discipline). */
+  val PcaIterations = 12
+
+  /** Fixed-point scale of the eigenvector (2^16). With the covariance
+    * capped below 2^20 (see shift), a matvec is ≤ 2^20·2^16·64 = 2^42
+    * and the renorm numerator ≤ 2^58 — inside int64. */
+  val PcaVScale = 65536L
+
+  /** q219: the principal component of the embedding cloud by POWER
+    * ITERATION — distributed PCA in its production shape (Spark MLlib's
+    * own PCA does exactly this split): the corpus-scale work is ONE
+    * pass building the 64×64 Gram/covariance matrix; the eigensolve
+    * then runs on that fixed-size matrix, far below driver scale. All
+    * arithmetic is integer: embeddings quantize by floor(x·128)
+    * (power-of-two multiply — exact in any float width), the centered
+    * covariance is C = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ (exact int64 for n < 2^24),
+    * C is right-shifted to < 2^20 via the bit-length identity
+    * (length(bin(x)) − 1 = floor(log2 x), the q167 trick), and each of
+    * the [[PcaIterations]] matvec+renorm rounds is truncated int64
+    * division — so Spark (driver Scala on the collected 4096-entry
+    * matrix, the KMeans-codebook class of bounded data) and DuckDB
+    * (unrolled CTEs) agree BIT-FOR-BIT and the hash gate certifies the
+    * eigensolver itself. Sign is canonicalized by making the
+    * largest-|component| dimension positive (tie → lowest dim).
+    *
+    * Scale shape: the pair-product pass builds each row's 64×64 outer
+    * product INSIDE codegen (nested transform + flatten — no self-join,
+    * no per-row shuffle) and partial-aggregates map-side into ≤4096
+    * groups; per-dim sums land on the 64-row dim domain. At 100 TB the
+    * only corpus-scale cost is that one scan.
+    */
+  def q219(spark: SparkSession, dir: String): DataFrame = {
+    val q = table(spark, dir, "embeddings")
+      .select(expr(
+        "transform(embedding, e -> cast(floor(cast(e as double) * 128) as bigint))")
+        .as("q"))
+    val outer = q.select(explode(expr(
+      "flatten(transform(q, (x, i) -> transform(q, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"))
+      .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("sij"), count(lit(1)).as("cnt"))
+    val dimSums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i")).agg(sum(col("qi")).as("s"))
+
+    // bounded collects: 4096 matrix entries + 64 dim sums (the KMeans-
+    // codebook class); n comes with the matrix (cnt of any cell)
+    val gRows = outer.collect()
+    val sRows = dimSums.collect()
+    val dims = sRows.length
+    val n = if (gRows.isEmpty) 0L else gRows(0).getAs[Long]("cnt")
+    val s = Array.ofDim[Long](dims)
+    sRows.foreach(r => s(r.getAs[Int]("i")) = r.getAs[Long]("s"))
+    val c = Array.ofDim[Long](dims, dims)
+    gRows.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      c(i)(j) = n * r.getAs[Long]("sij") - s(i) * s(j)
+    }
+    val maxAbs = c.flatten.map(math.abs).foldLeft(0L)(math.max)
+    val shift = math.max(0, java.lang.Long.toBinaryString(maxAbs).length - 20)
+    val cm = c.map(_.map(_ / (1L << shift)))
+
+    var v = Array.fill(dims)(PcaVScale)
+    for (_ <- 1 to PcaIterations) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cm(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).foldLeft(0L)(math.max)
+      v = if (m == 0L) w else w.map(x => x * PcaVScale / m)
+    }
+    val top = (0 until dims).minBy(d => (-math.abs(v(d)), d))
+    val signed = if (v(top) < 0L) v.map(-_) else v
+
+    import spark.implicits._
+    signed.zipWithIndex.map { case (comp, d) => (d.toLong, comp) }.toSeq
+      .toDF("dim", "component").orderBy(col("dim"))
+  }
+
+  val q219Oracle: String = {
+    val iters = (1 to PcaIterations).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+         |  FROM cm c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, CAST(coalesce(
+         |    w * $PcaVScale // nullif((SELECT max(abs(w)) FROM w$k), 0),
+         |    w) AS BIGINT) AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, e ->
+       |           CAST(floor(CAST(e AS DOUBLE) * 128) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |el AS MATERIALIZED (
+       |  SELECT vec_id, unnest(q) AS qi,
+       |         generate_subscripts(q, 1) AS i
+       |  FROM q),
+       |nn AS (SELECT count(*) AS n FROM q),
+       |s AS MATERIALIZED (
+       |  SELECT i, CAST(sum(qi) AS BIGINT) AS s FROM el GROUP BY i),
+       |g AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS sij
+       |  FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
+       |c AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |         (SELECT n FROM nn) * sij - sa.s * sb.s AS c
+       |  FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j),
+       |sh AS (
+       |  SELECT greatest(0, length(bin(max(abs(c)))) - 20) AS sh FROM c),
+       |cm AS MATERIALIZED (
+       |  SELECT i, j, c // (CAST(1 AS BIGINT) << (SELECT sh FROM sh)) AS c
+       |  FROM c),
+       |v0 AS (SELECT DISTINCT i, CAST($PcaVScale AS BIGINT) AS v FROM cm),
+       |$iters,
+       |pick AS (
+       |  SELECT v AS vtop FROM v$PcaIterations ORDER BY abs(v) DESC, i LIMIT 1)
+       |SELECT CAST(v.i - 1 AS BIGINT) AS dim,
+       |       CAST(CASE WHEN p.vtop < 0 THEN -v.v ELSE v.v END AS BIGINT)
+       |         AS component
+       |FROM v$PcaIterations v CROSS JOIN pick p
+       |ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_dynamic_pruning" -> (q215 _),
-    "q217_readability" -> (q217 _))
+    "q217_readability" -> (q217 _),
+    "q219_pca_power" -> (q219 _))
 
   val oracles: Map[String, String] = Map(
     "q215_dynamic_pruning" -> q215Oracle,
-    "q217_readability" -> q217Oracle)
+    "q217_readability" -> q217Oracle,
+    "q219_pca_power" -> q219Oracle)
 }

@@ -67,4 +67,46 @@ class PipelineOps15Spec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(got == expected)
   }
+
+  test("q219 captures the dominant variance direction of the quantized cloud") {
+    val rows = PipelineOps15.q219(spark, sfDir).collect()
+    val dims = rows.map(_.getLong(0))
+    val v = rows.sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    assert(dims.sorted.sameElements(dims), "ordered by dim")
+    assert(dims.toSeq == (0L until dims.length.toLong),
+      "one row per dimension, 0-based")
+    // renorm invariant: the last iteration pins max|component| to the
+    // fixed-point scale, and sign canonicalization makes it positive
+    assert(v.map(math.abs).max == PipelineOps15.PcaVScale.toDouble)
+    assert(v(v.indexWhere(x =>
+      math.abs(x) == PipelineOps15.PcaVScale.toDouble)) > 0)
+
+    // Rayleigh quotient vs a long double-precision power iteration on
+    // the exact centered covariance of the same quantized vectors —
+    // robust to near-equal eigenvalues where a direction compare isn't
+    val qs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr(
+        "transform(embedding, e -> cast(floor(cast(e as double) * 128) as bigint))")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = qs.length
+    val d = qs(0).length
+    val s = Array.tabulate(d)(i => qs.map(_(i)).sum)
+    val c = Array.tabulate(d, d)((i, j) =>
+      (n.toLong * qs.map(q => q(i) * q(j)).sum - s(i) * s(j)).toDouble)
+    def rayleigh(x: Array[Double]): Double = {
+      val nrm = math.sqrt(x.map(a => a * a).sum)
+      val u = x.map(_ / nrm)
+      val cu = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * u(j)).sum)
+      u.zip(cu).map { case (a, b) => a * b }.sum
+    }
+    var ref = Array.fill(d)(1.0)
+    (1 to 500).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * ref(j)).sum)
+      val m = w.map(math.abs).max
+      ref = w.map(_ / m)
+    }
+    assert(rayleigh(v) > 0, "a real variance direction")
+    assert(rayleigh(v) >= 0.9 * rayleigh(ref),
+      s"rayleigh ${rayleigh(v)} vs reference ${rayleigh(ref)}")
+  }
 }
