@@ -111,10 +111,19 @@ object Advanced {
     * pure physical layout choice, exactly the q47 salting contract.
     * The write cost is the point: pay one layout pass, then every
     * subsequent join on that key is exchange-free.
+    *
+    * Both sides carry a MERGE hint: under the gate's default confs the
+    * small customer side would be broadcast, which never exercises the
+    * bucket layout at all — the hint forces the sort-merge path the
+    * layout exists for (shuffle-free because both sides are bucketed
+    * and sorted on the join key). ScaleOpsSpec pins q214's OWN plan:
+    * a SortMergeJoin with no Exchange on either join key. The scratch
+    * warehouse is a stable per-process path + overwrite (the ADVICE-r3
+    * rule — a fresh createTempDirectory per invocation leaks one /tmp
+    * copy of both tables per bench/verify run).
     */
   def q214(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files
-      .createTempDirectory("graft-q214-bucketed").toString
+    val wh = SourceSink.scratchDir("q214_bucketed")
     val o = ScaleOps.writeBucketed(
       table(spark, dir, "orders")
         .select(col("o_custkey"), col("o_totalprice")),
@@ -123,8 +132,9 @@ object Advanced {
       table(spark, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")),
       "c_custkey", 8, "graft_q214_customer", s"$wh/customer")
-    spark.table(o)
-      .join(spark.table(c), col("o_custkey") === col("c_custkey"))
+    spark.table(o).hint("merge")
+      .join(spark.table(c).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))

@@ -29,11 +29,12 @@ object PipelineOps15 {
     * never the whole table. The oracle runs the PLAIN join over the
     * original parquet — identical output certifies the partitioned
     * layout + DPP as a pure physical choice, exactly the q47/q214
-    * contract.
+    * contract. The serving copy lands at a stable per-process scratch
+    * path + overwrite (the ADVICE-r3 rule — a fresh createTempDirectory
+    * per invocation leaks one /tmp copy of customer per run).
     */
   def q215(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-q215-dpp").toString
+    val base = SourceSink.scratchDir("q215_dpp")
     table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
       .write.partitionBy("c_nationkey").mode("overwrite").parquet(base)
@@ -159,37 +160,42 @@ object PipelineOps15 {
     * eigensolver itself. Sign is canonicalized by making the
     * largest-|component| dimension positive (tie → lowest dim).
     *
-    * Scale shape: the pair-product pass builds each row's 64×64 outer
-    * product INSIDE codegen (nested transform + flatten — no self-join,
-    * no per-row shuffle) and partial-aggregates map-side into ≤4096
-    * groups; per-dim sums land on the 64-row dim domain. At 100 TB the
-    * only corpus-scale cost is that one scan.
+    * Scale shape: ONE corpus pass — each row emits its 64×64 outer
+    * product, its 64 per-dim entries (cell j = −1) and one row-count
+    * marker (cell (−1,−1)) from a single explode INSIDE codegen (no
+    * self-join, no per-row shuffle), and a single hash aggregate
+    * partial-combines map-side into ≤4161 groups. One bounded collect
+    * (the KMeans-codebook class) then carries the matrix, the dim sums
+    * AND n, so n is count(*) over ALL rows — including NULL/ragged
+    * embeddings, which contribute only their marker — exactly the
+    * oracle's `nn` CTE, never "whichever cell came back first".
     */
   def q219(spark: SparkSession, dir: String): DataFrame = {
     val q = table(spark, dir, "embeddings")
-      .select(expr(
-        "transform(embedding, e -> cast(floor(cast(e as double) * 128) as bigint))")
-        .as("q"))
-    val outer = q.select(explode(expr(
-      "flatten(transform(q, (x, i) -> transform(q, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"))
-      .as("e"))
+      .select(coalesce(
+        expr("transform(embedding, e -> cast(floor(cast(e as double) * 128) as bigint))"),
+        expr("array()").cast("array<bigint>")).as("q"))
+    val cells = q.select(explode(concat(
+        expr("flatten(transform(q, (x, i) -> transform(q, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"),
+        expr("transform(q, (x, i) -> struct(i AS i, -1 AS j, x AS p))"),
+        expr("array(struct(-1 AS i, -1 AS j, cast(1 AS bigint) AS p))")))
+        .as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("sij"), count(lit(1)).as("cnt"))
-    val dimSums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy(col("i")).agg(sum(col("qi")).as("s"))
+      .agg(sum(col("e.p")).as("v"))
 
-    // bounded collects: 4096 matrix entries + 64 dim sums (the KMeans-
-    // codebook class); n comes with the matrix (cnt of any cell)
-    val gRows = outer.collect()
-    val sRows = dimSums.collect()
-    val dims = sRows.length
-    val n = if (gRows.isEmpty) 0L else gRows(0).getAs[Long]("cnt")
+    // one bounded collect: 4096 matrix cells + 64 dim sums + 1 marker
+    val rows = cells.collect()
+    val n = rows.find(r => r.getAs[Int]("i") == -1)
+      .map(_.getAs[Long]("v")).getOrElse(0L)
+    val sCells = rows.filter(r =>
+      r.getAs[Int]("i") >= 0 && r.getAs[Int]("j") == -1)
+    val dims = sCells.length
     val s = Array.ofDim[Long](dims)
-    sRows.foreach(r => s(r.getAs[Int]("i")) = r.getAs[Long]("s"))
+    sCells.foreach(r => s(r.getAs[Int]("i")) = r.getAs[Long]("v"))
     val c = Array.ofDim[Long](dims, dims)
-    gRows.foreach { r =>
+    rows.foreach { r =>
       val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-      c(i)(j) = n * r.getAs[Long]("sij") - s(i) * s(j)
+      if (i >= 0 && j >= 0) c(i)(j) = n * r.getAs[Long]("v") - s(i) * s(j)
     }
     val maxAbs = c.flatten.map(math.abs).foldLeft(0L)(math.max)
     val shift = math.max(0, java.lang.Long.toBinaryString(maxAbs).length - 20)
@@ -202,8 +208,13 @@ object PipelineOps15 {
       val m = w.map(math.abs).foldLeft(0L)(math.max)
       v = if (m == 0L) w else w.map(x => x * PcaVScale / m)
     }
-    val top = (0 until dims).minBy(d => (-math.abs(v(d)), d))
-    val signed = if (v(top) < 0L) v.map(-_) else v
+    // empty corpus → empty frame (the oracle's LIMIT-1 pick vanishes too)
+    val signed =
+      if (dims == 0) Array.empty[Long]
+      else {
+        val top = (0 until dims).minBy(d => (-math.abs(v(d)), d))
+        if (v(top) < 0L) v.map(-_) else v
+      }
 
     import spark.implicits._
     signed.zipWithIndex.map { case (comp, d) => (d.toLong, comp) }.toSeq

@@ -169,7 +169,7 @@ object SourceSink {
     * the same directory across invocations; runs are single-process, so
     * no concurrency hazard.
     */
-  private def scratchDir(name: String): String = {
+  private[queries] def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch", name)
     Files.createDirectories(p.getParent)

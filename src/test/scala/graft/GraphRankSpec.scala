@@ -84,7 +84,8 @@ class GraphRankSpec extends AnyFunSuite {
       .sortBy { case (a, b, cn, _) => (-cn, a, b) }
       .take(GraphRank.LinkPredTop)
 
-    // read columns by name — the join order puts src_b first positionally
+    // read columns by name — robust to any reordering of q216's final select
+    // (whose explicit column order is what the oracle hash gate pins)
     val got = GraphRank.q216(spark, sfDir).collect().toSeq
       .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
         r.getAs[Long]("common_neighbors"), r.getAs[Long]("pref_attach")))

@@ -49,4 +49,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("q214's own plan is a SortMergeJoin with no exchange on either join key") {
+    // Run under DEFAULT broadcast threshold in a fresh session state:
+    // the MERGE hint (not this suite's -1 conf) must be what keeps the
+    // join on the bucket-local sort-merge path.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val q = graft.queries.Advanced.q214(spark, sfDir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"q214 must exercise the bucket layout via SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+        !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"q214's bucketed join must not shuffle either side:\n$plan")
+      assert(q.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
 }
