@@ -1175,7 +1175,94 @@ object Dedup {
        |FROM a GROUP BY group_split ORDER BY group_split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q221
+
+  /** q221: language-MODULARITY of the near-dup candidate graph (Newman
+    * 2004) — does near-duplication concentrate WITHIN languages, or do
+    * candidate pairs cross them? Cross-language near-dup mass is the
+    * translation/mirror signal a multilingual curation pipeline has to
+    * decide about explicitly (dedup across translations or keep them),
+    * so the partition-quality score of the lang grouping is a standing
+    * corpus-health number next to q169's source heat map.
+    *
+    * Newman's Q = Σ_c (e_c/m − (d_c/2m)²) over the [[candidatePairs]]
+    * graph with communities = languages. Reported EXACTLY as integers
+    * scaled by 4m²: q_contrib_scaled = 4·m·e_c − d_c², where e_c =
+    * candidate pairs with both endpoints in lang c, d_c = sum of
+    * degrees of lang-c endpoints, m = total candidate pairs. Exact
+    * while 4·m·e_c < 2^63, i.e. m < 2^30.5 pairs (~1.5 B — beyond that
+    * a deployment reports the permille quotient instead; the ADVICE-r9
+    * document-the-actual-bound rule).
+    *
+    * Scale shape: the pair frame is the memoized banded-LSH candidate
+    * set (never all-pairs, hot-bucket capped); two lang lookups join on
+    * doc_id (shuffle equi-joins on the corpus key — the lang map is
+    * corpus-sized, so broadcasting is not the 100 TB plan); everything
+    * lands on the language domain. The oracle re-derives the identical
+    * pair set via the shared q21 CTE chain.
+    */
+  def q221(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val langs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val withLangs = pairs
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")),
+        "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")),
+        "doc_b")
+    val m = withLangs.count()
+    val ends = withLangs
+      .select(col("doc_a").as("doc_id"), col("lang_a").as("lang"))
+      .unionAll(withLangs
+        .select(col("doc_b").as("doc_id"), col("lang_b").as("lang")))
+    val deg = ends.groupBy(col("lang")).agg(
+      countDistinct(col("doc_id")).as("n_nodes"),
+      count(lit(1)).as("endpoint_degree"))
+    val intra = withLangs.filter(col("lang_a") === col("lang_b"))
+      .groupBy(col("lang_a").as("lang"))
+      .agg(count(lit(1)).as("intra_pairs"))
+    deg.join(intra, Seq("lang"), "left")
+      .select(col("lang"), col("n_nodes"),
+        coalesce(col("intra_pairs"), lit(0L)).as("intra_pairs"),
+        col("endpoint_degree"),
+        (lit(4L) * lit(m) * coalesce(col("intra_pairs"), lit(0L)) -
+          col("endpoint_degree") * col("endpoint_degree"))
+          .as("q_contrib_scaled"))
+      .orderBy(col("lang"))
+  }
+
+  val q221Oracle: String =
+    s"""WITH ${q21CandCte},
+       |cl AS (
+       |  SELECT c.doc_a, c.doc_b, da.lang AS lang_a, db.lang AS lang_b
+       |  FROM cand c
+       |  JOIN documents da ON da.doc_id = c.doc_a
+       |  JOIN documents db ON db.doc_id = c.doc_b),
+       |m AS (SELECT count(*) AS m FROM cl),
+       |ends AS (
+       |  SELECT doc_a AS doc_id, lang_a AS lang FROM cl
+       |  UNION ALL
+       |  SELECT doc_b, lang_b FROM cl),
+       |deg AS (
+       |  SELECT lang, count(DISTINCT doc_id) AS n_nodes,
+       |         count(*) AS endpoint_degree
+       |  FROM ends GROUP BY lang),
+       |intra AS (
+       |  SELECT lang_a AS lang, count(*) AS intra_pairs
+       |  FROM cl WHERE lang_a = lang_b GROUP BY lang_a)
+       |SELECT d.lang,
+       |       CAST(n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(coalesce(intra_pairs, 0) AS BIGINT) AS intra_pairs,
+       |       CAST(endpoint_degree AS BIGINT) AS endpoint_degree,
+       |       CAST(4 * (SELECT m FROM m) * coalesce(intra_pairs, 0)
+       |            - endpoint_degree * endpoint_degree AS BIGINT)
+       |         AS q_contrib_scaled
+       |FROM deg d LEFT JOIN intra i ON i.lang = d.lang
+       |ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_lang_modularity" -> (q221 _),
     "q212_group_split" -> (q212 _),
     "q201_kcore" -> (q201 _),
     "q189_assortativity" -> (q189 _),
@@ -1192,6 +1279,7 @@ object Dedup {
     "q160_triangle_census" -> (q160 _))
 
   val oracles: Map[String, String] = Map(
+    "q221_lang_modularity" -> q221Oracle,
     "q212_group_split" -> q212Oracle,
     "q201_kcore" -> q201Oracle,
     "q189_assortativity" -> q189Oracle,

@@ -245,6 +245,27 @@ object TokenizerOps {
     * must become a literal in the next round's fold expression.
     */
   def q218(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedMerges(spark, dir)
+      .toDF("step", "left_sym", "right_sym", "pair_freq")
+      .orderBy(col("step"))
+  }
+
+  /** Memoized learned merge table per (session, dir) — q218 reports it,
+    * q220 APPLIES it corpus-wide; the training loop is identical, so
+    * the PQ-codebook/CC-labels memo discipline applies.
+    */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, Long)]]
+
+  private[queries] def trainedMerges(
+      spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    mergeCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$dir",
+      trainMerges(spark, dir))
+
+  private def trainMerges(
+      spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     val vocab = table(spark, dir, "documents")
       .select(explode(expr(
         "filter(split(lower(text), '[^a-z]+'), w -> length(w) >= 2)"))
@@ -288,14 +309,16 @@ object TokenizerOps {
         step += 1
       }
     }
-    import spark.implicits._
-    merges.result().toDF("step", "left_sym", "right_sym", "pair_freq")
-      .select(col("step"), col("left_sym"), col("right_sym"),
-        col("pair_freq"))
-      .orderBy(col("step"))
+    merges.result()
   }
 
-  val q218Oracle: String = {
+  /** Shared DuckDB CTE chain for the BPE trainer — `wf` (top-W word
+    * counts), `w0` (char-symbol strings), then per round `p$k` (pair
+    * counts), `b$k` (the winning merge) and `w$k` (the merged vocab).
+    * q218 reports the `b$k` union; q220 CROSS JOINs each `b$k` into its
+    * corpus-dictionary encode chain.
+    */
+  private lazy val bpeTrainCtes: String = {
     val rounds = (1 to BpeMergeRounds).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS w
@@ -312,10 +335,7 @@ object TokenizerOps {
          |         t.freq
          |  FROM w${k - 1} t CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeMergeRounds).map { k =>
-      s"SELECT $k AS step, l AS left_sym, r AS right_sym, w AS pair_freq FROM b$k"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH wf AS MATERIALIZED (
+    s"""wf AS MATERIALIZED (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
        |                              w -> length(w) >= 2)) AS word
@@ -325,19 +345,137 @@ object TokenizerOps {
        |  SELECT rtrim(regexp_replace(word, '(.)', '\\1·', 'g'), '·') AS sym,
        |         freq
        |  FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val q218Oracle: String = {
+    val union = (1 to BpeMergeRounds).map { k =>
+      s"SELECT $k AS step, l AS left_sym, r AS right_sym, w AS pair_freq FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
        |SELECT CAST(step AS INT) AS step, left_sym, right_sym, pair_freq
        |FROM ($union)
        |ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q220
+
+  /** q220: BPE tokenizer APPLY — q218's learned merge table actually
+    * USED corpus-wide, closing the train→apply loop (the tokenizer
+    * artifact is only real if encoding with it is). Per language:
+    * word/token/char volumes under the trained tokenizer, the distinct
+    * token-type count, and tokens-per-1000-chars (the compression the
+    * tokenizer achieves — the number a pretraining-budget estimate
+    * needs from every corpus slice).
+    *
+    * Scale shape: encoding runs on the corpus DICTIONARY, not the
+    * corpus — one scan + one (lang, word) count, then the
+    * [[BpeMergeRounds]] merge folds apply to each DISTINCT word once
+    * (localCheckpoint per round keeps the 3-reference fold from
+    * re-expanding through projection collapse, the q218 discipline) and
+    * every aggregate is frequency-weighted. At 100 TB the dictionary is
+    * millions of rows where the corpus is billions — exactly how a
+    * production tokenizer encodes (hash the word, look up its cached
+    * encoding). Merges come from the memoized trainer
+    * ([[trainedMerges]]); each round's (l, r) is a literal in a
+    * codegen'd fold, the same greedy non-overlapping left-to-right
+    * apply both engines pinned under q218's gate. If the trainer
+    * exhausts early (< [[BpeMergeRounds]] merges — impossible on the
+    * gate corpora, guarded anyway), Spark applies only the learned
+    * merges and the oracle's LEFT JOIN keeps `sym` unchanged through
+    * the empty rounds.
+    */
+  def q220(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(spark, dir)
+    val wf = table(spark, dir, "documents")
+      .select(col("lang"), explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), w -> length(w) >= 2)"))
+        .as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+    var enc = wf
+      .select(col("lang"), col("word"), col("freq"),
+        expr(charSyms("word")).as("sym"))
+      .localCheckpoint(true)
+    merges.foreach { case (_, l, r, _) =>
+      enc = enc.select(col("lang"), col("word"), col("freq"), expr(
+        s"""aggregate(
+           |  slice(split(sym, '·'), 2, size(split(sym, '·')) - 1),
+           |  element_at(split(sym, '·'), 1),
+           |  (acc, x) -> CASE WHEN (acc = '$l' OR acc LIKE '%·$l')
+           |                    AND x = '$r'
+           |              THEN acc || '$r' ELSE acc || '·' || x END)"""
+          .stripMargin).as("sym"))
+        .localCheckpoint(true)
+    }
+    val toks = enc.withColumn("ntok",
+      size(split(col("sym"), "·")).cast("long"))
+    val perLang = toks.groupBy(col("lang")).agg(
+      sum(col("freq")).as("n_words"),
+      sum(col("freq") * col("ntok")).as("n_tokens"),
+      sum(col("freq") * length(col("word")).cast("long")).as("n_chars"))
+    val types = toks
+      .select(col("lang"), explode(split(col("sym"), "·")).as("tok"))
+      .distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_token_types"))
+    perLang.join(types, "lang")
+      .withColumn("tokens_per_mille", expr("(1000 * n_tokens) DIV n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        col("n_token_types"), col("tokens_per_mille"))
+      .orderBy(col("lang"))
+  }
+
+  val q220Oracle: String = {
+    val encodes = (1 to BpeMergeRounds).map { k =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT lang, word, freq,
+         |         CASE WHEN b.l IS NULL THEN t.sym
+         |              ELSE list_reduce(string_split(t.sym, '·'),
+         |    (acc, x) -> CASE WHEN (acc = b.l OR acc LIKE '%·' || b.l)
+         |                      AND x = b.r
+         |                THEN acc || b.r ELSE acc || '·' || x END) END AS sym
+         |  FROM e${k - 1} t LEFT JOIN b$k b ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |wfl AS MATERIALIZED (
+       |  SELECT lang, word, count(*) AS freq FROM (
+       |    SELECT lang,
+       |           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                              w -> length(w) >= 2)) AS word
+       |    FROM documents)
+       |  GROUP BY lang, word),
+       |e0 AS MATERIALIZED (
+       |  SELECT lang, word, freq,
+       |         rtrim(regexp_replace(word, '(.)', '\\1·', 'g'), '·') AS sym
+       |  FROM wfl),
+       |$encodes,
+       |perlang AS (
+       |  SELECT lang,
+       |         CAST(sum(freq) AS BIGINT) AS n_words,
+       |         CAST(sum(freq * len(string_split(sym, '·'))) AS BIGINT)
+       |           AS n_tokens,
+       |         CAST(sum(freq * length(word)) AS BIGINT) AS n_chars
+       |  FROM e$BpeMergeRounds GROUP BY lang),
+       |types AS (
+       |  SELECT lang, count(*) AS n_token_types FROM (
+       |    SELECT DISTINCT lang, unnest(string_split(sym, '·')) AS tok
+       |    FROM e$BpeMergeRounds) t
+       |  GROUP BY lang)
+       |SELECT p.lang, n_words, n_tokens, n_chars,
+       |       CAST(n_token_types AS BIGINT) AS n_token_types,
+       |       CAST((1000 * n_tokens) // n_chars AS BIGINT) AS tokens_per_mille
+       |FROM perlang p JOIN types USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_bpe_pairs" -> (q124 _),
     "q129_vocab_growth" -> (q129 _),
-    "q218_bpe_train" -> (q218 _))
+    "q218_bpe_train" -> (q218 _),
+    "q220_bpe_encode" -> (q220 _))
 
   val oracles: Map[String, String] = Map(
     "q124_bpe_pairs" -> q124Oracle,
     "q129_vocab_growth" -> q129Oracle,
-    "q218_bpe_train" -> q218Oracle)
+    "q218_bpe_train" -> q218Oracle,
+    "q220_bpe_encode" -> q220Oracle)
 }

@@ -149,4 +149,53 @@ class TokenizerOpsSpec extends AnyFunSuite {
       l.length > 1 || r.length > 1 },
       s"no multi-char symbol in any learned merge: $learned")
   }
+
+  test("q220 matches a first-principles dictionary encode with the learned merges") {
+    import spark.implicits._
+
+    def applyMerge(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r =>
+          (l + r) :: applyMerge(rest, l, r)
+        case a :: rest => a :: applyMerge(rest, l, r)
+        case Nil => Nil
+      }
+
+    val merges = TokenizerOps.q218(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList) {
+        case (s, (l, r)) => applyMerge(s, l, r)
+      }
+
+    val wfl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"lang", $"text").as[(String, String)].collect()
+      .flatMap { case (lang, t) =>
+        t.toLowerCase.split("[^a-z]+").filter(_.length >= 2)
+          .map(w => (lang, w))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+
+    val expected = wfl.groupBy(_._1._1).map { case (lang, entries) =>
+      val encs = entries.map { case ((_, w), f) => (w, f, encode(w)) }
+      lang -> ((
+        entries.map(_._2).sum,
+        encs.map { case (_, f, e) => f * e.length }.sum,
+        encs.map { case (w, f, _) => f * w.length }.sum,
+        encs.flatMap(_._3).toSet.size.toLong))
+    }
+
+    val got = TokenizerOps.q220(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      val (nw, nt, nc, types) = expected(r.getString(0))
+      assert(r.getLong(1) == nw, s"n_words(${r.getString(0)})")
+      assert(r.getLong(2) == nt, s"n_tokens(${r.getString(0)})")
+      assert(r.getLong(3) == nc, s"n_chars(${r.getString(0)})")
+      assert(r.getLong(4) == types, s"n_token_types(${r.getString(0)})")
+      assert(r.getLong(5) == 1000L * nt / nc, s"tokens_per_mille")
+      // the learned tokenizer must actually compress the dictionary
+      assert(nt < nc, s"no compression for ${r.getString(0)}")
+    }
+  }
 }
