@@ -57,6 +57,50 @@ object PipelineOps15 {
       |WHERE n_regionkey = 1
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+
+  /** q222: the RANGE-PARTITIONED serving layout under the gate — the
+    * fifth and last member of the physical-layout family (q47 salting,
+    * q90 z-order, q214 bucketing, q215 dynamic partition pruning):
+    * lineitem is rewritten `repartitionByRange(l_shipdate) +
+    * sortWithinPartitions` ([[graft.ops.ScaleOps.writeRangePartitioned]]),
+    * so every output file covers a DISJOINT date range and is internally
+    * sorted — parquet row-group min/max stats line up with range
+    * predicates and a date filter touches only the files whose range
+    * intersects (ScaleProofSpec proves disjointness + pushdown on the
+    * layout itself). The query then runs a one-year monthly rollup over
+    * the rewritten layout; the oracle runs it over the ORIGINAL parquet
+    * — identical output certifies the layout as a pure physical choice,
+    * the q47/q214/q215 contract. At 100 TB a time-range scan over this
+    * layout reads ~1/84 of the files instead of all of them. Scratch
+    * path is per-process stable + overwrite (ADVICE-r3 rule).
+    */
+  def q222(spark: SparkSession, dir: String): DataFrame = {
+    val base = SourceSink.scratchDir("q222_range")
+    graft.ops.ScaleOps.writeRangePartitioned(
+      table(spark, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice")),
+      "l_shipdate", 16, base)
+    spark.read.parquet(base)
+      .filter(col("l_shipdate").between("1994-01-01", "1994-12-31"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("ym"))
+  }
+
+  val q222Oracle: String =
+    """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+      |       count(*) AS n_items,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+      |GROUP BY 1 ORDER BY ym""".stripMargin
+
   // ---------------------------------------------------------------- q217
 
   /** q217: FORCAST readability per language — the readability formula
@@ -270,10 +314,12 @@ object PipelineOps15 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_dynamic_pruning" -> (q215 _),
     "q217_readability" -> (q217 _),
-    "q219_pca_power" -> (q219 _))
+    "q219_pca_power" -> (q219 _),
+    "q222_range_layout" -> (q222 _))
 
   val oracles: Map[String, String] = Map(
     "q215_dynamic_pruning" -> q215Oracle,
     "q217_readability" -> q217Oracle,
-    "q219_pca_power" -> q219Oracle)
+    "q219_pca_power" -> q219Oracle,
+    "q222_range_layout" -> q222Oracle)
 }
