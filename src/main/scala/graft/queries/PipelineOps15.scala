@@ -311,15 +311,97 @@ object PipelineOps15 {
        |ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q223
+
+  /** q223: integer-exact BIGRAM surprisal per language — the
+    * conditional-perplexity quality signal (the CCNet recipe scores
+    * docs with an n-gram LM; q167 is the unigram degenerate case, this
+    * adds the Markov conditioning that separates "rare words" from
+    * "rare SEQUENCES of common words" — scrambled/boilerplate text has
+    * ordinary unigrams but surprising bigrams). A bigram instance's
+    * surprisal is floor(log2 c(prev)) − floor(log2 c(prev,cur)) ≥ 0
+    * via the bit-length identity (`length(bin(x)) − 1`, the q167/q219
+    * trick), where both counts come from the corpus itself
+    * (train = score, q167's self-scoring contract) — so every score is
+    * a BIGINT no FP rounding can fork, and the hash gate certifies the
+    * LM scoring itself.
+    *
+    * Scale shape: bigram instances are built INSIDE codegen (per-doc
+    * array transform — no self-join, no positional shuffle); the
+    * bigram count table rides one shuffle of the pair key; context
+    * counts reduce from the bigram table (never a second corpus pass);
+    * both join back under AQE. Per-doc and per-lang folds are keyed
+    * aggregates landing on the language domain.
+    */
+  def q223(spark: SparkSession, dir: String): DataFrame = {
+    val bigr = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(slice(toks, 2, size(toks) - 1)," +
+          " (x, i) -> struct(element_at(toks, i + 1) AS prev, x AS cur))"))
+        .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bc = bigr.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("bcnt"))
+    val ctx = bc.groupBy(col("prev")).agg(sum(col("bcnt")).as("ccnt"))
+    val perDoc = bigr
+      .join(bc, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .select(col("doc_id"), col("lang"),
+        (length(expr("bin(ccnt)")) - length(expr("bin(bcnt)")))
+          .cast("long").as("surp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nb"), sum(col("surp")).as("ss"))
+      .withColumn("doc_permille", expr("(1000 * ss) DIV nb"))
+    perDoc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bigrams"),
+        expr("(1000 * sum(ss)) DIV sum(nb)").as("corpus_surp_permille"),
+        max(col("doc_permille")).as("max_doc_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q223Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |bigr AS (
+      |  SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS cur
+      |  FROM d, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |bc AS (
+      |  SELECT prev, cur, count(*) AS bcnt FROM bigr GROUP BY prev, cur),
+      |ctx AS (
+      |  SELECT prev, CAST(sum(bcnt) AS BIGINT) AS ccnt FROM bc GROUP BY prev),
+      |perdoc AS (
+      |  SELECT doc_id, lang, count(*) AS nb,
+      |         CAST(sum(length(bin(ccnt)) - length(bin(bcnt))) AS BIGINT) AS ss
+      |  FROM bigr JOIN bc USING (prev, cur) JOIN ctx USING (prev)
+      |  GROUP BY doc_id, lang),
+      |scored AS (
+      |  SELECT lang, nb, ss, (1000 * ss) // nb AS doc_permille FROM perdoc)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+      |       CAST((1000 * sum(ss)) // sum(nb) AS BIGINT)
+      |         AS corpus_surp_permille,
+      |       CAST(max(doc_permille) AS BIGINT) AS max_doc_permille
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_dynamic_pruning" -> (q215 _),
     "q217_readability" -> (q217 _),
     "q219_pca_power" -> (q219 _),
-    "q222_range_layout" -> (q222 _))
+    "q222_range_layout" -> (q222 _),
+    "q223_bigram_surprisal" -> (q223 _))
 
   val oracles: Map[String, String] = Map(
     "q215_dynamic_pruning" -> q215Oracle,
     "q217_readability" -> q217Oracle,
     "q219_pca_power" -> q219Oracle,
-    "q222_range_layout" -> q222Oracle)
+    "q222_range_layout" -> q222Oracle,
+    "q223_bigram_surprisal" -> q223Oracle)
 }

@@ -109,4 +109,43 @@ class PipelineOps15Spec extends AnyFunSuite {
     assert(rayleigh(v) >= 0.9 * rayleigh(ref),
       s"rayleigh ${rayleigh(v)} vs reference ${rayleigh(ref)}")
   }
+
+  test("q223 matches a first-principles bigram-LM scorer") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("string"), $"lang", $"text")
+      .as[(String, String, String)].collect()
+      .map { case (id, lang, t) =>
+        (id, lang, t.split(" ").filter(_.nonEmpty).toSeq)
+      }
+    val bigrams = docs.flatMap { case (id, lang, toks) =>
+      toks.zip(toks.drop(1)).map(bg => (id, lang, bg))
+    }
+    val bc = bigrams.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ctx = bc.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val perDoc = bigrams.groupBy(b => (b._1, b._2)).map {
+      case ((_, lang), bs) =>
+        val ss = bs.map { case (_, _, bg) =>
+          (log2(ctx(bg._1)) - log2(bc(bg))).toLong
+        }.sum
+        (lang, bs.length.toLong, ss)
+    }.toSeq
+    val expected = perDoc.groupBy(_._1).map { case (lang, ds) =>
+      lang -> ((ds.size.toLong, ds.map(_._2).sum,
+        1000L * ds.map(_._3).sum / ds.map(_._2).sum,
+        ds.map(d => 1000L * d._3 / d._2).max))
+    }
+
+    val got = PipelineOps15.q223(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      val (nd, nb, corpus, mx) = expected(r.getString(0))
+      assert(r.getLong(1) == nd, s"n_docs(${r.getString(0)})")
+      assert(r.getLong(2) == nb, s"n_bigrams(${r.getString(0)})")
+      assert(r.getLong(3) == corpus, s"corpus_surp_permille(${r.getString(0)})")
+      assert(r.getLong(4) == mx, s"max_doc_permille(${r.getString(0)})")
+    }
+  }
 }
