@@ -466,7 +466,141 @@ object Similarity4 {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q224
+
+  /** q224 probes: a fixed eval panel disjoint from q211's (the
+    * fixed-size-panel rule — never a corpus fraction). */
+  private val MrrProbeLo = 20L
+  private val MrrProbeHi = 29L
+  private val MrrNProbe = 2
+
+  /** q224: MEAN-RECIPROCAL-RANK eval of the trained IVF index — the
+    * second IR metric of the eval family (q103 recall@k, q211 the
+    * recall/nprobe curve): for each panel probe, WHERE does the index
+    * rank the TRUE nearest neighbor? recall@k only answers "inside the
+    * top k or not"; MRR grades the whole ranking, which is what a
+    * retrieval-augmented pipeline actually consumes. Per probe: the
+    * exhaustive rank-1 neighbor (ground truth), its rank in the
+    * nprobe=[[MrrNProbe]] IVF candidate ranking (0 = the truth was in a
+    * pruned cluster — the IVF failure mode recall curves hide), and the
+    * reciprocal rank in EXACT integer permicro (1000000 DIV rank).
+    *
+    * Scale shape: ground truth is a fixed-panel × corpus scan (the
+    * brute-force baseline priced once per eval, q103's contract); the
+    * IVF side touches only the probed clusters; similarity ranks on
+    * floor-quantized cosine with id tie-breaks so both engines agree
+    * bit-for-bit. Codebooks come from the memoized trainer.
+    */
+  def q224(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = Similarity.kmClusters(spark, dir)
+    val cents = Similarity.kmCentroids(spark, dir)
+    val probes = clusters
+      .filter(col("vec_id").between(MrrProbeLo, MrrProbeHi))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Similarity.KmScale}D) AS BIGINT))")
+          .as("pq"))
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val selCents = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pe"), col("cent_id"),
+        expr("aggregate(zip_with(pq, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+          .as("dist"))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= MrrNProbe)
+      .select(col("probe_id"), col("pe"), col("cent_id"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sm").desc, col("neighbor_id"))
+    val ranked = selCents
+      .join(clusters.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("cluster")),
+        col("cent_id") === col("cluster") &&
+          col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        floor(VectorOps.cosineNative(col("pe"), col("ce")) * 1000000d)
+          .cast("long").as("sm"))
+      .withColumn("ivf_rank", row_number().over(wTop).cast("long"))
+    val wGt = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sm").desc, col("neighbor_id"))
+    val gt1 = broadcast(probes.select(col("probe_id"), col("pe")))
+      .crossJoin(table(spark, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        floor(VectorOps.cosineNative(col("pe"), col("ce")) * 1000000d)
+          .cast("long").as("sm"))
+      .withColumn("rnk", row_number().over(wGt))
+      .filter(col("rnk") === 1)
+      .select(col("probe_id"), col("neighbor_id").as("gt_nid"))
+    gt1
+      .join(ranked.select(col("probe_id"),
+        col("neighbor_id").as("gt_nid"), col("ivf_rank")),
+        Seq("probe_id", "gt_nid"), "left")
+      .select(col("probe_id"), col("gt_nid"),
+        coalesce(col("ivf_rank"), lit(0L)).as("ivf_rank"),
+        expr("CASE WHEN ivf_rank IS NULL THEN 0L ELSE 1000000 DIV ivf_rank END")
+          .as("rr_permicro"))
+      .orderBy(col("probe_id"))
+  }
+
+  val q224Oracle: String =
+    s"""WITH ${Similarity.kmAssignCtes},
+       |cdist AS (
+       |  SELECT eq.vec_id AS pid, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+       |  FROM eq JOIN c${Similarity.KmIters} c ON eq.d = c.d
+       |  WHERE eq.vec_id BETWEEN $MrrProbeLo AND $MrrProbeHi
+       |  GROUP BY eq.vec_id, c.cent_id),
+       |crank AS (
+       |  SELECT pid, cent_id,
+       |         row_number() OVER (PARTITION BY pid
+       |                            ORDER BY dist, cent_id) AS rnk
+       |  FROM cdist),
+       |cands AS MATERIALIZED (
+       |  SELECT r.pid, a.vec_id AS nid
+       |  FROM crank r
+       |  JOIN asgF a ON a.cluster = r.cent_id AND a.vec_id <> r.pid
+       |  WHERE r.rnk <= $MrrNProbe),
+       |spairs AS (
+       |  SELECT DISTINCT c.pid, c.nid, ep.embedding AS pe, en.embedding AS ne
+       |  FROM cands c
+       |  JOIN embeddings ep ON ep.vec_id = c.pid
+       |  JOIN embeddings en ON en.vec_id = c.nid),
+       |${Similarity.cosineCtes("spairs", "csims")},
+       |ranked AS (
+       |  SELECT pid, nid,
+       |         row_number() OVER (
+       |           PARTITION BY pid
+       |           ORDER BY CAST(floor(sim * 1000000) AS BIGINT) DESC,
+       |                    nid) AS ivf_rank
+       |  FROM csims),
+       |gpairs AS (
+       |  SELECT p.vec_id AS pid, e.vec_id AS nid,
+       |         p.embedding AS pe, e.embedding AS ne
+       |  FROM embeddings p, embeddings e
+       |  WHERE p.vec_id BETWEEN $MrrProbeLo AND $MrrProbeHi
+       |    AND e.vec_id <> p.vec_id),
+       |${Similarity.cosineCtes("gpairs", "gsims")},
+       |gt1 AS (
+       |  SELECT pid, nid FROM (
+       |    SELECT pid, nid,
+       |           row_number() OVER (
+       |             PARTITION BY pid
+       |             ORDER BY CAST(floor(sim * 1000000) AS BIGINT) DESC,
+       |                      nid) AS rnk
+       |    FROM gsims) t
+       |  WHERE rnk = 1)
+       |SELECT CAST(g.pid AS BIGINT) AS probe_id,
+       |       CAST(g.nid AS BIGINT) AS gt_nid,
+       |       CAST(COALESCE(r.ivf_rank, 0) AS BIGINT) AS ivf_rank,
+       |       CAST(CASE WHEN r.ivf_rank IS NULL THEN 0
+       |                 ELSE 1000000 // r.ivf_rank END AS BIGINT)
+       |         AS rr_permicro
+       |FROM gt1 g LEFT JOIN ranked r ON r.pid = g.pid AND r.nid = g.nid
+       |ORDER BY probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_ivf_mrr" -> (q224 _),
     "q170_semantic_dedup" -> (q170 _),
     "q171_semdedup_curve" -> (q171 _),
     "q192_hard_negatives" -> (q192 _),
@@ -478,5 +612,6 @@ object Similarity4 {
     "q171_semdedup_curve" -> q171Oracle,
     "q192_hard_negatives" -> q192Oracle,
     "q204_mutual_nn" -> q204Oracle,
-    "q211_ivf_nprobe_sweep" -> q211Oracle)
+    "q211_ivf_nprobe_sweep" -> q211Oracle,
+    "q224_ivf_mrr" -> q224Oracle)
 }

@@ -170,6 +170,49 @@ class Similarity4Spec extends AnyFunSuite {
     assert(got.map(_._3) == got.map(_._3).sorted)
   }
 
+  test("q224 equals a first-principles MRR eval over the collected trained index") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val clusters = Similarity.kmClusters(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val cents = Similarity.kmCentroids(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * Similarity.KmScale).toLong)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def micro(x: Double): Long = math.floor(x * 1000000d).toLong
+    val byId = clusters.map(c => c._1 -> c).toMap
+    val expected = (20L to 29L).map(byId).map { case (pid, pe, _) =>
+      val gtNid = clusters.collect { case (id, e, _) if id != pid =>
+        (micro(cos(pe, e)), id)
+      }.sortBy { case (sm, id) => (-sm, id) }.head._2
+      val pq = quant(pe)
+      val probed = cents.toSeq.map { case (cid, cq) =>
+        (pq.zip(cq).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.sortBy { case (d, cid) => (d, cid) }.take(2).map(_._2).toSet
+      val ranked = clusters.collect {
+        case (id, e, cl) if id != pid && probed(cl) => (micro(cos(pe, e)), id)
+      }.sortBy { case (sm, id) => (-sm, id) }.map(_._2)
+      val rank = ranked.indexOf(gtNid) + 1 // 0 → missed
+      (pid, gtNid, rank.toLong, if (rank == 0) 0L else 1000000L / rank)
+    }
+    val got = Similarity4.q224(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected, s"got=$got expected=$expected")
+    // reciprocal rank is the rank's inverse exactly when found
+    got.foreach { case (_, _, rank, rr) =>
+      if (rank > 0) assert(rr == 1000000L / rank) else assert(rr == 0L)
+    }
+  }
+
   test("q204: every reported pair is mutually top-1, margins non-negative, at most min(|A|,|B|) rows") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.table(spark, sfDir, "embeddings")
