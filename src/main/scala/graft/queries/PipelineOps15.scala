@@ -391,17 +391,131 @@ object PipelineOps15 {
       |       CAST(max(doc_permille) AS BIGINT) AS max_doc_permille
       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q225
+
+  /** Budget as a fraction of the corpus: B = (Q225BudgetNum · total)
+    * DIV 10 — scale-adaptive, so skewed sources exercise the
+    * redistribution path at every SF. */
+  val Q225BudgetNum = 6L
+
+  /** q225: WATER-FILLING token-budget allocation across sources — the
+    * data-mixture construction step (the "how many tokens from each
+    * domain" decision behind every pretraining mix; data-constrained
+    * scaling work allocates exactly this way: equal shares capped by
+    * each domain's capacity, surplus redistributed among the uncapped).
+    * The unique maximal uniform level L with Σ min(cᵢ, L) ≤ B has a
+    * CLOSED FORM over the capacity-sorted prefix sums — no iteration:
+    * cut = max rn with pfᵣₙ + (k − rn)·cᵣₙ ≤ B (sources up to the cut
+    * are fully taken), L = (B − pf_cut) DIV (k − cut) for the rest.
+    * All arithmetic is exact int64 (exact while B·1 and pf stay below
+    * 2^63 — token counts, so any real corpus), and both engines walk
+    * the identical sorted frame, so the hash gate certifies the
+    * allocator itself. Sub-level integer remainder (< k − cut tokens)
+    * is deliberately NOT distributed — the level is the contract.
+    *
+    * Scale shape: one corpus scan builds (source, token) counts
+    * map-side; everything else — sort, prefix sum, cut, level — runs
+    * on the SOURCE-sized frame (the single-partition window is over k
+    * rows, not the corpus). Output: per-source capacity, allocation,
+    * capped flag, and the sampling rate permille a downstream reader
+    * would apply.
+    */
+  def q225(spark: SparkSession, dir: String): DataFrame = {
+    val caps = table(spark, dir, "documents")
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), t -> t <> '')"))
+          .cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("c"))
+    waterFill(caps, Q225BudgetNum)
+  }
+
+  /** The allocator itself over an arbitrary `(source, c)` capacity
+    * frame — factored so specs can drive both regimes (capped + cut)
+    * with skewed synthetic capacities; the corpus's balanced sources
+    * exercise only the at-level path.
+    */
+  private[graft] def waterFill(caps: DataFrame, budgetNum: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSort = Window.orderBy(col("c"), col("source"))
+    val sorted = caps
+      .withColumn("rn", row_number().over(wSort).cast("long"))
+      .withColumn("pf", sum(col("c")).over(
+        wSort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = caps.agg(count(lit(1)).as("k"), sum(col("c")).as("total"))
+      .withColumn("b", expr(s"($budgetNum * total) DIV 10"))
+    val cut = sorted.crossJoin(broadcast(tot))
+      .filter(col("pf") + (col("k") - col("rn")) * col("c") <= col("b"))
+      .agg(max(col("rn")).as("cut"))
+    val lvl = broadcast(tot).crossJoin(broadcast(cut))
+      .join(sorted.select(col("rn").as("cut"), col("pf").as("pf_cut")),
+        Seq("cut"), "left")
+      .select(col("k"), col("b"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        coalesce(col("pf_cut"), lit(0L)).as("pf_cut"))
+      .withColumn("lvl",
+        expr("CASE WHEN cut = k THEN NULL" +
+          " ELSE (b - pf_cut) DIV (k - cut) END"))
+    sorted.crossJoin(broadcast(lvl.select(col("lvl"))))
+      .select(col("source"), col("c").as("tokens_available"),
+        expr("CASE WHEN lvl IS NULL THEN c ELSE least(c, lvl) END")
+          .as("tokens_allocated"))
+      .withColumn("is_capped",
+        col("tokens_allocated") === col("tokens_available"))
+      .withColumn("rate_permille",
+        expr("(1000 * tokens_allocated) DIV tokens_available"))
+      .orderBy(col("source"))
+  }
+
+  val q225Oracle: String =
+    s"""WITH caps AS (
+       |  SELECT source, CAST(sum(len(list_filter(
+       |           string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS c
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT count(*) AS k, CAST(sum(c) AS BIGINT) AS total,
+       |         ($Q225BudgetNum * CAST(sum(c) AS BIGINT)) // 10 AS b
+       |  FROM caps),
+       |sorted AS (
+       |  SELECT source, c,
+       |         CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS rn,
+       |         CAST(sum(c) OVER (ORDER BY c, source
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+       |  FROM caps),
+       |cut AS (
+       |  SELECT max(rn) AS cut FROM sorted, tot
+       |  WHERE pf + (k - rn) * c <= b),
+       |lvl AS (
+       |  SELECT CASE WHEN coalesce(cut.cut, 0) = tot.k THEN NULL
+       |              ELSE (tot.b - coalesce(s.pf, 0))
+       |                   // (tot.k - coalesce(cut.cut, 0)) END AS lvl
+       |  FROM tot CROSS JOIN cut
+       |  LEFT JOIN sorted s ON s.rn = cut.cut)
+       |SELECT s.source,
+       |       s.c AS tokens_available,
+       |       CAST(CASE WHEN l.lvl IS NULL THEN s.c
+       |                 ELSE least(s.c, l.lvl) END AS BIGINT)
+       |         AS tokens_allocated,
+       |       (CASE WHEN l.lvl IS NULL THEN s.c
+       |             ELSE least(s.c, l.lvl) END) = s.c AS is_capped,
+       |       CAST((1000 * CASE WHEN l.lvl IS NULL THEN s.c
+       |                         ELSE least(s.c, l.lvl) END) // s.c AS BIGINT)
+       |         AS rate_permille
+       |FROM sorted s CROSS JOIN lvl l
+       |ORDER BY s.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_dynamic_pruning" -> (q215 _),
     "q217_readability" -> (q217 _),
     "q219_pca_power" -> (q219 _),
     "q222_range_layout" -> (q222 _),
-    "q223_bigram_surprisal" -> (q223 _))
+    "q223_bigram_surprisal" -> (q223 _),
+    "q225_token_budget" -> (q225 _))
 
   val oracles: Map[String, String] = Map(
     "q215_dynamic_pruning" -> q215Oracle,
     "q217_readability" -> q217Oracle,
     "q219_pca_power" -> q219Oracle,
     "q222_range_layout" -> q222Oracle,
-    "q223_bigram_surprisal" -> q223Oracle)
+    "q223_bigram_surprisal" -> q223Oracle,
+    "q225_token_budget" -> q225Oracle)
 }

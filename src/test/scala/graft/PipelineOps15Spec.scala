@@ -110,6 +110,65 @@ class PipelineOps15Spec extends AnyFunSuite {
       s"rayleigh ${rayleigh(v)} vs reference ${rayleigh(ref)}")
   }
 
+  test("q225 matches a first-principles water-filling allocator") {
+    import spark.implicits._
+    val caps = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (s, t) =>
+        (s, t.split(" ").count(_.nonEmpty).toLong)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = caps.values.sum
+    val b = PipelineOps15.Q225BudgetNum * total / 10
+    // reference water level: largest L with sum(min(c, L)) <= b, found
+    // by scanning L from 0 (the domain is small at sf0.001)
+    def used(l: Long): Long = caps.values.map(math.min(_, l)).sum
+    val allCapped = total <= b
+    val lvl = if (allCapped) -1L
+      else (0L to caps.values.max).takeWhile(used(_) <= b).last
+    val expected = caps.map { case (s, c) =>
+      val alloc = if (allCapped) c else math.min(c, lvl)
+      s -> ((c, alloc, alloc == c, 1000L * alloc / c))
+    }
+
+    val got = PipelineOps15.q225(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      val (c, alloc, capped, rate) = expected(r.getString(0))
+      assert(r.getLong(1) == c, s"tokens_available(${r.getString(0)})")
+      assert(r.getLong(2) == alloc, s"tokens_allocated(${r.getString(0)})")
+      assert(r.getBoolean(3) == capped, s"is_capped(${r.getString(0)})")
+      assert(r.getLong(4) == rate, s"rate_permille(${r.getString(0)})")
+    }
+    // allocator contract: within budget, and the level is MAXIMAL
+    val allocTotal = got.map(_.getLong(2)).sum
+    assert(allocTotal <= b, s"allocated $allocTotal > budget $b")
+    if (!allCapped) assert(used(lvl + 1) > b, "level not maximal")
+    // balanced corpus sources exercise only the at-level regime here;
+    // the skewed-fixture test below covers capped + cut together
+  }
+
+  test("q225 waterFill: skewed fixture exercises capped AND cut regimes") {
+    import spark.implicits._
+    // capacities 10/20/1000, budget 60% of 1030 = 618:
+    // cut = 2 (10 and 20 fully taken), level = (618-30)/1 = 588
+    val caps = Seq(("small", 10L), ("mid", 20L), ("huge", 1000L))
+      .toDF("source", "c")
+    val got = graft.queries.PipelineOps15.waterFill(caps, 6L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(got("small") == ((10L, 10L, true, 1000L)))
+    assert(got("mid") == ((20L, 20L, true, 1000L)))
+    assert(got("huge") == ((1000L, 588L, false, 588L)))
+    // maximality: raising the level by 1 would break the budget
+    assert(10 + 20 + 589 > 618)
+    // all-capped regime: budget covers everything
+    val full = graft.queries.PipelineOps15.waterFill(caps, 10L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(full.forall(_._2) && full.map(_._1).sum == 1030L)
+  }
+
   test("q223 matches a first-principles bigram-LM scorer") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
