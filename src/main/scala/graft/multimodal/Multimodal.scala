@@ -118,6 +118,20 @@ object Multimodal {
     }
   }
 
+  /** As [[syntheticImages]] at an explicit size — q226's DCT hash needs
+    * at least the 32×32 downscale grid, which the 16×12 panel can't
+    * feed. */
+  def syntheticImagesSized(
+      spark: SparkSession, n: Int, w: Int, h: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      MediaAsset(
+        asset_id = id,
+        meta = MediaMeta("image/png", w, h, 0L),
+        payload = renderPng(id, w, h))
+    }
+  }
+
   /** Seeded 16×12 RGB gradient PNG — pure function of the id. */
   private[graft] def renderPng(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
@@ -346,6 +360,117 @@ object Multimodal {
         Right(hash)
       }
     }
+
+  /** Fixed-point DCT-II cosine table at scale 2^14. Built with
+    * StrictMath (fdlibm semantics, bit-identical on every JVM — the
+    * reason this table can feed a cross-run-stable hash where
+    * Math.cos's platform-intrinsic freedom could not).
+    */
+  private val DctScale = 1L << 14
+  private lazy val dctCos: Array[Array[Long]] =
+    Array.tabulate(32, 32)((u, x) =>
+      Math.round(
+        StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0) * DctScale))
+
+  /** 64-bit DCT perceptual hash (pHash proper — Zauner 2010 §3.2): the
+    * robust member of the q213 family. aHash thresholds block means, so
+    * global brightness/contrast shifts flip many bits at once; the DCT
+    * hash thresholds the 63 lowest-frequency AC coefficients against
+    * their lower median, which is invariant to any monotone global
+    * luminance change that preserves coefficient ORDER. Pipeline:
+    * integer 32×32 block-mean luma grid (BT.601 millis, the q213
+    * discipline), exact 2D DCT-II as two int64 matrix multiplies
+    * against the fixed-point [[dctCos]] table (|coef| bounded by
+    * 255000·2^14·32² < 2^57 — no overflow), top-left 8×8 block, bit i
+    * set iff coefficient i exceeds the lower median of the 63 AC
+    * values (DC bit 0 always clear). All-integer end to end: the hash
+    * is bit-identical on every JVM and rerun.
+    */
+  def dctHash64(payload: Array[Byte]): Either[String, Long] =
+    readBounded(payload).flatMap { img =>
+      val bw = img.getWidth / 32
+      val bh = img.getHeight / 32
+      if (bw == 0 || bh == 0)
+        Left(s"too small for the 32x32 grid: ${img.getWidth}x${img.getHeight}")
+      else {
+        val g = Array.ofDim[Long](32, 32) // g(x)(y): column x, row y
+        var gy = 0
+        while (gy < 32) {
+          var gx = 0
+          while (gx < 32) {
+            var sum = 0L
+            var y = gy * bh
+            while (y < (gy + 1) * bh) {
+              var x = gx * bw
+              while (x < (gx + 1) * bw) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val gc = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sum += 299L * r + 587L * gc + 114L * b
+                x += 1
+              }
+              y += 1
+            }
+            g(gx)(gy) = sum / (bw.toLong * bh)
+            gx += 1
+          }
+          gy += 1
+        }
+        // T[u][y] = Σ_x C[u][x]·g[x][y]; F[u][v] = Σ_y T[u][y]·C[v][y]
+        val t = Array.ofDim[Long](8, 32)
+        var u = 0
+        while (u < 8) {
+          var y = 0
+          while (y < 32) {
+            var s = 0L
+            var x = 0
+            while (x < 32) { s += dctCos(u)(x) * g(x)(y); x += 1 }
+            t(u)(y) = s
+            y += 1
+          }
+          u += 1
+        }
+        val f = Array.ofDim[Long](8, 8)
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0L
+            var y = 0
+            while (y < 32) { s += t(u)(y) * dctCos(v)(y); y += 1 }
+            f(u)(v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val ac = (1 until 64).map(i => f(i / 8)(i % 8)).sorted
+        val med = ac(31) // lower median of the 63 AC coefficients
+        var hash = 0L
+        var i = 1
+        while (i < 64) {
+          if (f(i / 8)(i % 8) > med) hash |= (1L << i)
+          i += 1
+        }
+        Right(hash)
+      }
+    }
+
+  /** Batch DCT hashing: one `mapPartitions` pass (the codec rule). */
+  def extractDctHashes(
+      assets: Dataset[MediaAsset], parallelism: Int): Dataset[PhashRow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(parallelism, col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          dctHash64(a.payload) match {
+            case Right(h) => PhashRow(a.asset_id, h, null)
+            case Left(err) => PhashRow(a.asset_id, 0L, err)
+          }
+        }
+      }
+  }
 
   /** Near-duplicate variant of an image: the lowest blue bit of pixel
     * (0,0) flipped and the result re-encoded — visually identical, a

@@ -149,13 +149,64 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  // ---------------------------------------------------------------- q226
+
+  /** Hamming radius for q226's DCT near-dup verdict. */
+  val DctMaxHamming = 6
+
+  /** q226: DCT perceptual dedup — pHash PROPER
+    * ([[graft.multimodal.Multimodal.dctHash64]]), the robust member of
+    * the q213 family: aHash thresholds block means, so a global
+    * brightness shift flips many bits at once, while the DCT hash
+    * thresholds low-frequency coefficients against their own median —
+    * invariant to any order-preserving global luminance change. Corpus:
+    * 48 seeded 64×64 PNGs (the DCT needs the 32×32 grid the 16×12
+    * panel can't feed) plus 12 single-pixel-perturbed near-duplicates.
+    * Same output contract as q213 (hash, near count within Hamming ≤
+    * [[DctMaxHamming]], failure flag); declared oracle-free by the
+    * codec policy, model-exact + robustness pinned in MultimodalSpec.
+    *
+    * Scale shape: identical to q213 — hashing is one executor-side
+    * `mapPartitions` pass, the panel pair join is a broadcast, and at
+    * corpus scale the 64-bit hash bands into prefix buckets like
+    * SimHash q42. The DCT itself is two 8×32 · 32×32 integer matrix
+    * multiplies per image — constant work per asset, all in int64.
+    */
+  def q226(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Dataset
+    val base = graft.multimodal.Multimodal
+      .syntheticImagesSized(spark, 48, 64, 64)
+    val dups: Dataset[graft.multimodal.MediaAsset] = {
+      import spark.implicits._
+      base.filter(col("asset_id") % 4 === 0).map { a =>
+        a.copy(asset_id = a.asset_id + 100,
+          payload = graft.multimodal.Multimodal.perturbPixel(a.payload))
+      }
+    }
+    val hashes = graft.multimodal.Multimodal
+      .extractDctHashes(base.unionByName(dups), 8).toDF()
+      .select(col("asset_id"), col("phash").as("dct_hash"),
+        col("decode_error").isNotNull.as("failed"))
+    val near = hashes.toDF("asset_id", "dct_hash", "failed")
+      .join(broadcast(hashes.toDF("b_id", "b_hash", "b_failed")),
+        col("b_id") =!= col("asset_id") &&
+          expr(s"bit_count(dct_hash ^ b_hash) <= $DctMaxHamming"))
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
+    hashes
+      .join(near, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("dct_hash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"), col("failed"))
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_binary" -> (q29 _),
     "q48_image_features" -> (q48 _),
     "q69_audio_features" -> (q69 _),
     "q112_image_resize" -> (q112 _),
     "q122_audio_resample" -> (q122 _),
-    "q213_image_phash" -> (q213 _))
+    "q213_image_phash" -> (q213 _),
+    "q226_image_dct_hash" -> (q226 _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_binary" -> q29Oracle)

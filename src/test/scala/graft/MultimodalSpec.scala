@@ -340,4 +340,63 @@ class MultimodalSpec extends AnyFunSuite {
       .toMap
     assert(again == byId)
   }
+
+  test("dctHash64 equals a first-principles integer DCT, coefficient for coefficient") {
+    // independent recompute with its own StrictMath table and loop order
+    val payload = Multimodal.renderPng(9L, 64, 64)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val (bw, bh) = (img.getWidth / 32, img.getHeight / 32)
+    def mean(gx: Int, gy: Int): Long = {
+      var sum = 0L
+      for (y <- gy * bh until (gy + 1) * bh; x <- gx * bw until (gx + 1) * bw) {
+        val rgb = img.getRGB(x, y)
+        sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+      }
+      sum / (bw.toLong * bh)
+    }
+    def c(u: Int, x: Int): Long =
+      Math.round(StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0) * 16384L)
+    def coef(u: Int, v: Int): Long =
+      (0 until 32).map(x => (0 until 32).map(y =>
+        c(u, x) * mean(x, y) * c(v, y)).sum).sum
+    val f = (0 until 64).map(i => coef(i / 8, i % 8))
+    val med = f.tail.sorted.apply(31)
+    val expected = (1 until 64).foldLeft(0L)((h, i) =>
+      if (f(i) > med) h | (1L << i) else h)
+    assert(Multimodal.dctHash64(payload) == Right(expected))
+    assert((expected & 1L) == 0L, "the DC bit is always clear")
+    // too-small images fail loudly, not wrongly
+    assert(Multimodal.dctHash64(Multimodal.renderPng(1L, 16, 12)).isLeft)
+  }
+
+  test("q226: DCT near-dups match perturbed copies; hashes discriminate originals") {
+    val base = Multimodal.renderPng(5L, 64, 64)
+    val dup = Multimodal.perturbPixel(base)
+    val Right(h1) = Multimodal.dctHash64(base)
+    val Right(h2) = Multimodal.dctHash64(dup)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <=
+      graft.queries.MultimodalQueries.DctMaxHamming,
+      "a one-bit pixel change must stay inside the near-dup radius")
+
+    val out = graft.queries.MultimodalQueries.q226(spark, "unused").collect()
+    assert(out.length == 60, "48 originals + 12 perturbed copies")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId.values.forall(!_._3), "every payload decodes")
+    (0L until 48L by 4).foreach { id =>
+      assert(byId(id + 100)._2 >= 1L, s"copy of $id must match something")
+      assert(byId(id)._2 >= 1L, s"original $id must be matched back")
+    }
+    // the hash must discriminate: distinct originals produce many
+    // distinct hashes (a degenerate all-equal hash would also 'match')
+    val origHashes = (0L until 48L).map(byId(_)._1).distinct
+    assert(origHashes.size >= 24, s"only ${origHashes.size} distinct hashes")
+    // determinism: a rerun is value-identical
+    val again = graft.queries.MultimodalQueries.q226(spark, "unused").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(again == byId)
+  }
 }
