@@ -466,12 +466,13 @@ object PipelineOps15 {
       .orderBy(col("source"))
   }
 
-  val q225Oracle: String =
-    s"""WITH caps AS (
-       |  SELECT source, CAST(sum(len(list_filter(
-       |           string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS c
-       |  FROM documents GROUP BY source),
-       |tot AS (
+  /** The allocator's DuckDB CTE chain, expecting a prior CTE
+    * `caps(source, c)` and ending in `alloc(source, tokens_available,
+    * tokens_allocated, is_capped, rate_permille)` — shared by the q225
+    * and q227 oracles (single-copy rule).
+    */
+  private val waterFillCtes: String =
+    s"""tot AS (
        |  SELECT count(*) AS k, CAST(sum(c) AS BIGINT) AS total,
        |         ($Q225BudgetNum * CAST(sum(c) AS BIGINT)) // 10 AS b
        |  FROM caps),
@@ -489,19 +490,104 @@ object PipelineOps15 {
        |              ELSE (tot.b - coalesce(s.pf, 0))
        |                   // (tot.k - coalesce(cut.cut, 0)) END AS lvl
        |  FROM tot CROSS JOIN cut
-       |  LEFT JOIN sorted s ON s.rn = cut.cut)
-       |SELECT s.source,
-       |       s.c AS tokens_available,
-       |       CAST(CASE WHEN l.lvl IS NULL THEN s.c
-       |                 ELSE least(s.c, l.lvl) END AS BIGINT)
-       |         AS tokens_allocated,
-       |       (CASE WHEN l.lvl IS NULL THEN s.c
-       |             ELSE least(s.c, l.lvl) END) = s.c AS is_capped,
-       |       CAST((1000 * CASE WHEN l.lvl IS NULL THEN s.c
-       |                         ELSE least(s.c, l.lvl) END) // s.c AS BIGINT)
-       |         AS rate_permille
-       |FROM sorted s CROSS JOIN lvl l
-       |ORDER BY s.source""".stripMargin
+       |  LEFT JOIN sorted s ON s.rn = cut.cut),
+       |alloc AS (
+       |  SELECT s.source,
+       |         s.c AS tokens_available,
+       |         CAST(CASE WHEN l.lvl IS NULL THEN s.c
+       |                   ELSE least(s.c, l.lvl) END AS BIGINT)
+       |           AS tokens_allocated,
+       |         (CASE WHEN l.lvl IS NULL THEN s.c
+       |               ELSE least(s.c, l.lvl) END) = s.c AS is_capped,
+       |         CAST((1000 * CASE WHEN l.lvl IS NULL THEN s.c
+       |                           ELSE least(s.c, l.lvl) END) // s.c AS BIGINT)
+       |           AS rate_permille
+       |  FROM sorted s CROSS JOIN lvl l)""".stripMargin
+
+  val q225Oracle: String =
+    s"""WITH caps AS (
+       |  SELECT source, CAST(sum(len(list_filter(
+       |           string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS c
+       |  FROM documents GROUP BY source),
+       |$waterFillCtes
+       |SELECT source, tokens_available, tokens_allocated, is_capped,
+       |       rate_permille
+       |FROM alloc ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q227
+
+  /** q227: the MIXTURE MANIFEST — q225's allocation made actionable:
+    * each source's water-filled token target drives a deterministic
+    * h60-mod rate sampler (the q106 mechanism — keep a doc iff
+    * h60('mix:'||doc_id) mod 1000 < rate_permille), so the output is
+    * the reproducible recipe a training-data exporter executes: per
+    * source the target, the sampled doc/token volumes, and the achieved
+    * rate. Sampling is per-DOC with a corpus-independent hash, so the
+    * manifest is stable under corpus growth within a source (a doc's
+    * verdict never depends on other docs) — the property epoch-based
+    * exporters need for incremental re-exports.
+    *
+    * Scale shape: one corpus scan (doc token counts), the allocator on
+    * the source-sized frame, one broadcast join back, one keyed
+    * aggregate. The sampled token volume tracks the target in
+    * EXPECTATION (hash-uniform rate sampling); the gate certifies the
+    * exact verdict set, the spec checks the tracking.
+    */
+  def q227(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(expr("filter(split(text, ' '), t -> t <> '')"))
+          .cast("long").as("ntok"))
+    val caps = docs.groupBy(col("source")).agg(sum(col("ntok")).as("c"))
+    val alloc = waterFill(caps, Q225BudgetNum)
+    val sampled = docs
+      .join(broadcast(alloc.select(col("source"), col("rate_permille"))),
+        "source")
+      .withColumn("keep",
+        CrossHash.h60(concat(lit("mix:"), col("doc_id").cast("string")))
+          % 1000L < col("rate_permille"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("ntok")).otherwise(0L))
+          .as("sampled_tokens"))
+    sampled.join(alloc, "source")
+      .select(col("source"), col("tokens_available"),
+        col("tokens_allocated"), col("rate_permille"),
+        col("n_docs"), col("n_sampled"), col("sampled_tokens"))
+      .withColumn("achieved_permille",
+        expr("(1000 * sampled_tokens) DIV tokens_available"))
+      .orderBy(col("source"))
+  }
+
+  val q227Oracle: String = {
+    val h = graft.functions.CrossHash.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              t -> t <> '')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |caps AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS c
+       |         FROM d GROUP BY source),
+       |$waterFillCtes,
+       |k AS (
+       |  SELECT d.source, d.ntok, ($h) % 1000 < a.rate_permille AS keep
+       |  FROM d JOIN alloc a USING (source)),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_sampled,
+       |         CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT)
+       |           AS sampled_tokens
+       |  FROM k GROUP BY source)
+       |SELECT a.source, a.tokens_available, a.tokens_allocated,
+       |       a.rate_permille, g.n_docs, g.n_sampled, g.sampled_tokens,
+       |       CAST((1000 * g.sampled_tokens) // a.tokens_available AS BIGINT)
+       |         AS achieved_permille
+       |FROM alloc a JOIN agg g USING (source)
+       |ORDER BY a.source""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_dynamic_pruning" -> (q215 _),
@@ -509,7 +595,8 @@ object PipelineOps15 {
     "q219_pca_power" -> (q219 _),
     "q222_range_layout" -> (q222 _),
     "q223_bigram_surprisal" -> (q223 _),
-    "q225_token_budget" -> (q225 _))
+    "q225_token_budget" -> (q225 _),
+    "q227_mixture_manifest" -> (q227 _))
 
   val oracles: Map[String, String] = Map(
     "q215_dynamic_pruning" -> q215Oracle,
@@ -517,5 +604,6 @@ object PipelineOps15 {
     "q219_pca_power" -> q219Oracle,
     "q222_range_layout" -> q222Oracle,
     "q223_bigram_surprisal" -> q223Oracle,
-    "q225_token_budget" -> q225Oracle)
+    "q225_token_budget" -> q225Oracle,
+    "q227_mixture_manifest" -> q227Oracle)
 }

@@ -169,6 +169,36 @@ class PipelineOps15Spec extends AnyFunSuite {
     assert(full.forall(_._2) && full.map(_._1).sum == 1030L)
   }
 
+  test("q227 manifest is consistent with q225 and tracks the allocation") {
+    val alloc = PipelineOps15.q225(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    val got = PipelineOps15.q227(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == alloc.keySet)
+    got.foreach { r =>
+      val (avail, allocated, rate) = alloc(r.getString(0))
+      assert(r.getLong(1) == avail, s"tokens_available(${r.getString(0)})")
+      assert(r.getLong(2) == allocated, s"tokens_allocated(${r.getString(0)})")
+      assert(r.getLong(3) == rate, s"rate_permille(${r.getString(0)})")
+      // sampled volumes are internally consistent
+      assert(r.getLong(5) <= r.getLong(4), "n_sampled <= n_docs")
+      assert(r.getLong(6) <= r.getLong(1), "sampled_tokens <= available")
+      assert(r.getLong(7) == 1000L * r.getLong(6) / r.getLong(1))
+      // the hash-rate sampler tracks the target in expectation; a
+      // per-source band only means anything on a real panel (sf0.001
+      // sources hold tens of docs — binomial noise swamps a tight band)
+      if (r.getLong(4) >= 200)
+        assert(math.abs(r.getLong(7) - rate) <= 150,
+          s"achieved ${r.getLong(7)} vs target $rate for ${r.getString(0)}")
+    }
+    // corpus-level tracking: aggregate sampled tokens within ±25% of
+    // the aggregate allocation (larger n → tighter concentration)
+    val sampledTotal = got.map(_.getLong(6)).sum
+    val allocTotal = got.map(_.getLong(2)).sum
+    assert(math.abs(sampledTotal - allocTotal) <= allocTotal / 4,
+      s"sampled $sampledTotal vs allocated $allocTotal")
+  }
+
   test("q223 matches a first-principles bigram-LM scorer") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
