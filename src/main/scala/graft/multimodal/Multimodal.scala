@@ -108,15 +108,8 @@ object Multimodal {
     * java.awt from a seeded pattern) — the test corpus for the real
     * decode path.
     */
-  def syntheticImages(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
-    import spark.implicits._
-    spark.range(n.toLong).as[Long].map { id =>
-      MediaAsset(
-        asset_id = id,
-        meta = MediaMeta("image/png", 16, 12, 0L),
-        payload = renderPng(id, 16, 12))
-    }
-  }
+  def syntheticImages(spark: SparkSession, n: Int): Dataset[MediaAsset] =
+    syntheticImagesSized(spark, n, 16, 12)
 
   /** As [[syntheticImages]] at an explicit size — q226's DCT hash needs
     * at least the 32×32 downscale grid, which the 16×12 panel can't
@@ -307,49 +300,68 @@ object Multimodal {
       }
   }
 
+  /** n×n grid of integer block-mean lumas (BT.601 in integer millis —
+    * 299r+587g+114b; block mean = floor of the exact integer sum /
+    * block area). Block boundaries are `(g·dim)/n` so EVERY pixel lands
+    * in exactly one block (no cropped trailing rows/cols — for a 63×63
+    * image an old `dim/n`-sized grid would hash only the top-left
+    * quarter), and the arithmetic stays all-integer, so both consumers
+    * ([[phash64]], [[dctHash64]]) are bit-identical on every JVM.
+    * Returns g(gx)(gy); requires width ≥ n and height ≥ n (every block
+    * non-empty).
+    */
+  private def blockLumaGrid(
+      img: java.awt.image.BufferedImage, n: Int): Array[Array[Long]] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = Array.ofDim[Long](n, n)
+    var gy = 0
+    while (gy < n) {
+      val y0 = gy * h / n
+      val y1 = (gy + 1) * h / n
+      var gx = 0
+      while (gx < n) {
+        val x0 = gx * w / n
+        val x1 = (gx + 1) * w / n
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val gc = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sum += 299L * r + 587L * gc + 114L * b
+            x += 1
+          }
+          y += 1
+        }
+        g(gx)(gy) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    g
+  }
+
   /** 64-bit perceptual average-hash (aHash — the classic pHash-family
     * baseline: Zauner 2010, "Implementation and Benchmarking of
-    * Perceptual Image Hash Functions"): decode, partition into an 8×8
-    * grid of integer block-mean lumas (BT.601 in integer millis —
-    * 299r+587g+114b — block mean = floor of the exact integer sum /
-    * block area, trailing rows/cols that don't fill a block dropped),
-    * set bit i iff block i's mean is STRICTLY above the floor of the
-    * 64-block grand mean. All-integer end to end, so the hash is
-    * bit-identical on every JVM — the same reproducibility contract as
+    * Perceptual Image Hash Functions"): decode, build the 8×8
+    * [[blockLumaGrid]] (full-coverage integer block means), set bit i
+    * iff block i's mean is STRICTLY above the floor of the 64-block
+    * grand mean. All-integer end to end, so the hash is bit-identical
+    * on every JVM — the same reproducibility contract as
     * [[resizeImage]], where a float resize + float mean would drift.
     * Left for unreadable payloads or images smaller than the grid.
     */
   def phash64(payload: Array[Byte]): Either[String, Long] =
     readBounded(payload).flatMap { img =>
-      val bw = img.getWidth / 8
-      val bh = img.getHeight / 8
-      if (bw == 0 || bh == 0)
+      if (img.getWidth < 8 || img.getHeight < 8)
         Left(s"too small for the 8x8 grid: ${img.getWidth}x${img.getHeight}")
       else {
-        val means = new Array[Long](64)
-        var gy = 0
-        while (gy < 8) {
-          var gx = 0
-          while (gx < 8) {
-            var sum = 0L
-            var y = gy * bh
-            while (y < (gy + 1) * bh) {
-              var x = gx * bw
-              while (x < (gx + 1) * bw) {
-                val rgb = img.getRGB(x, y)
-                val r = (rgb >> 16) & 0xff
-                val g = (rgb >> 8) & 0xff
-                val b = rgb & 0xff
-                sum += 299L * r + 587L * g + 114L * b
-                x += 1
-              }
-              y += 1
-            }
-            means(gy * 8 + gx) = sum / (bw.toLong * bh)
-            gx += 1
-          }
-          gy += 1
-        }
+        val g = blockLumaGrid(img, 8)
+        val means = Array.tabulate(64)(i => g(i % 8)(i / 8))
         val grand = means.sum / 64
         var hash = 0L
         var i = 0
@@ -388,35 +400,10 @@ object Multimodal {
     */
   def dctHash64(payload: Array[Byte]): Either[String, Long] =
     readBounded(payload).flatMap { img =>
-      val bw = img.getWidth / 32
-      val bh = img.getHeight / 32
-      if (bw == 0 || bh == 0)
+      if (img.getWidth < 32 || img.getHeight < 32)
         Left(s"too small for the 32x32 grid: ${img.getWidth}x${img.getHeight}")
       else {
-        val g = Array.ofDim[Long](32, 32) // g(x)(y): column x, row y
-        var gy = 0
-        while (gy < 32) {
-          var gx = 0
-          while (gx < 32) {
-            var sum = 0L
-            var y = gy * bh
-            while (y < (gy + 1) * bh) {
-              var x = gx * bw
-              while (x < (gx + 1) * bw) {
-                val rgb = img.getRGB(x, y)
-                val r = (rgb >> 16) & 0xff
-                val gc = (rgb >> 8) & 0xff
-                val b = rgb & 0xff
-                sum += 299L * r + 587L * gc + 114L * b
-                x += 1
-              }
-              y += 1
-            }
-            g(gx)(gy) = sum / (bw.toLong * bh)
-            gx += 1
-          }
-          gy += 1
-        }
+        val g = blockLumaGrid(img, 32) // g(x)(y): column x, row y
         // T[u][y] = Σ_x C[u][x]·g[x][y]; F[u][v] = Σ_y T[u][y]·C[v][y]
         val t = Array.ofDim[Long](8, 32)
         var u = 0
@@ -456,21 +443,10 @@ object Multimodal {
       }
     }
 
-  /** Batch DCT hashing: one `mapPartitions` pass (the codec rule). */
+  /** Batch DCT hashing ([[dctHash64]]). */
   def extractDctHashes(
-      assets: Dataset[MediaAsset], parallelism: Int): Dataset[PhashRow] = {
-    import assets.sparkSession.implicits._
-    assets
-      .repartition(parallelism, col("asset_id"))
-      .mapPartitions { it =>
-        it.map { a =>
-          dctHash64(a.payload) match {
-            case Right(h) => PhashRow(a.asset_id, h, null)
-            case Left(err) => PhashRow(a.asset_id, 0L, err)
-          }
-        }
-      }
-  }
+      assets: Dataset[MediaAsset], parallelism: Int): Dataset[PhashRow] =
+    extractHashes(assets, parallelism, dctHash64)
 
   /** Near-duplicate variant of an image: the lowest blue bit of pixel
     * (0,0) flipped and the result re-encoded — visually identical, a
@@ -485,21 +461,31 @@ object Multimodal {
       case Left(_) => payload
     }
 
-  /** Batch perceptual hashing: one `mapPartitions` pass. */
-  def extractPhashes(
-      assets: Dataset[MediaAsset], parallelism: Int): Dataset[PhashRow] = {
+  /** Batch hashing: one `mapPartitions` pass (the codec rule); failures
+    * carry the error string and the 0L sentinel, which consumers must
+    * EXCLUDE from Hamming comparisons (two failures would otherwise
+    * "match" at distance 0).
+    */
+  private def extractHashes(
+      assets: Dataset[MediaAsset], parallelism: Int,
+      hashFn: Array[Byte] => Either[String, Long]): Dataset[PhashRow] = {
     import assets.sparkSession.implicits._
     assets
       .repartition(parallelism, col("asset_id"))
       .mapPartitions { it =>
         it.map { a =>
-          phash64(a.payload) match {
+          hashFn(a.payload) match {
             case Right(h) => PhashRow(a.asset_id, h, null)
             case Left(err) => PhashRow(a.asset_id, 0L, err)
           }
         }
       }
   }
+
+  /** Batch average-hashing ([[phash64]]). */
+  def extractPhashes(
+      assets: Dataset[MediaAsset], parallelism: Int): Dataset[PhashRow] =
+    extractHashes(assets, parallelism, phash64)
 
   /** Batch image decode: one `mapPartitions` pass, real pixels. */
   def extractImageFeatures(assets: Dataset[MediaAsset], parallelism: Int): Dataset[ImageFeatures] = {

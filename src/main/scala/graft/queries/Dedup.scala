@@ -1206,11 +1206,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val langs = table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
+    // checkpoint before the fan-out: the count action plus three
+    // downstream consumers (both ends legs + intra) would otherwise
+    // replay the two corpus-keyed lang joins four times
     val withLangs = pairs
       .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")),
         "doc_a")
       .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")),
         "doc_b")
+      .localCheckpoint()
     val m = withLangs.count()
     val ends = withLangs
       .select(col("doc_a").as("doc_id"), col("lang_a").as("lang"))

@@ -123,28 +123,51 @@ object MultimodalQueries {
     * (same key structure, same hot-bucket cap), which is why the hash,
     * not the pairing, is the operator.
     */
-  def q213(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Dataset
-    val base = graft.multimodal.Multimodal.syntheticImages(spark, 64)
-    val dups: Dataset[graft.multimodal.MediaAsset] = {
-      import spark.implicits._
+  def q213(spark: SparkSession, dir: String): DataFrame =
+    perceptualPanel(
+      graft.multimodal.Multimodal
+        .extractPhashes(panelWithDups(spark,
+          graft.multimodal.Multimodal.syntheticImages(spark, 64)), 8)
+        .toDF()
+        .select(col("asset_id"), col("phash"),
+          col("decode_error").isNotNull.as("failed")),
+      "phash", PhashMaxHamming)
+
+  /** Every 4th asset duplicated as a single-pixel-perturbed copy at
+    * id+100 — the shared q213/q226 panel construction. */
+  private def panelWithDups(
+      spark: SparkSession,
+      base: org.apache.spark.sql.Dataset[graft.multimodal.MediaAsset])
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaAsset] = {
+    import spark.implicits._
+    base.unionByName(
       base.filter(col("asset_id") % 4 === 0).map { a =>
         a.copy(asset_id = a.asset_id + 100,
           payload = graft.multimodal.Multimodal.perturbPixel(a.payload))
-      }
-    }
-    val hashes = graft.multimodal.Multimodal
-      .extractPhashes(base.unionByName(dups), 8).toDF()
-      .select(col("asset_id"), col("phash"),
-        col("decode_error").isNotNull.as("failed"))
-    val near = hashes.toDF("asset_id", "phash", "failed")
-      .join(broadcast(hashes.toDF("b_id", "b_phash", "b_failed")),
+      })
+  }
+
+  /** Shared perceptual-dedup panel shape: checkpoint the hash frame
+    * once (three consumers — both self-join sides and the final left
+    * join — would otherwise re-decode the panel three times), pair by
+    * Hamming radius EXCLUDING failed decodes on BOTH sides (the 0L
+    * failure sentinel would otherwise "match" other failures at
+    * distance 0), and report per-asset near counts. `hashed` must be
+    * (asset_id, <hashCol>, failed).
+    */
+  private def perceptualPanel(
+      hashed: DataFrame, hashCol: String, maxHamming: Int): DataFrame = {
+    val hashes = hashed.localCheckpoint()
+    val near = hashes
+      .filter(!col("failed"))
+      .join(broadcast(hashes.toDF("b_id", "b_hash", "b_failed")
+          .filter(!col("b_failed"))),
         col("b_id") =!= col("asset_id") &&
-          expr(s"bit_count(phash ^ b_phash) <= $PhashMaxHamming"))
+          expr(s"bit_count($hashCol ^ b_hash) <= $maxHamming"))
       .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
     hashes
       .join(near, Seq("asset_id"), "left")
-      .select(col("asset_id"), col("phash"),
+      .select(col("asset_id"), col(hashCol),
         coalesce(col("n_near"), lit(0L)).as("n_near"), col("failed"))
       .orderBy(col("asset_id"))
   }
@@ -172,32 +195,16 @@ object MultimodalQueries {
     * SimHash q42. The DCT itself is two 8×32 · 32×32 integer matrix
     * multiplies per image — constant work per asset, all in int64.
     */
-  def q226(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Dataset
-    val base = graft.multimodal.Multimodal
-      .syntheticImagesSized(spark, 48, 64, 64)
-    val dups: Dataset[graft.multimodal.MediaAsset] = {
-      import spark.implicits._
-      base.filter(col("asset_id") % 4 === 0).map { a =>
-        a.copy(asset_id = a.asset_id + 100,
-          payload = graft.multimodal.Multimodal.perturbPixel(a.payload))
-      }
-    }
-    val hashes = graft.multimodal.Multimodal
-      .extractDctHashes(base.unionByName(dups), 8).toDF()
-      .select(col("asset_id"), col("phash").as("dct_hash"),
-        col("decode_error").isNotNull.as("failed"))
-    val near = hashes.toDF("asset_id", "dct_hash", "failed")
-      .join(broadcast(hashes.toDF("b_id", "b_hash", "b_failed")),
-        col("b_id") =!= col("asset_id") &&
-          expr(s"bit_count(dct_hash ^ b_hash) <= $DctMaxHamming"))
-      .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
-    hashes
-      .join(near, Seq("asset_id"), "left")
-      .select(col("asset_id"), col("dct_hash"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"), col("failed"))
-      .orderBy(col("asset_id"))
-  }
+  def q226(spark: SparkSession, dir: String): DataFrame =
+    perceptualPanel(
+      graft.multimodal.Multimodal
+        .extractDctHashes(panelWithDups(spark,
+          graft.multimodal.Multimodal
+            .syntheticImagesSized(spark, 48, 64, 64)), 8)
+        .toDF()
+        .select(col("asset_id"), col("phash").as("dct_hash"),
+          col("decode_error").isNotNull.as("failed")),
+      "dct_hash", DctMaxHamming)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_binary" -> (q29 _),

@@ -286,20 +286,24 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("phash64 equals a first-principles block-mean hash, pixel for pixel") {
     // independent recompute: decode the payload with ImageIO directly,
-    // derive the 8x8 integer block means and the threshold bits
+    // derive the 8x8 full-coverage integer block means (boundary
+    // formula (g*dim)/8 — every pixel in exactly one block) and the
+    // threshold bits
     val payload = Multimodal.renderPng(7L, 16, 12)
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
-    val (bw, bh) = (img.getWidth / 8, img.getHeight / 8)
+    val (w, h) = (img.getWidth, img.getHeight)
     val means = (0 until 64).map { i =>
       val (gx, gy) = (i % 8, i / 8)
+      val (x0, x1) = (gx * w / 8, (gx + 1) * w / 8)
+      val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
       var sum = 0L
-      for (y <- gy * bh until (gy + 1) * bh; x <- gx * bw until (gx + 1) * bw) {
+      for (y <- y0 until y1; x <- x0 until x1) {
         val rgb = img.getRGB(x, y)
         sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
           114L * (rgb & 0xff)
       }
-      sum / (bw.toLong * bh)
+      sum / ((x1 - x0).toLong * (y1 - y0))
     }
     val grand = means.sum / 64
     val expected = means.zipWithIndex.foldLeft(0L) { case (h, (m, i)) =>
@@ -342,19 +346,23 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("dctHash64 equals a first-principles integer DCT, coefficient for coefficient") {
-    // independent recompute with its own StrictMath table and loop order
-    val payload = Multimodal.renderPng(9L, 64, 64)
+    // independent recompute with its own StrictMath table and loop
+    // order — on NON-multiple-of-32 dimensions, so the full-coverage
+    // boundary formula is what's being pinned, not just the easy case
+    val payload = Multimodal.renderPng(9L, 63, 50)
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
-    val (bw, bh) = (img.getWidth / 32, img.getHeight / 32)
+    val (w, h) = (img.getWidth, img.getHeight)
     def mean(gx: Int, gy: Int): Long = {
+      val (x0, x1) = (gx * w / 32, (gx + 1) * w / 32)
+      val (y0, y1) = (gy * h / 32, (gy + 1) * h / 32)
       var sum = 0L
-      for (y <- gy * bh until (gy + 1) * bh; x <- gx * bw until (gx + 1) * bw) {
+      for (y <- y0 until y1; x <- x0 until x1) {
         val rgb = img.getRGB(x, y)
         sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
           114L * (rgb & 0xff)
       }
-      sum / (bw.toLong * bh)
+      sum / ((x1 - x0).toLong * (y1 - y0))
     }
     def c(u: Int, x: Int): Long =
       Math.round(StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0) * 16384L)
