@@ -82,7 +82,8 @@ object PipelineOps15 {
         .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice")),
       "l_shipdate", 16, base)
     spark.read.parquet(base)
-      .filter(col("l_shipdate").between("1994-01-01", "1994-12-31"))
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
       .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
         .cast("long").as("ym"))
       .agg(
@@ -98,7 +99,8 @@ object PipelineOps15 {
       |       round(sum(l_quantity), 2) AS sum_qty,
       |       round(sum(l_extendedprice), 2) AS sum_price
       |FROM lineitem
-      |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
       |GROUP BY 1 ORDER BY ym""".stripMargin
 
   // ---------------------------------------------------------------- q217
