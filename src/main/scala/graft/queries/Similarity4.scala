@@ -190,8 +190,19 @@ object Similarity4 {
 
   // ---------------------------------------------------------------- q192
 
+  /** Anchor panel bound: vec_id % 40 = 0 AND vec_id < this — a FIXED
+    * 50-anchor panel at any corpus size (the q103/q224 fixed-panel rule;
+    * a bare corpus-fraction modulus made the sims pass O(n²/40) — the
+    * round-6 "never a corpus fraction" violation the sf1 headroom table
+    * caught at 6× wall on 10× data). Inert at the sf0.01/sf0.1 gates
+    * (both corpora sit below it), so the gate hashes pin that the bound
+    * changes nothing where the oracle can see.
+    */
+  val AnchorPanelMax = 2000L
+
   /** q192: hard-negative mining for contrastive training — for each
-    * anchor in a deterministic panel (vec_id % 40 = 0), the top-3
+    * anchor in a deterministic FIXED panel (vec_id % 40 = 0, capped by
+    * [[AnchorPanelMax]]), the top-3
     * OTHER-label vectors by cosine (the negatives a contrastive loss
     * learns most from; cf. Robinson et al. 2021, "Contrastive Learning
     * with Hard Negative Samples", arXiv:2010.04592). Same plan family
@@ -205,7 +216,8 @@ object Similarity4 {
     */
   def q192(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val anchors = emb.filter(col("vec_id") % 40 === 0)
+    val anchors = emb
+      .filter(col("vec_id") % 40 === 0 && col("vec_id") < AnchorPanelMax)
       .select(col("vec_id").as("anchor_id"),
         col("label").as("anchor_label"), col("embedding").as("ae"))
     val cands = emb.select(col("vec_id").as("neighbor_id"),
@@ -229,7 +241,8 @@ object Similarity4 {
        |         p.embedding AS pe, c.embedding AS ne,
        |         p.label AS pl, c.label AS nl
        |  FROM embeddings p, embeddings c
-       |  WHERE p.vec_id % 40 = 0 AND c.label <> p.label),
+       |  WHERE p.vec_id % 40 = 0 AND p.vec_id < $AnchorPanelMax
+       |    AND c.label <> p.label),
        |${Similarity.cosineCtes("pairs", "sims")},
        |lab AS (SELECT DISTINCT pid, nid, pl, nl FROM pairs),
        |ranked AS (
