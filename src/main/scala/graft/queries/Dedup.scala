@@ -614,17 +614,17 @@ object Dedup {
     * ranking keys). Corpus invariant n_tokens ≥ 10, n_chars ≥ 44
     * (probed at every SF), so no divisor guard is needed.
     */
-  private val QualU3Expr =
+  private[queries] val QualU3Expr =
     "400 * least(n_tokens, 50) div 50 + " +
       "300 * (n_tokens - stop_tokens) div n_tokens + " +
       "300 * alpha_chars div n_chars"
 
   /** Adds `q_u3` ([[QualU3Expr]]) to a frame carrying `text` and
     * `n_chars`, dropping the intermediate token/char counts. One
-    * definition for both q156 call sites so the member-ranking score
-    * and the kept-quality rollup cannot fork.
+    * definition for both q156 call sites (and q232's calibration curve)
+    * so the member-ranking score and its consumers cannot fork.
     */
-  private def withQualU3(df: DataFrame): DataFrame = df
+  private[queries] def withQualU3(df: DataFrame): DataFrame = df
     .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
     .withColumn("n_tokens", size(col("toks")).cast("long"))
     .withColumn("stop_tokens",

@@ -70,7 +70,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  def q25(spark: SparkSession, dir: String): DataFrame = {
+  /** The marker-langid scored frame — `(…, lang, predicted)` per doc.
+    * One definition for q25's confusion matrix and q231's
+    * chance-corrected agreement so the classifier cannot fork.
+    */
+  private[queries] def langidPredicted(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
       .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
     val scored = markers.foldLeft(docs) { case (df, (lang, ms)) =>
@@ -85,14 +89,20 @@ object TextAnalysis {
           .reduce(_ && _) && col(s"s_$lang") > 0
         when(geAll, lit(lang)).otherwise(elseCol)
     }
-    scored
-      .withColumn("predicted", predicted)
+    scored.withColumn("predicted", predicted)
+  }
+
+  def q25(spark: SparkSession, dir: String): DataFrame =
+    langidPredicted(spark, dir)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
-  }
 
-  val q25Oracle: String = {
+  /** DuckDB twin of [[langidPredicted]] as a `scored → pred(lang,
+    * predicted)` CTE chain — shared verbatim by the q25 and q231
+    * oracles (single-copy rule).
+    */
+  private[queries] val langidPredCtes: String = {
     val scoreSelects = markers.map { case (lang, ms) =>
       val inList = ms.map(m => s"'${m}'").mkString(", ")
       s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS s_$lang"
@@ -102,7 +112,7 @@ object TextAnalysis {
         .map(o => s"s_$lang >= s_$o") :+ s"s_$lang > 0").mkString(" AND ")
       s"WHEN $conds THEN '$lang'"
     }.mkString("\n                ")
-    s"""WITH scored AS (
+    s"""scored AS (
        |  SELECT doc_id, lang,
        |         $scoreSelects
        |  FROM documents),
@@ -110,10 +120,13 @@ object TextAnalysis {
        |  SELECT lang,
        |         CASE $caseChain
        |              ELSE 'und' END AS predicted
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  val q25Oracle: String =
+    s"""WITH $langidPredCtes
        |SELECT lang, predicted, count(*) AS n_docs
        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q26
 
