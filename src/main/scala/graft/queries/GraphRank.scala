@@ -271,10 +271,11 @@ object GraphRank {
        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MinSharedShingles)"""
       .stripMargin
 
-  /** The non-recursive CTE prefix shared with [[q123Oracle]] up to the
-    * directed `edges` relation.
+  /** The non-recursive CTE prefix shared with [[q123Oracle]] (and
+    * PipelineOps17's q235 assortativity oracle) up to the directed
+    * `edges` relation.
     */
-  private def edgesCtePrefix: String =
+  private[queries] def edgesCtePrefix: String =
     s"$pairsCtePrefix,\n" +
     "edges AS (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs)"
 
