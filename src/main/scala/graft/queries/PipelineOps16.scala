@@ -45,23 +45,40 @@ object PipelineOps16 {
     * 64 on BOTH engines by the same filter, so a ragged vector can't
     * fork a NULL-vs-skip difference.
     */
-  def q228(spark: SparkSession, dir: String): DataFrame = {
-    val q = table(spark, dir, "embeddings")
-      .filter(size(col("embedding")) === 64)
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        expr("transform(embedding, e -> " +
-          s"cast(floor(cast(e as double) * ${PipelineOps9.EmbQScale}) as bigint))")
-          .as("qv"))
-    val isPanel = col("vec_id") % 17 === 0 && col("vec_id") < 1700
-    val panel = q.filter(isPanel)
-      .select(col("vec_id").as("p_id"), col("qv").as("pv"))
-    val corpus = q.filter(not(isPanel))
+  /** The 64-dim quantized frame `(vec_id, label, qv)` — q228's input
+    * shape, shared with [[graft.streaming.StreamingSemDecontam]] so the
+    * batch and streaming decontaminators quantize identically.
+    */
+  private[graft] def quantized64(emb: DataFrame): DataFrame = emb
+    .filter(size(col("embedding")) === 64)
+    .select(col("vec_id"), col("label").cast("long").as("label"),
+      expr("transform(embedding, e -> " +
+        s"cast(floor(cast(e as double) * ${PipelineOps9.EmbQScale}) as bigint))")
+        .as("qv"))
+
+  /** q228's panel membership predicate (on `vec_id`). */
+  private[graft] def isSemPanel(vecId: Column): Column =
+    vecId % 17 === 0 && vecId < 1700
+
+  /** Per-vector exact min quantized squared-L2 to the broadcast panel:
+    * `(vec_id, label, min_d2)`. One corpus pass, pairs folded to int64
+    * in-projection. The single definition both q228 and the streaming
+    * twin score with.
+    */
+  private[graft] def minD2ToPanel(corpus: DataFrame, panel: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(panel))
       .select(col("vec_id"), col("label"),
         expr("aggregate(zip_with(qv, pv, (x, y) -> (x - y) * (x - y)), " +
           "cast(0 as bigint), (a, e) -> a + e)").as("d2"))
       .groupBy(col("vec_id"), col("label"))
       .agg(min(col("d2")).as("min_d2"))
+
+  def q228(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized64(table(spark, dir, "embeddings"))
+    val panel = q.filter(isSemPanel(col("vec_id")))
+      .select(col("vec_id").as("p_id"), col("qv").as("pv"))
+    val corpus = q.filter(not(isSemPanel(col("vec_id"))))
+    minD2ToPanel(corpus, panel)
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vecs"),

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.{CrossHash, VectorOps}
+
+/** Round-10 pack #6: the embedding-pipeline shapes that close the
+  * representation-learning loop — Johnson–Lindenstrauss random
+  * projection with a measured distortion audit (q237), hard-negative
+  * mining for contrastive training (q238), and label purity of the
+  * trained clustering (q239, the semantic twin of q233's geometric
+  * silhouette).
+  */
+object PipelineOps18 {
+
+  // ---------------------------------------------------------------- q237
+
+  /** Input / output dimensionality of the JL projection. */
+  val JlInDim = 64
+  val JlOutDim = 16
+
+  /** Distortion-audit panel bound (fixed-size panel, the q103 rule). */
+  val JlPanelMax = 40L
+
+  /** In-band window: a pair is "JL-preserved" when its distortion
+    * permille lies within ±20% of the expectation 1000. */
+  val JlBandLo = 800L
+  val JlBandHi = 1200L
+
+  /** The deterministic ±1 sign matrix, signs(j)(d−1) for output dim j
+    * and input dim d — derived from the shared md5-h60 so the oracle
+    * regenerates the identical matrix in SQL ([[CrossHash.h60Sql]]
+    * contract: both engines read the same first 60 md5 bits).
+    */
+  private[graft] lazy val jlSigns: Array[Array[Long]] =
+    Array.tabulate(JlOutDim) { j =>
+      Array.tabulate(JlInDim) { d0 =>
+        val d = d0 + 1
+        val h = CrossHash.h60FromDigest(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"jl:$d:$j".getBytes("UTF-8")))
+        if (h % 2 == 0) 1L else -1L
+      }
+    }
+
+  /** q237: JOHNSON–LINDENSTRAUSS random projection (64 → 16 dims via a
+    * deterministic ±1 sign matrix — Achlioptas 2001's database-friendly
+    * variant) with its distortion AUDIT: for every pair of a fixed
+    * panel, the ratio of projected to original squared distance
+    * (E[‖Px‖²] = k·‖x‖² for ±1 entries, so distortion ≡ d²_proj /
+    * (k·d²_orig) ≈ 1). Dimensionality reduction is how a 100 TB
+    * embedding column drops 4× in size before ANN indexing; this query
+    * is both the projector and the evidence the distances survived it.
+    * Everything is exact int64 (quantized inputs, integer sign folds),
+    * so the hash gate certifies projector AND audit; the sign matrix
+    * derives from the shared md5-h60 literal contract, never an RNG.
+    *
+    * Scale shape: the projection is a pure narrow in-projection fold
+    * (16 codegen'd sums per row — at scale this is the map stage of an
+    * export); the audit pairs are panel×panel (≤ [[JlPanelMax]]²/2,
+    * constant at any corpus size). Int64 budget: |y_j| ≤ 64·10⁴ ⇒ pair
+    * term ≤ 6.5·10¹²·16 ≈ 10¹⁴; ×1000 ≪ 2⁶³.
+    */
+  def q237(spark: SparkSession, dir: String): DataFrame = {
+    val q = table(spark, dir, "embeddings")
+      .filter(size(col("embedding")) === JlInDim &&
+        col("vec_id") < JlPanelMax)
+      .select(col("vec_id"),
+        expr("transform(embedding, e -> " +
+          s"cast(floor(cast(e as double) * ${PipelineOps9.EmbQScale}) as bigint))")
+          .as("qv"))
+    val proj = q.select(col("vec_id"), col("qv"),
+      array((0 until JlOutDim).map { j =>
+        expr(s"aggregate(zip_with(qv, array(${jlSigns(j).mkString(",")}), " +
+          "(x, s) -> x * s), cast(0 as bigint), (a, e) -> a + e)")
+      }: _*).as("y"))
+    val pairs = proj.select(col("vec_id").as("va"), col("qv").as("qa"),
+        col("y").as("ya"))
+      .crossJoin(broadcast(proj.select(col("vec_id").as("vb"),
+        col("qv").as("qb"), col("y").as("yb"))))
+      .filter(col("va") < col("vb"))
+      .select(
+        expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (a, e) -> a + e)").as("d2o"),
+        expr("aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (a, e) -> a + e)").as("d2p"))
+      .select(
+        expr(s"coalesce((1000 * d2p) div nullif($JlOutDim * d2o, 0), 1000)")
+          .as("dist_pm"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        expr("sum(dist_pm) div count(1)").as("mean_dist_permille"),
+        min(col("dist_pm")).as("min_dist_permille"),
+        max(col("dist_pm")).as("max_dist_permille"),
+        sum(when(col("dist_pm").between(JlBandLo, JlBandHi), 1L)
+          .otherwise(0L)).as("n_in_band"))
+      .withColumn("in_band_permille", expr("(1000 * n_in_band) div n_pairs"))
+      .orderBy(col("n_pairs"))
+  }
+
+  val q237Oracle: String = {
+    val h = CrossHash.h60Sql(
+      "'jl:' || CAST(d AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    s"""WITH sgn AS (
+       |  SELECT d, j, CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(1, ${JlInDim + 1})) AS d) dd
+       |  CROSS JOIN (SELECT unnest(range(0, $JlOutDim)) AS j) jj),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, e ->
+       |           CAST(floor(CAST(e AS DOUBLE) * ${PipelineOps9.EmbQScale})
+       |                AS BIGINT)) AS qv
+       |  FROM embeddings
+       |  WHERE len(embedding) = $JlInDim AND vec_id < $JlPanelMax),
+       |proj AS (
+       |  SELECT vec_id, j, CAST(sum(s * qv[d]) AS BIGINT) AS y
+       |  FROM q CROSS JOIN sgn GROUP BY vec_id, j),
+       |po AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         CAST(list_sum(list_transform(range(1, ${JlInDim + 1}),
+       |             i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))
+       |           AS BIGINT) AS d2o
+       |  FROM q a JOIN q b ON a.vec_id < b.vec_id),
+       |pp AS (
+       |  SELECT pa.vec_id AS va, pb.vec_id AS vb,
+       |         CAST(sum((pa.y - pb.y) * (pa.y - pb.y)) AS BIGINT) AS d2p
+       |  FROM proj pa JOIN proj pb ON pa.j = pb.j AND pa.vec_id < pb.vec_id
+       |  GROUP BY 1, 2),
+       |d AS (
+       |  SELECT COALESCE((1000 * d2p) // nullif($JlOutDim * d2o, 0), 1000)
+       |           AS dist_pm
+       |  FROM po JOIN pp ON po.va = pp.va AND po.vb = pp.vb)
+       |SELECT count(*) AS n_pairs,
+       |       CAST(CAST(sum(dist_pm) AS BIGINT) // count(*) AS BIGINT)
+       |         AS mean_dist_permille,
+       |       min(dist_pm) AS min_dist_permille,
+       |       max(dist_pm) AS max_dist_permille,
+       |       CAST(sum(CASE WHEN dist_pm BETWEEN $JlBandLo AND $JlBandHi
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band,
+       |       (1000 * CAST(sum(CASE WHEN dist_pm BETWEEN $JlBandLo AND $JlBandHi
+       |                             THEN 1 ELSE 0 END) AS BIGINT))
+       |         // count(*) AS in_band_permille
+       |FROM d ORDER BY n_pairs""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q238
+
+  /** Hard negatives reported per probe. */
+  val HardNegK = 5
+
+  /** q238: HARD-NEGATIVE MINING for contrastive training — for each
+    * probe, the most-similar vectors of a DIFFERENT label inside the
+    * probe's trained IVF cluster. Random negatives are too easy (the
+    * model separates them immediately); the negatives that teach are
+    * the near-misses, and "same cluster, different label" is exactly
+    * that set. Composes the memoized trained clustering (q94's index)
+    * with the exact codegen'd cosine; ranking on floor-quantized
+    * micro-sims with id tie-breaks (the q211/q224 discipline), so the
+    * hash gate certifies the miner end-to-end.
+    *
+    * Scale shape: probes are a fixed panel; each probe's candidate set
+    * is ONE cluster (~200 vectors by the adaptive-k rule, constant at
+    * any corpus size), not the corpus; top-k via per-probe window on
+    * the tiny candidate frame.
+    */
+  def q238(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Similarity.kmClusters(spark, dir)
+    val labels = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val withLab = clusters.join(labels, Seq("vec_id"))
+    val probes = withLab.filter(col("vec_id").between(20, 29))
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("pe"), col("cluster").as("pcluster"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim_micro").desc, col("neighbor_id"))
+    probes
+      .join(withLab.as("c"),
+        col("pcluster") === col("c.cluster") &&
+        col("c.vec_id") =!= col("probe_id") &&
+        col("c.label") =!= col("probe_label"))
+      .select(col("probe_id"), col("probe_label"),
+        col("c.vec_id").as("neighbor_id"), col("c.label").as("neighbor_label"),
+        floor(VectorOps.cosineNative(col("pe"), col("c.embedding")) * 1000000d)
+          .cast("long").as("sim_micro"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= HardNegK)
+      .orderBy(col("probe_id"), col("rnk"))
+      .select(col("probe_id"), col("probe_label"), col("rnk"),
+        col("neighbor_id"), col("neighbor_label"), col("sim_micro"))
+  }
+
+  val q238Oracle: String =
+    s"""WITH ${Similarity.kmAssignCtes},
+       |lab AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT a.vec_id AS probe_id, l.label AS p_label,
+       |         l.embedding AS pe, a.cluster
+       |  FROM asgF a JOIN lab l ON l.vec_id = a.vec_id
+       |  WHERE a.vec_id BETWEEN 20 AND 29),
+       |cands AS (
+       |  SELECT p.probe_id AS pid, p.p_label, a.vec_id AS nid,
+       |         l.label AS n_label, p.pe AS pe, l.embedding AS ne
+       |  FROM probes p
+       |  JOIN asgF a ON a.cluster = p.cluster AND a.vec_id <> p.probe_id
+       |  JOIN lab l ON l.vec_id = a.vec_id
+       |  WHERE l.label <> p.p_label),
+       |${Similarity.cosineCtes("cands", "hsims")},
+       |ranked AS (
+       |  SELECT c.pid, c.p_label, c.nid, c.n_label,
+       |         CAST(floor(s.sim * 1000000) AS BIGINT) AS sim_micro,
+       |         row_number() OVER (PARTITION BY c.pid
+       |           ORDER BY CAST(floor(s.sim * 1000000) AS BIGINT) DESC, c.nid)
+       |           AS rnk
+       |  FROM cands c JOIN hsims s ON s.pid = c.pid AND s.nid = c.nid)
+       |SELECT pid AS probe_id, p_label AS probe_label,
+       |       CAST(rnk AS BIGINT) AS rnk, nid AS neighbor_id,
+       |       n_label AS neighbor_label, sim_micro
+       |FROM ranked WHERE rnk <= $HardNegK
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q239
+
+  /** q239: LABEL PURITY of the trained clustering — the semantic
+    * cluster-quality readout beside q233's geometric silhouette: per
+    * cluster, the majority label's share. A high-silhouette clustering
+    * with low purity means the embedding geometry does not encode the
+    * labels — the readout that decides whether cluster-based curation
+    * (SemDeDup q170, cluster-balanced sampling) can be trusted to
+    * respect semantics. Majority = highest count, ties to the lower
+    * label (total order, rerun-stable); purity in exact integer
+    * permille.
+    *
+    * Scale shape: one pass over the memoized assignment joined to the
+    * corpus-sized label projection, reduced to the (cluster × label)
+    * frame; windows run on that bounded frame, never the corpus.
+    */
+  def q239(spark: SparkSession, dir: String): DataFrame = {
+    val cl = Similarity.kmClusters(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .join(table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+    val cnt = cl.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val wC = Window.partitionBy(col("cluster"))
+    cnt
+      .withColumn("n", sum(col("c")).over(wC))
+      .withColumn("rn", row_number().over(
+        wC.orderBy(col("c").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n").as("n_vecs"), col("label").as("maj_label"),
+        col("c").as("maj_c"),
+        expr("(1000 * c) div n").as("purity_permille"))
+      .orderBy(col("cluster"))
+  }
+
+  val q239Oracle: String =
+    s"""WITH ${Similarity.kmAssignCtes},
+       |cl AS (
+       |  SELECT a.cluster, CAST(e.label AS BIGINT) AS label
+       |  FROM asgF a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |cnt AS (SELECT cluster, label, count(*) AS c FROM cl GROUP BY 1, 2),
+       |top AS (
+       |  SELECT cluster, label, c,
+       |         CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n,
+       |         row_number() OVER (PARTITION BY cluster
+       |                            ORDER BY c DESC, label) AS rn
+       |  FROM cnt)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, n AS n_vecs,
+       |       label AS maj_label, c AS maj_c,
+       |       (1000 * c) // n AS purity_permille
+       |FROM top WHERE rn = 1 ORDER BY cluster""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_jl_projection" -> (q237 _),
+    "q238_hard_negatives" -> (q238 _),
+    "q239_cluster_purity" -> (q239 _))
+
+  val oracles: Map[String, String] = Map(
+    "q237_jl_projection" -> q237Oracle,
+    "q238_hard_negatives" -> q238Oracle,
+    "q239_cluster_purity" -> q239Oracle)
+}
