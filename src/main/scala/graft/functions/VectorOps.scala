@@ -46,4 +46,24 @@ object VectorOps {
       val d = x.cast("double") - y.cast("double")
       d * d
     }))
+
+  /** floor(x·scale) int64 quantization of a float/double array column —
+    * the exact-arithmetic entry gate of the embedding family (q119/q128
+    * discipline). One definition for every quantizing query so the
+    * cross-engine contract cannot fork (`KMeans.fitQuantized` spells the
+    * same transform internally on its own column names).
+    */
+  def quantize(a: Column, scale: Long): Column =
+    transform(a, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** EXACT int64 squared L2 between two pre-quantized bigint arrays —
+    * Σ(aᵢ−bᵢ)² folded in-projection, no intermediate array
+    * materialized past codegen. Caller owns the overflow budget
+    * (|aᵢ−bᵢ| ≤ m ⇒ result ≤ dims·m²). Single copy for q228/q233/q237
+    * and the streaming semantic decontaminator.
+    */
+  def intSqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, e) => acc + e)
 }

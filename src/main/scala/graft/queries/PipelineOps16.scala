@@ -52,9 +52,8 @@ object PipelineOps16 {
   private[graft] def quantized64(emb: DataFrame): DataFrame = emb
     .filter(size(col("embedding")) === 64)
     .select(col("vec_id"), col("label").cast("long").as("label"),
-      expr("transform(embedding, e -> " +
-        s"cast(floor(cast(e as double) * ${PipelineOps9.EmbQScale}) as bigint))")
-        .as("qv"))
+      graft.functions.VectorOps
+        .quantize(col("embedding"), PipelineOps9.EmbQScale).as("qv"))
 
   /** q228's panel membership predicate (on `vec_id`). */
   private[graft] def isSemPanel(vecId: Column): Column =
@@ -68,8 +67,7 @@ object PipelineOps16 {
   private[graft] def minD2ToPanel(corpus: DataFrame, panel: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(panel))
       .select(col("vec_id"), col("label"),
-        expr("aggregate(zip_with(qv, pv, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as bigint), (a, e) -> a + e)").as("d2"))
+        graft.functions.VectorOps.intSqDist(col("qv"), col("pv")).as("d2"))
       .groupBy(col("vec_id"), col("label"))
       .agg(min(col("d2")).as("min_d2"))
 
@@ -220,34 +218,47 @@ object PipelineOps16 {
     * NaN). `sxy` is emitted exactly so the gate pins the integer
     * moment, not just the rounded ρ.
     *
-    * Scale shape: one corpus scan → two tiny histograms (window over
-    * lang-partitioned value frames, hundreds of rows) → broadcast
-    * join-back → one language-sized aggregate.
+    * Scale shape: ONE corpus scan into the bounded joint (lang, x, y)
+    * histogram — every later consumer (both marginal histograms, the
+    * midrank join-back, the moments) re-aggregates THAT frame, whose
+    * shuffle Catalyst reuses across the three branches (identical
+    * exchange subtree — unlike a bare corpus projection, which each
+    * consumer would re-scan; the q114 lesson applied one level up).
+    * Moments are weighted by the joint cell count, so they equal the
+    * per-doc sums exactly.
     */
   def q230(spark: SparkSession, dir: String): DataFrame = {
-    val f = table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
+    val joint = table(spark, dir, "documents")
+      .select(col("lang"),
         expr("size(filter(split(text, ' '), t -> t <> ''))")
           .cast("long").as("x"),
         expr("(1000 * cast(length(regexp_replace(text, '[^a-z]', '')) as bigint))" +
           " div length(text)").as("y"))
+      .groupBy(col("lang"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+      // bounded (|x-domain|·|y-domain| per lang); materialized so all
+      // three consumers read it instead of racing AQE stage reuse —
+      // measured: without this, two of the three branches still paid
+      // the corpus scan (parallel stage submission defeats reuse)
+      .localCheckpoint()
     def midranks(vcol: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("lang")).orderBy(col(vcol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      f.groupBy(col("lang"), col(vcol)).agg(count(lit(1)).as("c"))
+      joint.groupBy(col("lang"), col(vcol)).agg(sum(col("cnt")).as("c"))
         .withColumn("cum", sum(col("c")).over(w))
         .select(col("lang"), col(vcol),
           (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)).as(out))
     }
-    f.join(broadcast(midranks("x", "ax")), Seq("lang", "x"))
+    joint.join(broadcast(midranks("x", "ax")), Seq("lang", "x"))
       .join(broadcast(midranks("y", "ay")), Seq("lang", "y"))
       .groupBy(col("lang"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("ax")).as("sx"), sum(col("ay")).as("sy"),
-        sum(col("ax") * col("ax")).as("sxx"),
-        sum(col("ay") * col("ay")).as("syy"),
-        sum(col("ax") * col("ay")).as("sxy"))
+        sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("ax")).as("sx"),
+        sum(col("cnt") * col("ay")).as("sy"),
+        sum(col("cnt") * col("ax") * col("ax")).as("sxx"),
+        sum(col("cnt") * col("ay") * col("ay")).as("syy"),
+        sum(col("cnt") * col("ax") * col("ay")).as("sxy"))
       .select(col("lang"), col("n").as("n_docs"), col("sxy"),
         expr("round((cast(n as double) * sxy - cast(sx as double) * sy) /" +
           " nullif(sqrt(greatest(cast(n as double) * sxx -" +
@@ -323,6 +334,9 @@ object PipelineOps16 {
     val conf = TextAnalysis.langidPredicted(spark, dir)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("c"))
+      // ≤ 6×6 rows; materialized so the three margin consumers don't
+      // re-scan the corpus (the q230 lesson)
+      .localCheckpoint()
     val tot = conf.agg(
       sum(col("c")).as("n"),
       sum(when(col("lang") === col("predicted"), col("c")).otherwise(0L))

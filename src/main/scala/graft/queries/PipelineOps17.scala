@@ -40,19 +40,21 @@ object PipelineOps17 {
     * k-row cluster frame. Int64 budget: per-pair d² ≤ 64·(2·10⁴)² ≈
     * 2.6·10¹⁰; per-cluster sums are bounded by the ~200-member expected
     * cluster size the adaptive k targets (exact while members <
-    * 3.5·10⁸).
+    * 3.5·10⁸). Dimensionality contract: like every consumer of the q94
+    * trained index (q158/q170/q211/q224/q238/q239), this assumes the
+    * uniform-dim embeddings the trainer itself requires — a ragged
+    * corpus is outside the family contract (q228/q237, which scan the
+    * raw table, filter dims explicitly).
     */
   def q233(spark: SparkSession, dir: String): DataFrame = {
     val clusters = Similarity.kmClusters(spark, dir)
       .select(col("vec_id"), col("cluster"),
-        expr("transform(embedding, e -> " +
-          s"cast(floor(cast(e as double) * ${Similarity.KmScale}) as bigint))")
-          .as("qv"))
+        graft.functions.VectorOps
+          .quantize(col("embedding"), Similarity.KmScale).as("qv"))
     val cents = broadcast(Similarity.kmCentroids(spark, dir))
     clusters.crossJoin(cents)
       .select(col("vec_id"), col("cluster"), col("cent_id"),
-        expr("aggregate(zip_with(qv, cq, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as bigint), (a, e) -> a + e)").as("d2"))
+        graft.functions.VectorOps.intSqDist(col("qv"), col("cq")).as("d2"))
       .groupBy(col("vec_id"), col("cluster"))
       .agg(
         min(when(col("cent_id") === col("cluster"), col("d2"))).as("a2"),
@@ -96,8 +98,13 @@ object PipelineOps17 {
   // ---------------------------------------------------------------- q234
 
   /** Sorted-neighborhood window: each doc pairs with the next
-    * `SnmWindow − 1` docs in its language's (n_chars, doc_id) order. */
+    * `SnmWindow − 1` docs in its block's (n_chars, doc_id) order. */
   val SnmWindow = 4
+
+  /** Char-length band width of the sort blocks: the window runs inside
+    * (lang, n_chars div width) cells, so no single task ever owns a
+    * whole language (the q61 blocking discipline). */
+  val SnmBandWidth = 64L
 
   /** Candidate pairs at or above this token-set Jaccard permille are
     * reported as near-dup matches. */
@@ -116,15 +123,20 @@ object PipelineOps17 {
     * [[SnmTop]] matched pairs at ≥ [[SnmMinJac]]‰.
     *
     * The scale argument is the OPPOSITE trade to LSH: candidate volume
-    * is exactly n·(w−1) — fixed per document BY CONSTRUCTION, immune to
+    * is at most n·(w−1) — fixed per document BY CONSTRUCTION, immune to
     * hot buckets and threshold tuning (the failure modes candidatePairs
-    * needs its df cap for) — at the price of one range-partitioned sort
-    * per language (Spark's repartitionByRange + in-partition sort; the
-    * lead() window never materializes all pairs, each row carries its
-    * w−1 neighbors). Recall is heuristic (a near-dup pair > w apart in
-    * the sort order is missed) — that trade is the documented SNM
-    * contract, and the multi-pass fix (re-sort on a second key) is a
-    * second run of this same query with a different order column.
+    * needs its df cap for). The sort is blocked: the window runs inside
+    * (lang, [[SnmBandWidth]]-char length band) cells — near-dups rarely
+    * differ much in length, so they share a band — which keeps every
+    * sort task bounded instead of funnelling a whole language through
+    * one window task (the q61 blocking discipline; a lang-wide window
+    * would be the straggler the q114 lesson warns about). Recall is
+    * heuristic twice over (a pair > w apart in the order, or straddling
+    * a band edge, is missed) — that trade is the documented SNM
+    * contract, and the multi-pass fix is a second run with an offset
+    * band or a different sort key. One window pass computes all w−1
+    * neighbor columns; the pair frame is an explode of those columns,
+    * not a re-run of the sort per neighbor offset.
     */
   def q234(spark: SparkSession, dir: String): DataFrame = {
     val f = table(spark, dir, "documents")
@@ -132,18 +144,21 @@ object PipelineOps17 {
         length(col("text")).cast("long").as("n_chars"),
         expr("array_distinct(filter(split(text, ' '), t -> t <> ''))")
           .as("toks"))
-    val win = Window.partitionBy(col("lang"))
+      .withColumn("band", expr(s"n_chars div $SnmBandWidth"))
+    val win = Window.partitionBy(col("lang"), col("band"))
       .orderBy(col("n_chars"), col("doc_id"))
     val w = (1 until SnmWindow).foldLeft(f) { (df, j) =>
       df.withColumn(s"b_id_$j", lead(col("doc_id"), j).over(win))
         .withColumn(s"b_toks_$j", lead(col("toks"), j).over(win))
     }
-    val pairs = (1 until SnmWindow).map { j =>
-      w.filter(col(s"b_id_$j").isNotNull)
-        .select(col("lang"), col("doc_id").as("a_id"),
-          col(s"b_id_$j").as("b_id"), col("toks"),
-          col(s"b_toks_$j").as("btoks"))
-    }.reduce(_ unionByName _)
+    val pairs = w
+      .select(col("lang"), col("doc_id").as("a_id"), col("toks"),
+        explode(array((1 until SnmWindow).map { j =>
+          struct(col(s"b_id_$j").as("b_id"), col(s"b_toks_$j").as("btoks"))
+        }: _*)).as("nb"))
+      .select(col("lang"), col("a_id"), col("nb.b_id").as("b_id"),
+        col("toks"), col("nb.btoks").as("btoks"))
+      .filter(col("b_id").isNotNull)
     pairs
       .withColumn("inter",
         size(array_intersect(col("toks"), col("btoks"))).cast("long"))
@@ -169,6 +184,7 @@ object PipelineOps17 {
     }.mkString("\n  UNION ALL\n")
     s"""WITH f AS (
        |  SELECT doc_id, lang, length(text) AS n_chars,
+       |         length(text) // $SnmBandWidth AS band,
        |         list_distinct(list_filter(string_split(text, ' '),
        |                                   t -> t <> '')) AS toks
        |  FROM documents),
@@ -176,7 +192,7 @@ object PipelineOps17 {
        |  SELECT lang, doc_id, toks,
        |         $leads
        |  FROM f
-       |  WINDOW win AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+       |  WINDOW win AS (PARTITION BY lang, band ORDER BY n_chars, doc_id)),
        |pairs AS (
        |$branches),
        |j AS (

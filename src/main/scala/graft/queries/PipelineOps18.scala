@@ -69,9 +69,7 @@ object PipelineOps18 {
       .filter(size(col("embedding")) === JlInDim &&
         col("vec_id") < JlPanelMax)
       .select(col("vec_id"),
-        expr("transform(embedding, e -> " +
-          s"cast(floor(cast(e as double) * ${PipelineOps9.EmbQScale}) as bigint))")
-          .as("qv"))
+        VectorOps.quantize(col("embedding"), PipelineOps9.EmbQScale).as("qv"))
     val proj = q.select(col("vec_id"), col("qv"),
       array((0 until JlOutDim).map { j =>
         expr(s"aggregate(zip_with(qv, array(${jlSigns(j).mkString(",")}), " +
@@ -83,10 +81,8 @@ object PipelineOps18 {
         col("qv").as("qb"), col("y").as("yb"))))
       .filter(col("va") < col("vb"))
       .select(
-        expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as bigint), (a, e) -> a + e)").as("d2o"),
-        expr("aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as bigint), (a, e) -> a + e)").as("d2p"))
+        VectorOps.intSqDist(col("qa"), col("qb")).as("d2o"),
+        VectorOps.intSqDist(col("ya"), col("yb")).as("d2p"))
       .select(
         expr(s"coalesce((1000 * d2p) div nullif($JlOutDim * d2o, 0), 1000)")
           .as("dist_pm"))

@@ -105,9 +105,11 @@ class PipelineOps16Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == expect)
-    // the threshold is ACTIVE at this SF in at least one direction:
-    // some vector is flagged or some vector is clean (not all-trivial)
-    assert(got.map(_._3).sum >= 0 && got.map(_._2).sum > got.map(_._3).sum)
+    // the threshold is ACTIVE at this SF in BOTH directions: some
+    // vectors flagged AND some clean — an always-clean (or always-
+    // leaked) constant would pass the hash gate, not this
+    assert(got.map(_._3).sum > 0, "no vector flagged: threshold inert")
+    assert(got.map(_._2).sum > got.map(_._3).sum, "every vector flagged")
   }
 
   // ------------------------------------------------------------- q230

@@ -68,23 +68,25 @@ class PipelineOps17Spec extends AnyFunSuite {
     val docs = Tables.table(spark, sfDir, "documents")
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val candidates = docs.groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
-      val sorted = xs.map { case (id, _, text) =>
-        (id, text.length.toLong, text.split(" ").filter(_.nonEmpty).toSet)
-      }.sortBy(t => (t._2, t._1))
-      sorted.indices.flatMap { i =>
-        (1 until PipelineOps17.SnmWindow).flatMap { j =>
-          if (i + j < sorted.length) {
-            val (aId, _, aT) = sorted(i)
-            val (bId, _, bT) = sorted(i + j)
-            val inter = (aT & bT).size.toLong
-            val uni = aT.size.toLong + bT.size.toLong - inter
-            val jac = if (uni == 0) 0L else 1000 * inter / uni
-            Some((lang, aId, bId, jac))
-          } else None
+    val candidates = docs
+      .groupBy(d => (d._2, d._3.length.toLong / PipelineOps17.SnmBandWidth))
+      .toSeq.flatMap { case ((lang, _), xs) =>
+        val sorted = xs.map { case (id, _, text) =>
+          (id, text.length.toLong, text.split(" ").filter(_.nonEmpty).toSet)
+        }.sortBy(t => (t._2, t._1))
+        sorted.indices.flatMap { i =>
+          (1 until PipelineOps17.SnmWindow).flatMap { j =>
+            if (i + j < sorted.length) {
+              val (aId, _, aT) = sorted(i)
+              val (bId, _, bT) = sorted(i + j)
+              val inter = (aT & bT).size.toLong
+              val uni = aT.size.toLong + bT.size.toLong - inter
+              val jac = if (uni == 0) 0L else 1000 * inter / uni
+              Some((lang, aId, bId, jac))
+            } else None
+          }
         }
       }
-    }
     val expect = candidates.filter(_._4 >= PipelineOps17.SnmMinJac)
       .sortBy { case (_, a, b, j) => (-j, a, b) }
       .take(PipelineOps17.SnmTop)
@@ -92,11 +94,13 @@ class PipelineOps17Spec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expect)
-    // the pair budget is exactly n·(w−1) minus the per-lang tail
-    val nPairs = docs.groupBy(_._2).map { case (_, xs) =>
-      val n = xs.size
-      (1 until PipelineOps17.SnmWindow).map(j => math.max(0, n - j)).sum
-    }.sum
+    // the pair budget is exactly n·(w−1) minus the per-block tail
+    val nPairs = docs
+      .groupBy(d => (d._2, d._3.length.toLong / PipelineOps17.SnmBandWidth))
+      .map { case (_, xs) =>
+        val n = xs.size
+        (1 until PipelineOps17.SnmWindow).map(j => math.max(0, n - j)).sum
+      }.sum
     assert(candidates.length == nPairs)
   }
 
@@ -168,7 +172,9 @@ class PipelineOps17Spec extends AnyFunSuite {
     // lang×split test must NOT reject at alpha=0.05 (df-matched
     // critical value)
     val df = (rowT.size - 1) * (colT.size - 1)
-    val crit = Map(2 -> 5.99, 4 -> 9.49, 6 -> 12.59, 8 -> 15.51)(df)
+    val crit = Map(2 -> 5.99, 4 -> 9.49, 6 -> 12.59, 8 -> 15.51)
+      .getOrElse(df, fail(s"unexpected df=$df (langs=${rowT.size}, " +
+        s"splits=${colT.size}) — extend the critical-value table"))
     val chi2 = got.map(_._5).sum
     assert(chi2 < crit,
       f"hash split correlates with lang: chi2=$chi2%.2f > crit($df)=$crit")
