@@ -70,9 +70,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  /** The marker-langid scored frame — `(…, lang, predicted)` per doc.
-    * One definition for q25's confusion matrix and q231's
-    * chance-corrected agreement so the classifier cannot fork.
+  /** The marker-langid scored frame — `(…, lang, predicted, margin)`
+    * per doc, `margin` = top score − runner-up score (the classifier's
+    * integer confidence proxy). One definition for q25's confusion
+    * matrix, q231's chance-corrected agreement and q240's reliability
+    * curve so the classifier cannot fork.
     */
   private[queries] def langidPredicted(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -89,7 +91,13 @@ object TextAnalysis {
           .reduce(_ && _) && col(s"s_$lang") > 0
         when(geAll, lit(lang)).otherwise(elseCol)
     }
-    scored.withColumn("predicted", predicted)
+    val scoreArr = markers.map(l => s"s_${l._1}").mkString(", ")
+    scored
+      .withColumn("predicted", predicted)
+      .withColumn("sorted_s", expr(s"sort_array(array($scoreArr), false)"))
+      .withColumn("margin",
+        expr("element_at(sorted_s, 1) - element_at(sorted_s, 2)"))
+      .drop("sorted_s")
   }
 
   def q25(spark: SparkSession, dir: String): DataFrame =
@@ -99,8 +107,8 @@ object TextAnalysis {
       .orderBy(col("lang"), col("predicted"))
 
   /** DuckDB twin of [[langidPredicted]] as a `scored → pred(lang,
-    * predicted)` CTE chain — shared verbatim by the q25 and q231
-    * oracles (single-copy rule).
+    * predicted, margin)` CTE chain — shared verbatim by the q25, q231
+    * and q240 oracles (single-copy rule).
     */
   private[queries] val langidPredCtes: String = {
     val scoreSelects = markers.map { case (lang, ms) =>
@@ -112,6 +120,7 @@ object TextAnalysis {
         .map(o => s"s_$lang >= s_$o") :+ s"s_$lang > 0").mkString(" AND ")
       s"WHEN $conds THEN '$lang'"
     }.mkString("\n                ")
+    val scoreArr = markers.map(l => s"s_${l._1}").mkString(", ")
     s"""scored AS (
        |  SELECT doc_id, lang,
        |         $scoreSelects
@@ -119,7 +128,9 @@ object TextAnalysis {
        |pred AS (
        |  SELECT lang,
        |         CASE $caseChain
-       |              ELSE 'und' END AS predicted
+       |              ELSE 'und' END AS predicted,
+       |         list_reverse_sort([$scoreArr])[1]
+       |           - list_reverse_sort([$scoreArr])[2] AS margin
        |  FROM scored)""".stripMargin
   }
 

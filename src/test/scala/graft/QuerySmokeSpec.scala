@@ -79,7 +79,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       "PipelineOps15" -> graft.queries.PipelineOps15.queries.keys,
       "PipelineOps16" -> graft.queries.PipelineOps16.queries.keys,
       "PipelineOps17" -> graft.queries.PipelineOps17.queries.keys,
-      "PipelineOps18" -> graft.queries.PipelineOps18.queries.keys)
+      "PipelineOps18" -> graft.queries.PipelineOps18.queries.keys,
+      "PipelineOps19" -> graft.queries.PipelineOps19.queries.keys)
     val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
       "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
     val all = grid ++ packs.flatMap(_._2)
