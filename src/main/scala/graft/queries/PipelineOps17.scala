@@ -17,6 +17,15 @@ object PipelineOps17 {
 
   // ---------------------------------------------------------------- q233
 
+  /** Evaluation panel bound for the silhouette: the audit scores the
+    * vectors with vec_id below this (fixed once the corpus outgrows
+    * it). Without the panel the pass is n·k distances with k = n/200
+    * adaptive ⇒ O(n²/200) — measured 9.8× wall at 10× data before the
+    * cap (the round-6 "fixed-size evaluation panels, never a corpus
+    * fraction" rule, re-learned). With it: panel·k = 10·n, linear.
+    */
+  val SilPanelMax = 2000L
+
   /** q233: SIMPLIFIED SILHOUETTE of the trained IVF clustering — the
     * cluster-quality readout the ANN eval family (q103 recall, q211
     * nprobe curve, q224 MRR) lacks: those grade SEARCH against the
@@ -35,12 +44,13 @@ object PipelineOps17 {
     * centroids) reports 0.
     *
     * Scale shape: the codebook (k rows, k = n div 200 by the adaptive
-    * rule) broadcasts; the corpus makes ONE pass folding each of the k
-    * distances to an int64 in-projection; everything after lands on the
-    * k-row cluster frame. Int64 budget: per-pair d² ≤ 64·(2·10⁴)² ≈
-    * 2.6·10¹⁰; per-cluster sums are bounded by the ~200-member expected
-    * cluster size the adaptive k targets (exact while members <
-    * 3.5·10⁸). Dimensionality contract: like every consumer of the q94
+    * rule) broadcasts; the [[SilPanelMax]]-bounded evaluation panel —
+    * NOT the corpus: panel×k distances stay linear in n where a full
+    * pass would be O(n²/200) under the adaptive k — folds each of the
+    * k distances to an int64 in-projection; everything after lands on
+    * the ≤-panel-sized cluster frame. Int64 budget: per-pair d² ≤
+    * 64·(2·10⁴)² ≈ 2.6·10¹⁰, panel sums ≪ 2⁶³.
+    * Dimensionality contract: like every consumer of the q94
     * trained index (q158/q170/q211/q224/q238/q239), this assumes the
     * uniform-dim embeddings the trainer itself requires — a ragged
     * corpus is outside the family contract (q228/q237, which scan the
@@ -48,6 +58,7 @@ object PipelineOps17 {
     */
   def q233(spark: SparkSession, dir: String): DataFrame = {
     val clusters = Similarity.kmClusters(spark, dir)
+      .filter(col("vec_id") < SilPanelMax)
       .select(col("vec_id"), col("cluster"),
         graft.functions.VectorOps
           .quantize(col("embedding"), Similarity.KmScale).as("qv"))
@@ -80,6 +91,7 @@ object PipelineOps17 {
        |         min(CASE WHEN f.cent_id = g.cluster THEN f.dist END) AS a2,
        |         min(CASE WHEN f.cent_id <> g.cluster THEN f.dist END) AS b2
        |  FROM aF f JOIN asgF g ON f.vec_id = g.vec_id
+       |  WHERE f.vec_id < $SilPanelMax
        |  GROUP BY f.vec_id, g.cluster),
        |s AS (
        |  SELECT cluster, CAST(a2 AS BIGINT) AS a2, CAST(b2 AS BIGINT) AS b2,
@@ -218,7 +230,12 @@ object PipelineOps17 {
     * (mirror farms copying each other, r > 0) or with the long tail
     * (aggregators scraping everyone, r < 0)? The one-number structural
     * summary of the graph whose per-node views q123 (rank), q206
-    * (hubs/authorities) and q216 (link prediction) already report.
+    * (hubs/authorities) and q216 (link prediction) already report —
+    * the SOURCE-graph member of the statistic q189 computes on the
+    * doc-level LSH candidate graph (different graph, different
+    * question: q189 audits the dedup pair structure, this audits the
+    * syndication topology; this one also reduces to the canonical
+    * UNDIRECTED edge set first and emits the exact sxy moment).
     *
     * r is the Pearson correlation of endpoint degrees over the
     * UNDIRECTED edge list, each edge contributing both orientations

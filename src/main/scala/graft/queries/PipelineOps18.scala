@@ -147,20 +147,19 @@ object PipelineOps18 {
   /** Hard negatives reported per probe. */
   val HardNegK = 5
 
-  /** q238: HARD-NEGATIVE MINING for contrastive training — for each
-    * probe, the most-similar vectors of a DIFFERENT label inside the
-    * probe's trained IVF cluster. Random negatives are too easy (the
-    * model separates them immediately); the negatives that teach are
-    * the near-misses, and "same cluster, different label" is exactly
-    * that set. Composes the memoized trained clustering (q94's index)
-    * with the exact codegen'd cosine; ranking on floor-quantized
-    * micro-sims with id tie-breaks (the q211/q224 discipline), so the
-    * hash gate certifies the miner end-to-end.
-    *
-    * Scale shape: probes are a fixed panel; each probe's candidate set
-    * is ONE cluster (~200 vectors by the adaptive-k rule, constant at
-    * any corpus size), not the corpus; top-k via per-probe window on
-    * the tiny candidate frame.
+  /** q238: INDEX-ACCELERATED hard-negative mining — the IVF scale path
+    * of q192's exhaustive miner (the q19 → q94 relationship, applied to
+    * negative mining): q192 prices every anchor against the WHOLE
+    * corpus (O(panel × corpus)); here candidates are the probe's
+    * trained cluster only, so per-probe cost is the ~200-vector
+    * expected cluster size at ANY corpus scale. The trade is the
+    * standard IVF one — a true hard negative assigned to another
+    * cluster is missed — which is exactly what the eval family
+    * (q103 recall, q211 nprobe curve, q224 MRR) measures for this
+    * index. Composes the memoized q94 clustering with the codegen'd
+    * cosine; ranking on floor-quantized micro-sims with id tie-breaks
+    * (the q211/q224 discipline), so the hash gate certifies the miner
+    * end-to-end.
     */
   def q238(spark: SparkSession, dir: String): DataFrame = {
     val clusters = Similarity.kmClusters(spark, dir)

@@ -31,6 +31,7 @@ class PipelineOps17Spec extends AnyFunSuite {
       .sortBy(_._1)
     val members = Similarity.kmClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .filter(_._1 < PipelineOps17.SilPanelMax)
     def d2(qv: Array[Long], cq: Array[Long]): Long = {
       var s = 0L; var i = 0
       while (i < qv.length) { val d = qv(i) - cq(i); s += d * d; i += 1 }
