@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.{CrossHash, VectorOps}
+
+/** Round-10 pack #9: retrieval-refinement and sampling-table operators —
+  * Rocchio pseudo-relevance feedback (q248) and the word2vec
+  * unigram^0.75 negative-sampling table with a drawn-distribution audit
+  * (q249).
+  */
+object PipelineOps21 {
+
+  // ---------------------------------------------------------------- q248
+
+  /** q248 probe panel: vec_id % 31 = 0 AND vec_id < 3100 — ≤ 100 probes
+    * at any corpus size (the q103/q192/q228 fixed-panel rule; 31 is
+    * coprime to the other panels' moduli). */
+  val PrfPanelMod = 31L
+  val PrfPanelMax = 3100L
+
+  /** Feedback depth (documents blended into the query) and the
+    * evaluation depth (hits@k). */
+  val PrfK = 10
+
+  /** q248: ROCCHIO pseudo-relevance feedback — the classic two-pass
+    * retrieval refinement (Rocchio 1971; blind PRF as in Buckley et
+    * al., TREC-3): retrieve top-k, assume them relevant, move the query
+    * toward their centroid, retrieve again. Reports, per probe, the
+    * same-label hits@k BEFORE and AFTER feedback — the one-number
+    * evidence for whether PRF helps on this corpus (it hurts exactly
+    * when the first pass was off-topic, which is why the delta is the
+    * readout). With α = 1, β = 1 the feedback query is q' = q +
+    * centroid(top-k); cosine is scale-invariant, so q' is computed as
+    * the INTEGER vector n·qv(q) + Σ qv(d) over [[VectorOps.quantize]]d
+    * embeddings — an order-free exact sum (a float centroid would pin a
+    * reduction order no engine guarantees) whose per-dim values
+    * (≤ ~4·10⁵) are float-exact, so both engines re-rank the identical
+    * feedback vector. Ranking keys are floor-quantized micro-sims with
+    * id tie-breaks (the q204/q211 discipline).
+    *
+    * Scale shape: both passes are broadcast-panel × corpus — one narrow
+    * codegen'd scan each, linear in the corpus for the fixed panel
+    * (q192's contract; an IVF shortlist slots in when the panel
+    * scales). The centroid build runs on panel×k×64 exploded rows —
+    * bounded. Like every fixed-dim consumer (q228/q246), the ragged
+    * tail is excluded up front (len = 64 on both engines).
+    */
+  def q248(spark: SparkSession, dir: String): DataFrame = {
+    val emb64 = table(spark, dir, "embeddings")
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+    val probes = emb64
+      .filter(col("vec_id") % PrfPanelMod === 0 &&
+        col("vec_id") < PrfPanelMax)
+      .select(col("vec_id").as("pid"), col("label").as("plabel"),
+        col("embedding").as("pe"))
+    val cands = emb64.select(col("vec_id").as("nid"),
+      col("label").as("nlabel"), col("embedding").as("ce"))
+    def topK(pairs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("sm").desc, col("nid"))
+      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= PrfK)
+    }
+    val pass1 = topK(broadcast(probes).crossJoin(cands)
+      .filter(col("nid") =!= col("pid"))
+      .select(col("pid"), col("nid"), col("nlabel"), col("plabel"),
+        floor(VectorOps.cosineNative(col("pe"), col("ce")) * 1000000d)
+          .cast("long").as("sm")))
+      .localCheckpoint() // feeds hits_before, the centroid, and n_ret
+    val qv = emb64.select(col("vec_id"),
+      VectorOps.quantize(col("embedding"), PipelineOps9.EmbQScale).as("qv"))
+    val fbSums = pass1
+      .join(qv.withColumnRenamed("vec_id", "nid"), "nid")
+      .select(col("pid"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("pid"), col("d")).agg(sum(col("x")).as("s"))
+    val nRet = pass1.groupBy(col("pid")).agg(count(lit(1)).as("nr"))
+    val probeDims = probes
+      .join(qv.withColumnRenamed("vec_id", "pid"), "pid")
+      .select(col("pid"), posexplode(col("qv")).as(Seq("d", "px")))
+    val fbVec = probeDims
+      .join(fbSums, Seq("pid", "d"))
+      .join(nRet, "pid")
+      .select(col("pid"), col("d"), (col("nr") * col("px") + col("s")).as("v"))
+      .groupBy(col("pid"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, v)))," +
+        " e -> CAST(e.v AS FLOAT))").as("pe2"))
+    val pass2 = topK(broadcast(fbVec).crossJoin(cands)
+      .filter(col("nid") =!= col("pid"))
+      .select(col("pid"), col("nid"), col("nlabel"),
+        floor(VectorOps.cosineNative(col("pe2"), col("ce")) * 1000000d)
+          .cast("long").as("sm")))
+    val labCnt = emb64.groupBy(col("label"))
+      .agg(count(lit(1)).as("lab_n"))
+    val before = pass1.groupBy(col("pid"))
+      .agg(max(col("plabel")).as("label"),
+        sum(when(col("nlabel") === col("plabel"), 1L).otherwise(0L))
+          .as("hits_before"))
+    val after = pass2
+      .join(probes.select(col("pid"), col("plabel")), "pid")
+      .groupBy(col("pid"))
+      .agg(sum(when(col("nlabel") === col("plabel"), 1L).otherwise(0L))
+        .as("hits_after"))
+    before.join(after, "pid")
+      .join(labCnt, "label")
+      .select(col("pid").as("probe_id"), col("label"),
+        (col("lab_n") - 1L).as("n_rel"),
+        col("hits_before"), col("hits_after"),
+        (col("hits_after") - col("hits_before")).as("delta_hits"))
+      .orderBy(col("probe_id"))
+  }
+
+  val q248Oracle: String = {
+    val qexpr = s"list_transform(embedding, e -> " +
+      s"CAST(floor(CAST(e AS DOUBLE) * ${PipelineOps9.EmbQScale}) AS BIGINT))"
+    s"""WITH emb64 AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |probes AS (
+       |  SELECT vec_id AS pid, label AS plabel, embedding AS pe
+       |  FROM emb64 WHERE vec_id % $PrfPanelMod = 0
+       |    AND vec_id < $PrfPanelMax),
+       |pairs AS (
+       |  SELECT p.pid, c.vec_id AS nid, p.pe, c.embedding AS ne
+       |  FROM probes p, emb64 c WHERE c.vec_id <> p.pid),
+       |${Similarity.cosineCtes("pairs", "s1")},
+       |r1 AS (
+       |  SELECT pid, nid,
+       |         row_number() OVER (PARTITION BY pid
+       |             ORDER BY CAST(floor(sim * 1000000) AS BIGINT) DESC, nid)
+       |           AS rnk
+       |  FROM s1),
+       |top1 AS (SELECT pid, nid FROM r1 WHERE rnk <= $PrfK),
+       |q AS (SELECT vec_id, $qexpr AS qv FROM emb64),
+       |fb AS (
+       |  SELECT t.pid, generate_subscripts(q.qv, 1) AS d,
+       |         unnest(q.qv) AS x
+       |  FROM top1 t JOIN q ON q.vec_id = t.nid),
+       |fbs AS (
+       |  SELECT pid, d, CAST(sum(x) AS BIGINT) AS s
+       |  FROM fb GROUP BY pid, d),
+       |nret AS (SELECT pid, count(*) AS nr FROM top1 GROUP BY pid),
+       |pd AS (
+       |  SELECT p.pid, generate_subscripts(q.qv, 1) AS d,
+       |         unnest(q.qv) AS px
+       |  FROM probes p JOIN q ON q.vec_id = p.pid),
+       |q2 AS (
+       |  SELECT pd.pid, pd.d, nret.nr * pd.px + fbs.s AS v
+       |  FROM pd JOIN fbs ON pd.pid = fbs.pid AND pd.d = fbs.d
+       |  JOIN nret ON pd.pid = nret.pid),
+       |q2l AS (
+       |  SELECT pid, list(CAST(v AS DOUBLE) ORDER BY d) AS pe2
+       |  FROM q2 GROUP BY pid),
+       |pairs2 AS (
+       |  SELECT l.pid, c.vec_id AS nid, l.pe2 AS pe, c.embedding AS ne
+       |  FROM q2l l, emb64 c WHERE c.vec_id <> l.pid),
+       |${Similarity.cosineCtes("pairs2", "s2")},
+       |r2 AS (
+       |  SELECT pid, nid,
+       |         row_number() OVER (PARTITION BY pid
+       |             ORDER BY CAST(floor(sim * 1000000) AS BIGINT) DESC, nid)
+       |           AS rnk
+       |  FROM s2),
+       |top2 AS (SELECT pid, nid FROM r2 WHERE rnk <= $PrfK),
+       |lab AS (SELECT vec_id, label FROM emb64),
+       |labcnt AS (SELECT label, count(*) AS lab_n FROM emb64 GROUP BY label),
+       |bef AS (
+       |  SELECT t.pid, any_value(p.plabel) AS label,
+       |         CAST(sum(CASE WHEN l.label = p.plabel THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS hits_before
+       |  FROM top1 t JOIN probes p ON t.pid = p.pid
+       |  JOIN lab l ON t.nid = l.vec_id GROUP BY t.pid),
+       |aft AS (
+       |  SELECT t.pid,
+       |         CAST(sum(CASE WHEN l.label = p.plabel THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS hits_after
+       |  FROM top2 t JOIN probes p ON t.pid = p.pid
+       |  JOIN lab l ON t.nid = l.vec_id GROUP BY t.pid)
+       |SELECT b.pid AS probe_id, b.label, c.lab_n - 1 AS n_rel,
+       |       b.hits_before, a.hits_after,
+       |       a.hits_after - b.hits_before AS delta_hits
+       |FROM bef b JOIN aft a ON b.pid = a.pid
+       |JOIN labcnt c ON b.label = c.label
+       |ORDER BY probe_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q249
+
+  /** Sampling-table vocabulary bound and the audit's draw count. */
+  val NegVocab = 1000
+  val NegDraws = 10000L
+
+  /** q249: word2vec NEGATIVE-SAMPLING table — the unigram^(3/4)
+    * distribution (Mikolov et al. 2013, arXiv:1310.4546 §2.2) every
+    * skip-gram/contrastive text trainer draws its negatives from,
+    * built over the top-[[NegVocab]] vocabulary, PLUS the audit that
+    * the table is actually drawable: [[NegDraws]] deterministic h60
+    * draws mapped through the cumulative table, with per-token target
+    * vs sampled permille. c^0.75 is computed as sqrt(c·sqrt(c)) — two
+    * correctly-rounded IEEE sqrts and one multiplication, so both
+    * engines produce the bit-identical double where a libm pow() need
+    * not — then floor-quantized to the integer weight the table sums
+    * (the q204 ranking-key discipline applied to a sampling weight).
+    *
+    * Scale shape: one corpus scan → token counts (map-side partial);
+    * the table, cumsum, draws (engine-generated range — constant
+    * [[NegDraws]] at any corpus size), and the range-assignment join
+    * all run on the ≤ [[NegVocab]]-row frame. Output: the top 20
+    * rows of the table with their drawn frequencies.
+    */
+  def q249(spark: SparkSession, dir: String): DataFrame = {
+    val top = table(spark, dir, "documents")
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rnk") <= NegVocab)
+      .withColumn("w_q",
+        floor(sqrt(col("cnt").cast("double") *
+          sqrt(col("cnt").cast("double"))) * 1000d).cast("long"))
+    val wc = Window.orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tab = top
+      .withColumn("hi", sum(col("w_q")).over(wc))
+      .withColumn("lo", col("hi") - col("w_q"))
+      .localCheckpoint() // bounded (NegVocab rows); draws + total + report read it
+    val total = tab.agg(max(col("hi")).as("total"))
+    val draws = spark.range(NegDraws).toDF("i")
+      .crossJoin(broadcast(total))
+      .select((CrossHash.h60(concat(lit("negdraw:"), col("i").cast("string")))
+        % col("total")).as("u"))
+    val sampled = draws.join(tab,
+        col("u") >= col("lo") && col("u") < col("hi"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_sampled"))
+    tab.crossJoin(broadcast(total))
+      .join(sampled, Seq("token"), "left")
+      .filter(col("rnk") <= 20)
+      .select(col("token"), col("cnt"), col("w_q"),
+        expr("(1000 * w_q) div total").as("target_permille"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        expr(s"(1000 * coalesce(n_sampled, 0)) div $NegDraws")
+          .as("sampled_permille"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val q249Oracle: String = {
+    val h = CrossHash.h60Sql("'negdraw:' || CAST(i AS VARCHAR)")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '),
+       |                t -> t <> '')) AS token
+       |  FROM documents),
+       |cnts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |top AS (
+       |  SELECT token, cnt,
+       |         row_number() OVER (ORDER BY cnt DESC, token) AS rnk,
+       |         CAST(floor(sqrt(CAST(cnt AS DOUBLE) *
+       |                sqrt(CAST(cnt AS DOUBLE))) * 1000) AS BIGINT) AS w_q
+       |  FROM cnts QUALIFY rnk <= $NegVocab),
+       |tab AS (
+       |  SELECT token, cnt, rnk, w_q,
+       |         CAST(sum(w_q) OVER (ORDER BY rnk
+       |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+       |  FROM top),
+       |tot AS (SELECT max(hi) AS total FROM tab),
+       |draws AS (
+       |  SELECT $h % (SELECT total FROM tot) AS u
+       |  FROM range($NegDraws) r(i)),
+       |assigned AS (
+       |  SELECT t.token, count(*) AS n_sampled
+       |  FROM draws d JOIN tab t ON d.u >= t.hi - t.w_q AND d.u < t.hi
+       |  GROUP BY t.token)
+       |SELECT t.token, t.cnt, t.w_q,
+       |       (1000 * t.w_q) // (SELECT total FROM tot) AS target_permille,
+       |       CAST(COALESCE(a.n_sampled, 0) AS BIGINT) AS n_sampled,
+       |       (1000 * COALESCE(a.n_sampled, 0)) // $NegDraws
+       |         AS sampled_permille
+       |FROM tab t LEFT JOIN assigned a ON t.token = a.token
+       |WHERE t.rnk <= 20
+       |ORDER BY t.cnt DESC, t.token""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_rocchio_prf" -> (q248 _),
+    "q249_negative_sampling" -> (q249 _))
+
+  val oracles: Map[String, String] = Map(
+    "q248_rocchio_prf" -> q248Oracle,
+    "q249_negative_sampling" -> q249Oracle)
+}
