@@ -688,9 +688,13 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  val q156Oracle: String = {
-    val qualSql = QualU3Expr.replace(" div ", " // ")
-    s"""WITH RECURSIVE ${q21CandCte},
+  /** Banding candidates + symmetric edges + the recursive CC walk,
+    * ending in `labels(id, label)` — the SQL twin of [[ccLabels]], THE
+    * single copy (q156, q157, and PipelineOps23's q253 all prepend
+    * `WITH RECURSIVE` and consume `labels`).
+    */
+  private[queries] lazy val ccWalkCtes: String =
+    s"""${q21CandCte},
        |edges AS (
        |  SELECT doc_a AS s, doc_b AS d FROM cand
        |  UNION ALL
@@ -700,7 +704,12 @@ object Dedup {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id),
-       |labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+       |labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id)"""
+      .stripMargin
+
+  val q156Oracle: String = {
+    val qualSql = QualU3Expr.replace(" div ", " // ")
+    s"""WITH RECURSIVE ${ccWalkCtes},
        |docsq AS (
        |  SELECT doc_id, source, n_chars,
        |         $qualSql AS q_u3
@@ -761,17 +770,7 @@ object Dedup {
   }
 
   val q157Oracle: String =
-    s"""WITH RECURSIVE ${q21CandCte},
-       |edges AS (
-       |  SELECT doc_a AS s, doc_b AS d FROM cand
-       |  UNION ALL
-       |  SELECT doc_b AS s, doc_a AS d FROM cand),
-       |nodes AS (SELECT DISTINCT s AS id FROM edges),
-       |walk(id, label) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id),
-       |labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+    s"""WITH RECURSIVE ${ccWalkCtes},
        |sizes AS (SELECT label, count(*) AS cluster_size
        |          FROM labels GROUP BY label),
        |hist AS (
