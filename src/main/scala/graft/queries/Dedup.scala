@@ -350,18 +350,9 @@ object Dedup {
     * min reachable node IS the component minimum (undirected graph).
     */
   val q78Oracle: String =
-    s"""WITH RECURSIVE ${q21CandCte},
-       |edges AS (
-       |  SELECT doc_a AS s, doc_b AS d FROM cand
-       |  UNION ALL
-       |  SELECT doc_b AS s, doc_a AS d FROM cand),
-       |nodes AS (SELECT DISTINCT s AS id FROM edges),
-       |walk(id, label) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id)
-       |SELECT id AS doc_id, min(label) AS cluster_id
-       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+    s"""WITH RECURSIVE ${ccWalkCtes}
+       |SELECT id AS doc_id, label AS cluster_id
+       |FROM labels ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q87
 
@@ -412,17 +403,7 @@ object Dedup {
   }
 
   val q87Oracle: String =
-    s"""WITH RECURSIVE ${q21CandCte},
-       |edges AS (
-       |  SELECT doc_a AS s, doc_b AS d FROM cand
-       |  UNION ALL
-       |  SELECT doc_b AS s, doc_a AS d FROM cand),
-       |nodes AS (SELECT DISTINCT s AS id FROM edges),
-       |walk(id, label) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id),
-       |labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+    s"""WITH RECURSIVE ${ccWalkCtes},
        |dropped AS (SELECT id FROM labels WHERE id <> label)
        |SELECT d.lang, count(*) AS n_docs,
        |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total
@@ -690,8 +671,8 @@ object Dedup {
 
   /** Banding candidates + symmetric edges + the recursive CC walk,
     * ending in `labels(id, label)` — the SQL twin of [[ccLabels]], THE
-    * single copy (q156, q157, and PipelineOps23's q253 all prepend
-    * `WITH RECURSIVE` and consume `labels`).
+    * single copy (q78, q87, q156, q157, and PipelineOps23's q253 all
+    * prepend `WITH RECURSIVE` and consume `labels`).
     */
   private[queries] lazy val ccWalkCtes: String =
     s"""${q21CandCte},

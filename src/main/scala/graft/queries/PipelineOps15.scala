@@ -336,16 +336,10 @@ object PipelineOps15 {
     * aggregates landing on the language domain.
     */
   def q223(spark: SparkSession, dir: String): DataFrame = {
-    val bigr = table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(slice(toks, 2, size(toks) - 1)," +
-          " (x, i) -> struct(element_at(toks, i + 1) AS prev, x AS cur))"))
-        .as("bg"))
-      .select(col("doc_id"), col("lang"),
-        col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    // tokenization + pairing through the single LM copy (q244/streaming
+    // share it); split is never read here, so don't pay its id-hash
+    val bigr = PipelineOps20.bigramsOf(
+      table(spark, dir, "documents"), withSplit = false)
     val bc = bigr.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("bcnt"))
     val ctx = bc.groupBy(col("prev")).agg(sum(col("bcnt")).as("ccnt"))

@@ -31,9 +31,12 @@ object PipelineOps20 {
     * Scale shape: one corpus scan + the q232 fingerprint window (count
     * per md5 fp, co-partitioned); everything after lands on the ≤ 1001
     * row score histogram (the single-partition cumsum window is over
-    * that bounded frame, not the corpus — the q225 contract). Exact
-    * while n_pos·n_neg < 2⁶² (u2 ≤ 2·n_pos·n_neg), i.e. corpora below
-    * ~4.6·10⁹ docs per side; the q189 documented-bound discipline.
+    * that bounded frame, not the corpus — the q225 contract). Int64
+    * budget: the permille step computes 1000·u2 with u2 ≤ 2·n_pos·
+    * n_neg, so exactness holds while n_pos·n_neg < ~4.6·10¹⁵ — any
+    * corpus below ~6·10⁷ docs per class, ~10⁹ docs when dups are a
+    * few percent; beyond that drop the permille factor into the
+    * divisor first (the q189 documented-bound discipline).
     *
     * Regime coverage: sf0.01 has zero exact dups (n_pos = 0, NULL AUC
     * — the degenerate path), sf0.1 has 16 — the two hash gates
@@ -136,23 +139,34 @@ object PipelineOps20 {
     * model on its natural keys under AQE; per-lang totals land on the
     * language domain.
     */
-  /** Per-doc bigram instances `(doc_id, lang, split, prev, cur)` of any
-    * documents-shaped frame — THE single copy of the KN family's
-    * tokenization + pairing (q244 trains and evaluates through it, and
-    * [[graft.streaming.StreamingKnScore]] scores live batches with it,
-    * so the model and its streaming consumer cannot fork).
+  /** Per-doc bigram instances `(doc_id, lang[, split], prev, cur)` of
+    * any documents-shaped frame — THE single copy of the bigram
+    * tokenization + pairing (q223's self-scored LM, q244's KN train and
+    * eval sides, and [[graft.streaming.StreamingKnScore]]'s live
+    * batches all pair through it, so no two LM consumers can disagree
+    * on what a bigram is). `withSplit = false` skips the per-doc
+    * id-hash entirely — the streaming scorer and q223 never read it,
+    * so they should not pay the md5 per document.
     */
-  private[graft] def bigramsOf(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), col("lang"),
-      expr("filter(split(text, ' '), t -> t <> '')").as("toks"),
-      PipelineOps9.splitOf(col("doc_id")).as("split"))
-    .filter(size(col("toks")) >= 2)
-    .select(col("doc_id"), col("lang"), col("split"), explode(expr(
-      "transform(slice(toks, 2, size(toks) - 1)," +
-        " (x, i) -> struct(element_at(toks, i + 1) AS prev, x AS cur))"))
-      .as("bg"))
-    .select(col("doc_id"), col("lang"), col("split"),
-      col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+  private[graft] def bigramsOf(
+      docs: DataFrame, withSplit: Boolean = true): DataFrame = {
+    val base =
+      if (withSplit) docs.select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"),
+        PipelineOps9.splitOf(col("doc_id")).as("split"))
+      else docs.select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+    val keep = Seq(col("doc_id"), col("lang")) ++
+      (if (withSplit) Seq(col("split")) else Nil)
+    base
+      .filter(size(col("toks")) >= 2)
+      .select(keep :+ explode(expr(
+        "transform(slice(toks, 2, size(toks) - 1)," +
+          " (x, i) -> struct(element_at(toks, i + 1) AS prev, x AS cur))"))
+        .as("bg"): _*)
+      .select(keep :+ col("bg.prev").as("prev") :+
+        col("bg.cur").as("cur"): _*)
+  }
 
   /** The trained KN model: bigram counts, context counts + distinct
     * continuations per context, distinct-context counts per word, and
@@ -396,9 +410,13 @@ object PipelineOps20 {
     * q228 quantization discipline), so the hash gate certifies the
     * audit itself.
     *
-    * Composes THE q42 index (same [[Similarity2.signBands]] +
-    * [[Similarity2.bucketPairs]] copy, %4 sample) — auditing a
-    * reimplementation would certify nothing.
+    * Composes THE q42 banding ([[Similarity2.signBands]] +
+    * [[Similarity2.bucketPairs]], the single pairing copy) over the %4
+    * sample RESTRICTED to the 64-dim contract — auditing a
+    * reimplementation would certify nothing, but the exact int64 d²
+    * needs equal dims, so the audit covers the fixed-dim subset of
+    * q42's index and a ragged tail (none in the gate corpora) is
+    * outside its scope, exactly as for q228/q233.
     *
     * Scale shape: banded self-join (never all-pairs) for positives; a
     * ≤ 100-vector broadcast panel (≤ 4950 pairs, constant at any

@@ -72,16 +72,21 @@ object PipelineOps21 {
         floor(VectorOps.cosineNative(col("pe"), col("ce")) * 1000000d)
           .cast("long").as("sm")))
       .localCheckpoint() // feeds hits_before, the centroid, and n_ret
-    val qv = emb64.select(col("vec_id"),
-      VectorOps.quantize(col("embedding"), PipelineOps9.EmbQScale).as("qv"))
+    // quantize AFTER the id joins: only the ~panel×k retrieved vectors
+    // and the panel itself are transformed, never the whole corpus (the
+    // corpus already paid its two cosine passes; a third corpus-wide
+    // array transform here would be pure waste)
     val fbSums = pass1
-      .join(qv.withColumnRenamed("vec_id", "nid"), "nid")
-      .select(col("pid"), posexplode(col("qv")).as(Seq("d", "x")))
+      .join(emb64.select(col("vec_id").as("nid"), col("embedding")), "nid")
+      .select(col("pid"), posexplode(
+        VectorOps.quantize(col("embedding"), PipelineOps9.EmbQScale))
+        .as(Seq("d", "x")))
       .groupBy(col("pid"), col("d")).agg(sum(col("x")).as("s"))
     val nRet = pass1.groupBy(col("pid")).agg(count(lit(1)).as("nr"))
     val probeDims = probes
-      .join(qv.withColumnRenamed("vec_id", "pid"), "pid")
-      .select(col("pid"), posexplode(col("qv")).as(Seq("d", "px")))
+      .select(col("pid"), posexplode(
+        VectorOps.quantize(col("pe"), PipelineOps9.EmbQScale))
+        .as(Seq("d", "px")))
     val fbVec = probeDims
       .join(fbSums, Seq("pid", "d"))
       .join(nRet, "pid")

@@ -25,10 +25,12 @@ object PipelineOps23 {
     * Neyman spends it where the quality score actually varies, shrinking
     * the estimator's variance at the same budget. The weight N_h·σ_h is
     * computed WITHOUT any float variance: N·σ = √(n·Σq² − (Σq)²)
-    * exactly, so the weight is isqrt(M_h) of an integer moment — both
-    * engines take floor(IEEE √) of the identical integer (exact below
-    * 2⁵³; above, still bit-identical cross-engine, within ±1 of true —
-    * the q165 isqrt discipline). Output per language: stratum size, the
+    * exactly, so the weight is isqrt(M_h) of an integer moment held in
+    * DECIMAL(38,0)/HUGEINT (int64 would wrap at ~3·10⁶ docs per
+    * stratum) — both engines take floor(IEEE √) of the identical
+    * integer (exact below 2⁵³; above, still bit-identical
+    * cross-engine, within ±1 of true — the q165 isqrt discipline).
+    * Output per language: stratum size, the
     * moment root, the Neyman and proportional allocations, and their
     * difference (the shift the variance information buys). Floor
     * remainders are deliberately not redistributed — q108 owns the
@@ -45,8 +47,14 @@ object PipelineOps23 {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("q_u3")).as("s"),
         sum(col("q_u3") * col("q_u3")).as("s2"))
+      // the moment n·Σq² − (Σq)² in DECIMAL(38,0): n·s2 would wrap
+      // int64 at only ~3·10⁶ docs per stratum (s2 ≤ n·10⁶); 38 digits
+      // hold it exactly for any corpus below ~10¹⁶ docs, and both
+      // engines (Spark decimal, DuckDB HUGEINT) stay exact before the
+      // one cast to double the isqrt reads
       .withColumn("w",
-        floor(sqrt((col("n_docs") * col("s2") - col("s") * col("s"))
+        floor(sqrt((col("n_docs").cast("decimal(38,0)") * col("s2") -
+          col("s").cast("decimal(38,0)") * col("s"))
           .cast("double"))).cast("long"))
     val w = Window
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -81,7 +89,8 @@ object PipelineOps23 {
        |  FROM docsq GROUP BY lang),
        |wt AS (
        |  SELECT lang, n_docs,
-       |         CAST(floor(sqrt(CAST(n_docs * s2 - s * s AS DOUBLE)))
+       |         CAST(floor(sqrt(CAST(CAST(n_docs AS HUGEINT) * s2 -
+       |                              CAST(s AS HUGEINT) * s AS DOUBLE)))
        |              AS BIGINT) AS w
        |  FROM mom),
        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w,

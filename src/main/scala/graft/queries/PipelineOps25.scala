@@ -30,11 +30,13 @@ object PipelineOps25 {
     * normal approximation uses the TIE-CORRECTED variance
     * σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))) (with a 31-value score
     * domain the ties ARE the distribution; the uncorrected σ would
-    * overstate significance everywhere). Σ(t³−t) is an exact int64
-    * over the global histogram; z is ONE fixed double expression over
-    * integer moments (the q189 single-combination discipline), rounded
-    * to 6; the significance call compares the bit-identical pre-round
-    * double, so no boundary can fork cross-engine.
+    * overstate significance everywhere). Σ(t³−t) is exact in
+    * DECIMAL(38,0)/HUGEINT over the global histogram (g³ would wrap
+    * int64 at tie groups of ~2.1·10⁶); z is ONE fixed double
+    * expression over integer moments (the q189 single-combination
+    * discipline), rounded to 6; the significance call compares the
+    * bit-identical pre-round double, so no boundary can fork
+    * cross-engine.
     *
     * Scale shape: one corpus scan → the (source, q_u3) histogram;
     * every cumsum, moment, and the verdict run on that ≤ sources×1001
@@ -53,9 +55,14 @@ object PipelineOps25 {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val globCum = glob
       .withColumn("cumg", sum(col("g")).over(wg) - col("g"))
+    // Σ(t³−t) in DECIMAL(38,0): g³ wraps int64 once any tie group
+    // passes ~2.1·10⁶ docs — certain on a 31-value score domain well
+    // before the doc-count bounds elsewhere; 38 digits hold the cube
+    // exactly to g ~ 2·10¹². t3 only ever feeds the double z.
     val ties = glob.agg(
       sum(col("g")).as("n"),
-      sum(col("g") * col("g") * col("g") - col("g")).as("t3"))
+      sum(col("g").cast("decimal(38,0)") * col("g") * col("g") - col("g"))
+        .as("t3"))
     val ws = Window.partitionBy(col("source")).orderBy(col("q_u3"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
@@ -113,7 +120,7 @@ object PipelineOps25 {
        |  FROM gh),
        |ties AS (
        |  SELECT CAST(sum(g) AS BIGINT) AS n,
-       |         CAST(sum(g * g * g - g) AS BIGINT) AS t3
+       |         sum(CAST(g AS HUGEINT) * g * g - g) AS t3
        |  FROM gh),
        |sc AS (
        |  SELECT source, q_u3, cnt,
@@ -152,10 +159,13 @@ object PipelineOps25 {
     * (tiny TVD) — triage ranks by THIS number and gates by that one.
     *
     * Scale shape: the same bounded (source, q_u3) histogram as q256;
-    * the distance is one join + one aggregate on it. The cross term
-    * |cnt_s·N − g·N_s| is exact while cnt·N_s < 2⁶³ (any corpus below
-    * ~3·10⁹ docs per side; beyond that, permille-quantize the
-    * histograms first — documented, not silently wrong).
+    * the distance is one join + one aggregate on it. Int64 budget: the
+    * summed numerator is bounded by 2·N_s·N and the permille step
+    * multiplies it by 1000, so exactness holds while N_s·N < ~4.6·10¹⁵
+    * — worst case ~7·10⁷ docs for a source that is half the corpus,
+    * ~10⁹ docs at a realistic ≤2% source share. Beyond that,
+    * permille-quantize the histograms first (documented, not silently
+    * wrong — the q189 bound discipline).
     */
   def q257(spark: SparkSession, dir: String): DataFrame = {
     val hist = Dedup.withQualU3(

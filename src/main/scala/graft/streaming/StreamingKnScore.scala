@@ -42,7 +42,8 @@ object StreamingKnScore {
     */
   def scoreBatch(batch: DataFrame, model: PipelineOps20.KnModel,
       junkPermille: Long = JunkPermille): DataFrame =
-    PipelineOps20.scoreKn(PipelineOps20.bigramsOf(batch), model)
+    PipelineOps20.scoreKn(
+        PipelineOps20.bigramsOf(batch, withSplit = false), model)
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("sum_surp"))
       .withColumn("surp_permille",
