@@ -65,6 +65,14 @@ final case class ResampledAudio(
     peak: Int,
     decode_error: String)
 
+final case class AudioSpectrum(
+    asset_id: Long,
+    dom_freq_hz: Long,
+    dom_mag2: Long,
+    second_freq_hz: Long,
+    second_ratio_permille: Long,
+    decode_error: String)
+
 /** Multimodal-column plumbing (SURVEY.md §2.3 E5): schema, partitioning,
   * and batch-shaped decode — the Scala analogue of a Pandas-UDF
   * `mapInPandas` stage: `mapPartitions` over the typed Dataset so each
@@ -687,6 +695,76 @@ object Multimodal {
                 wav.length.toLong, rms, peak, null)
             case Left(err) =>
               ResampledAudio(a.asset_id, -1.0, 0L, 0L, 0.0, 0, err)
+          }
+        }
+      }
+  }
+
+  /** q258 probe grid: the 55 Hz lattice both synthetic tones live on
+    * (f1 = 220 + 55·(id%16), f2 = 440 + 110·(id%7) = 220 + 55·(4+2k)).
+    * A production pipeline probes genre/speech bands the same way —
+    * fixed bins, never a corpus-dependent FFT length.
+    */
+  private[graft] val SpectrumBinsHz: Array[Long] =
+    Array.tabulate(17)(k => 220L + 55L * k)
+
+  /** Fixed-point trig scale for the exact DFT (2²⁰, the q226 DCT-table
+    * discipline). */
+  private[graft] val TrigScale = 1L << 20
+
+  /** EXACT single-bin DFT power: Σx·⌊cos·2²⁰⌋ and Σx·⌊sin·2²⁰⌋ folded
+    * in int64 (|term| ≤ 32768·2²⁰, ×N samples ≈ 7·10¹² at N=2000 —
+    * far inside int64), de-scaled by floorDiv, then squared (≤ ~4·10¹³
+    * per component). StrictMath keeps the table bit-identical across
+    * JVMs/CPUs — the same determinism contract as [[renderWav]] and
+    * the q226 DCT cosine table. THE single copy of the bin-power math
+    * (the batch extractor and MultimodalSpec's model both call it).
+    */
+  private[graft] def dftPowerAt(
+      samples: Array[Int], rate: Float, freqHz: Long): Long = {
+    val w = 2 * StrictMath.PI * freqHz / rate.toDouble
+    var sc = 0L; var ss = 0L
+    var n = 0
+    while (n < samples.length) {
+      val c = StrictMath.floor(StrictMath.cos(w * n) * TrigScale).toLong
+      val s = StrictMath.floor(StrictMath.sin(w * n) * TrigScale).toLong
+      sc += samples(n) * c
+      ss += samples(n) * s
+      n += 1
+    }
+    val a = Math.floorDiv(sc, TrigScale)
+    val b = Math.floorDiv(ss, TrigScale)
+    a * a + b * b
+  }
+
+  /** Batch audio SPECTRUM: one `mapPartitions` pass — real RIFF decode,
+    * then the exact fixed-point DFT power at every [[SpectrumBinsHz]]
+    * probe (the audio twin of the q226 image DCT: same fixed-point
+    * trig-table discipline, executor-side, constant work per asset).
+    * Reports the dominant bin, its power, the runner-up bin, and the
+    * runner-up/dominant ratio in permille — the two-tone structure of
+    * the synthetic corpus makes the expected answer derivable from the
+    * asset id alone, which is exactly what the spec pins. Ties break
+    * toward the lower frequency.
+    */
+  def extractAudioSpectrum(assets: Dataset[MediaAsset],
+      parallelism: Int): Dataset[AudioSpectrum] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(parallelism, col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          readPcm(a.payload) match {
+            case Right((rate, samples)) =>
+              val powers = SpectrumBinsHz
+                .map(f => (f, dftPowerAt(samples, rate, f)))
+              val (domF, domP) = powers.minBy { case (f, p) => (-p, f) }
+              val rest = powers.filter(_._1 != domF)
+              val (secF, secP) = rest.minBy { case (f, p) => (-p, f) }
+              AudioSpectrum(a.asset_id, domF, domP, secF,
+                if (domP == 0) 0L else 1000L * secP / domP, null)
+            case Left(err) =>
+              AudioSpectrum(a.asset_id, -1L, 0L, -1L, 0L, err)
           }
         }
       }

@@ -206,6 +206,34 @@ object MultimodalQueries {
           col("decode_error").isNotNull.as("failed")),
       "dct_hash", DctMaxHamming)
 
+  // ---------------------------------------------------------------- q258
+
+  /** q258: the REAL audio SPECTRUM pipeline as a declared query — the
+    * 64 seeded WAVs of q69, decoded on executors and probed with the
+    * exact fixed-point DFT at the 55 Hz lattice both synthetic tones
+    * live on ([[graft.multimodal.Multimodal.dftPowerAt]] — the audio
+    * twin of q226's integer DCT: same StrictMath fixed-point trig
+    * discipline, constant work per asset). Per asset: dominant bin,
+    * its power, the runner-up, and their permille ratio — with the
+    * corpus's two-tone construction (0.6·f1 + 0.3·f2) the expected
+    * dominant IS f1 and the runner-up IS f2, which MultimodalSpec pins
+    * per asset. Declared oracle-free by the codec policy (DuckDB has
+    * no audio codec); the driver records the rows-only check.
+    *
+    * Scale shape: one executor-side `mapPartitions` pass, N·17
+    * multiply-adds per asset — linear in corpus bytes, no shuffle
+    * before the final sort.
+    */
+  def q258(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.multimodal.Multimodal.syntheticAudio(spark, 64)
+    graft.multimodal.Multimodal.extractAudioSpectrum(assets, 8)
+      .toDF()
+      .select(col("asset_id"), col("dom_freq_hz"), col("dom_mag2"),
+        col("second_freq_hz"), col("second_ratio_permille"),
+        col("decode_error").isNotNull.as("failed"))
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_binary" -> (q29 _),
     "q48_image_features" -> (q48 _),
@@ -213,7 +241,8 @@ object MultimodalQueries {
     "q112_image_resize" -> (q112 _),
     "q122_audio_resample" -> (q122 _),
     "q213_image_phash" -> (q213 _),
-    "q226_image_dct_hash" -> (q226 _))
+    "q226_image_dct_hash" -> (q226 _),
+    "q258_audio_spectrum" -> (q258 _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_binary" -> q29Oracle)

@@ -102,7 +102,8 @@ class QuerySmokeSpec extends AnyFunSuite {
     // keep this list intentional: only engine-specific sketches/codecs
     assert(noOracle == Set("q38_approx_sketches", "q48_image_features",
       "q69_audio_features", "q93_heavy_hitters", "q112_image_resize",
-      "q122_audio_resample", "q213_image_phash", "q226_image_dct_hash"),
+      "q122_audio_resample", "q213_image_phash", "q226_image_dct_hash",
+      "q258_audio_spectrum"),
       s"unexpected oracle-free queries: $noOracle")
   }
 
