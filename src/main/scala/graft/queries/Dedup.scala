@@ -182,7 +182,7 @@ object Dedup {
     * candidate pairs. Used by both the q21 oracle (pair scoring) and the
     * q78 oracle (connected components over the pair graph).
     */
-  private lazy val q21CandCte: String = {
+  private[queries] lazy val q21CandCte: String = {
     val minhashes = (0 until NumHashes)
       .map(j => s"min(${universalSql("h", j)}) AS m$j").mkString(",\n       ")
     val bandSelects = (0 until Bands).map { b =>

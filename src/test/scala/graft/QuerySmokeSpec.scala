@@ -87,7 +87,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       "PipelineOps23" -> graft.queries.PipelineOps23.queries.keys,
       "PipelineOps24" -> graft.queries.PipelineOps24.queries.keys,
       "PipelineOps25" -> graft.queries.PipelineOps25.queries.keys,
-      "PipelineOps26" -> graft.queries.PipelineOps26.queries.keys)
+      "PipelineOps26" -> graft.queries.PipelineOps26.queries.keys,
+      "PipelineOps27" -> graft.queries.PipelineOps27.queries.keys)
     val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
       "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
     val all = grid ++ packs.flatMap(_._2)
