@@ -206,43 +206,33 @@ object PipelineOps15 {
     * eigensolver itself. Sign is canonicalized by making the
     * largest-|component| dimension positive (tie → lowest dim).
     *
-    * Scale shape: ONE corpus pass — each row emits its 64×64 outer
-    * product, its 64 per-dim entries (cell j = −1) and one row-count
-    * marker (cell (−1,−1)) from a single explode INSIDE codegen (no
-    * self-join, no per-row shuffle), and a single hash aggregate
-    * partial-combines map-side into ≤4161 groups. One bounded collect
-    * (the KMeans-codebook class) then carries the matrix, the dim sums
-    * AND n, so n is count(*) over ALL rows — including NULL/ragged
-    * embeddings, which contribute only their marker — exactly the
-    * oracle's `nn` CTE, never "whichever cell came back first".
+    * Scale shape: ONE corpus pass through the one-buffer
+    * [[graft.functions.GramianAggregator]] UDAF — each row's 64×64
+    * outer product is folded into a flat per-partition long array by a
+    * tight loop (no 4,161 per-row struct materializations, no explode,
+    * no per-cell shuffle rows; the round-10 explode formulation burned
+    * exactly that constant and was the suite's slowest query), and the
+    * partial aggregate ships 2+d+d² longs per partition. One bounded
+    * collect (the KMeans-codebook class) then carries the matrix, the
+    * dim sums AND n in a single row, so n is count(*) over ALL rows —
+    * including NULL/ragged embeddings, which contribute only their n
+    * increment — exactly the oracle's `nn` CTE.
     */
   def q219(spark: SparkSession, dir: String): DataFrame = {
     val q = table(spark, dir, "embeddings")
       .select(coalesce(
         expr("transform(embedding, e -> cast(floor(cast(e as double) * 128) as bigint))"),
         expr("array()").cast("array<bigint>")).as("q"))
-    val cells = q.select(explode(concat(
-        expr("flatten(transform(q, (x, i) -> transform(q, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"),
-        expr("transform(q, (x, i) -> struct(i AS i, -1 AS j, x AS p))"),
-        expr("array(struct(-1 AS i, -1 AS j, cast(1 AS bigint) AS p))")))
-        .as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("v"))
+    val gram = udaf(new graft.functions.GramianAggregator)
 
-    // one bounded collect: 4096 matrix cells + 64 dim sums + 1 marker
-    val rows = cells.collect()
-    val n = rows.find(r => r.getAs[Int]("i") == -1)
-      .map(_.getAs[Long]("v")).getOrElse(0L)
-    val sCells = rows.filter(r =>
-      r.getAs[Int]("i") >= 0 && r.getAs[Int]("j") == -1)
-    val dims = sCells.length
-    val s = Array.ofDim[Long](dims)
-    sCells.foreach(r => s(r.getAs[Int]("i")) = r.getAs[Long]("v"))
-    val c = Array.ofDim[Long](dims, dims)
-    rows.foreach { r =>
-      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-      if (i >= 0 && j >= 0) c(i)(j) = n * r.getAs[Long]("v") - s(i) * s(j)
-    }
+    // one bounded collect: a single [n, dims, s…, gram…] summary row
+    val g = q.agg(gram(col("q")).as("g"))
+      .head().getAs[Seq[Long]]("g").toArray
+    val n = g(0)
+    val dims = g(1).toInt
+    val s = Array.tabulate(dims)(i => g(2 + i))
+    val c = Array.tabulate(dims, dims)((i, j) =>
+      n * g(2 + dims + i * dims + j) - s(i) * s(j))
     val maxAbs = c.flatten.map(math.abs).foldLeft(0L)(math.max)
     val shift = math.max(0, java.lang.Long.toBinaryString(maxAbs).length - 20)
     val cm = c.map(_.map(_ / (1L << shift)))
