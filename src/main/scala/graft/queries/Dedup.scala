@@ -67,8 +67,10 @@ object Dedup {
     * cap·(cap−1)/2 pairs. Kept deterministic (the cap keeps the
     * lowest doc_ids) so reruns and the two self-join sides agree. At
     * sf0.1 the largest bucket holds <, and asserts to hold <, 64 docs
-    * ([[DedupHotBucketSpec]]), so the cap provably never fires on the
-    * gated corpus — the oracle (uncapped) still hash-matches.
+    * ([[DedupHotBucketSpec]]), so the cap never fires on the gated
+    * corpus — and since round 11 the oracle's `bandsc` CTE mirrors the
+    * identical row_number cap, so the gate stays faithful even on a
+    * corpus whose hot buckets DO evict.
     */
   val MaxBucketDocs = 256
 
@@ -211,9 +213,16 @@ object Dedup {
        |  FROM hs GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
+       |bandsc AS (
+       |  SELECT doc_id, band_idx, bh FROM (
+       |    SELECT doc_id, band_idx, bh,
+       |           row_number() OVER (PARTITION BY band_idx, bh
+       |                              ORDER BY doc_id) AS rn
+       |    FROM bands)
+       |  WHERE rn <= $MaxBucketDocs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bandsc a JOIN bandsc b
        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 

@@ -105,10 +105,14 @@ object PipelineOps26 {
     val sizes = members.groupBy(col("cmp")).agg(
       sum(when(col("grp") === "A", 1L).otherwise(0L)).as("na"),
       sum(when(col("grp") === "B", 1L).otherwise(0L)).as("nb"))
+    // nullif guards (the q233/q237 discipline): a degenerate one-member
+    // or empty side makes a within/between term NULL → NULL e_milli,
+    // not an engine-dependent division-by-zero
     val es = stats.join(broadcast(sizes), "cmp")
       .withColumn("e_milli",
-        expr("(2000 * sab) div (na * nb) - (2000 * saa) div" +
-          " (na * (na - 1)) - (2000 * sbb) div (nb * (nb - 1))"))
+        expr("(2000 * sab) div nullif(na * nb, 0) - (2000 * saa) div" +
+          " nullif(na * (na - 1), 0) - (2000 * sbb) div" +
+          " nullif(nb * (nb - 1), 0)"))
     val obs = es.filter(col("p") === 0)
       .select(col("cmp"), col("e_milli").as("e_obs_milli"))
     es.filter(col("p") > 0)
@@ -190,9 +194,9 @@ object PipelineOps26 {
        |  FROM members GROUP BY cmp),
        |es AS (
        |  SELECT st.cmp, st.p, sz.na, sz.nb,
-       |         (2000 * st.sab) // (sz.na * sz.nb) -
-       |         (2000 * st.saa) // (sz.na * (sz.na - 1)) -
-       |         (2000 * st.sbb) // (sz.nb * (sz.nb - 1)) AS e_milli
+       |         (2000 * st.sab) // nullif(sz.na * sz.nb, 0) -
+       |         (2000 * st.saa) // nullif(sz.na * (sz.na - 1), 0) -
+       |         (2000 * st.sbb) // nullif(sz.nb * (sz.nb - 1), 0) AS e_milli
        |  FROM stats st JOIN sizes sz ON st.cmp = sz.cmp),
        |obs AS (
        |  SELECT cmp, na, nb, e_milli AS e_obs_milli FROM es WHERE p = 0)

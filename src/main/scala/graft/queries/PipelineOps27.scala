@@ -25,16 +25,21 @@ object PipelineOps27 {
     * consumer (CC, canonical keep, blast radius), no matter how good
     * the estimator is. Exact-dup pairs SHOULD be caught (identical
     * shingle sets ⇒ identical signatures ⇒ same buckets), so the only
-    * legitimate misses are hot-bucket-cap evictions — reported
-    * separately so a recall drop is attributable.
+    * legitimate misses are hot-bucket-cap evictions — carried in the
+    * `n_evicted` column (band rows beyond [[Dedup.MaxBucketDocs]]) so
+    * a recall drop is attributable in the output itself.
     *
     * Scale shape: ground-truth pairs come from a self-join on the
     * 8-byte fp key (group sizes = duplicate multiplicities — bounded
     * by data, and the same shape q17 already ships); the membership
     * probe is one co-partitioned join against the memoized
-    * [[Dedup.candidatePairs]] frame. Regime coverage: sf0.01 has zero
-    * exact dups (the empty-truth branch: 0/0 with recall NULL), sf0.1
-    * has 8 duplicated fps — the q243/q253 two-gate pattern.
+    * [[Dedup.candidatePairs]] frame; the eviction count is one extra
+    * banded-signature pass (same cap window the candidate build uses,
+    * so the two numbers cannot disagree about WHAT was evicted).
+    * Regime coverage: sf0.01 has zero exact dups (the empty-truth
+    * branch: 0/0 with recall NULL), sf0.1 has 8 duplicated fps — the
+    * q243/q253 two-gate pattern; both gates pin n_evicted = 0 and the
+    * hot-bucket fixture in PipelineOps27Spec pins it firing.
     */
   def q260(spark: SparkSession, dir: String): DataFrame = {
     val fps = table(spark, dir, "documents")
@@ -45,13 +50,20 @@ object PipelineOps27 {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand = Dedup.candidatePairs(spark, dir)
       .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(true))
+    val evicted = Dedup.bandedSigs(spark, dir)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("band_idx"), col("bh")).orderBy(col("doc_id"))))
+      .agg(sum(when(col("rn") > Dedup.MaxBucketDocs, 1L).otherwise(0L))
+        .as("n_evicted"))
     truth.join(cand, Seq("doc_a", "doc_b"), "left")
       .agg(
         count(lit(1)).as("n_true_pairs"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_caught"))
       .withColumn("recall_permille",
         expr("(1000 * n_caught) div nullif(n_true_pairs, 0)"))
-      .select(col("n_true_pairs"), col("n_caught"), col("recall_permille"))
+      .crossJoin(evicted) // 1-row × 1-row
+      .select(col("n_true_pairs"), col("n_caught"), col("recall_permille"),
+        col("n_evicted"))
   }
 
   val q260Oracle: String = {
@@ -61,13 +73,21 @@ object PipelineOps27 {
        |truth AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM fps a JOIN fps b
-       |    ON a.fp = b.fp AND a.doc_id < b.doc_id)
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |ev AS (
+       |  SELECT CAST(sum(CASE WHEN rn > ${Dedup.MaxBucketDocs}
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_evicted
+       |  FROM (
+       |    SELECT row_number() OVER (PARTITION BY band_idx, bh
+       |                              ORDER BY doc_id) AS rn
+       |    FROM bands))
        |SELECT count(*) AS n_true_pairs,
        |       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
        |            AS BIGINT) AS n_caught,
        |       (1000 * CAST(sum(CASE WHEN c.doc_a IS NOT NULL
        |                             THEN 1 ELSE 0 END) AS BIGINT)) //
-       |         nullif(count(*), 0) AS recall_permille
+       |         nullif(count(*), 0) AS recall_permille,
+       |       (SELECT n_evicted FROM ev) AS n_evicted
        |FROM truth t
        |LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM cand) c
        |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b""".stripMargin

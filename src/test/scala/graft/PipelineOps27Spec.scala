@@ -60,10 +60,40 @@ class PipelineOps27Spec extends AnyFunSuite {
     assert(r(0).getLong(0) == truth.size.toLong)
     assert(r(0).getLong(1) == caught)
     assert(r(0).getLong(2) == 1000 * caught / truth.size)
+    // the gated corpus never overflows a bucket (DedupHotBucketSpec)
+    assert(r(0).getLong(3) == 0L, "n_evicted must be 0 at sf0.1")
     // identical text => identical shingles => identical bands: with the
     // hot-bucket cap inert on this corpus the recall must be perfect
     assert(caught == truth.size.toLong,
       s"banding missed ${truth.size - caught} exact-dup pairs")
+  }
+
+  test("q260: a hot bucket overflowing the cap is counted in n_evicted " +
+    "and the recall drop is exactly the evicted pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q260-hot-")
+    try {
+      import spark.implicits._
+      val n = Dedup.MaxBucketDocs + 44 // 300 identical docs, 44 evicted
+      val boiler = "subscribe to our newsletter for the latest updates"
+      (1L to n.toLong).map(i => (i, boiler)).toDF("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = PipelineOps27.q260(spark, dir.toString).collect()
+      assert(r.length == 1)
+      val cap = Dedup.MaxBucketDocs.toLong
+      val truePairs = n.toLong * (n - 1) / 2
+      val caughtPairs = cap * (cap - 1) / 2 // all 4 bands share one bucket
+      assert(r(0).getLong(0) == truePairs)
+      assert(r(0).getLong(1) == caughtPairs)
+      assert(r(0).getLong(2) == 1000 * caughtPairs / truePairs)
+      // 4 bands x (n - cap) band-rows evicted
+      assert(r(0).getLong(3) == 4L * (n - cap))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
   }
 
   // ------------------------------------------------------------- q261
