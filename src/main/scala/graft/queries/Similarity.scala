@@ -174,6 +174,8 @@ object Similarity {
         max(col("norm")).as("max_norm"))
       .orderBy(col("label"))
 
+  // per-vector DOUBLE sum of 64 unit-scale squares (not an int64
+  // moment; magnitude ~1e0) — no overflow budget applies
   val q30Oracle: String =
     """WITH un AS (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x

@@ -202,6 +202,8 @@ object Similarity2 {
         round(avg(col("norm")), 4).as("avg_norm"))
       .orderBy(col("lang"), col("label"))
 
+  // per-vector DOUBLE sum of 64 unit-scale squares (not an int64
+  // moment; magnitude ~1e0) — no overflow budget applies
   val q43Oracle: String =
     """WITH un AS (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x

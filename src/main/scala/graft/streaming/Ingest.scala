@@ -89,6 +89,52 @@ object Ingest {
     query
   }
 
+  /** The ALWAYS-ON posture of the same pipeline: identical source,
+    * routing, redrive, and checkpoint as [[runAvailableNow]], but on a
+    * `ProcessingTime` trigger with `maxFilesPerTrigger` back-pressure —
+    * the long-running equivalent of the reference's push-driven
+    * S3-event → Lambda choreography (each micro-batch is one "event
+    * delivery"). Returns the RUNNING query; the caller owns its
+    * lifecycle (`stop()`), and a restart from the same checkpoint
+    * resumes exactly where the stream left off (the soak case in
+    * IngestSpec proves no file is lost or duplicated across a
+    * stop/restart, and that the result equals one AvailableNow drain).
+    *
+    * Delivery contract: offsets commit AFTER `foreachBatch` returns, so
+    * the sink sees each file at-least-once across a HARD mid-batch
+    * kill; between micro-batches (and across graceful stop/restart) the
+    * checkpoint makes processing exactly-once. The reference has the
+    * identical window (bom/bom.py processes, then deletes the SQS
+    * message), so parity is by design, not accident.
+    */
+  def runProcessingTime(
+      spark: SparkSession,
+      inDir: String,
+      servingDir: String,
+      checkpointDir: String,
+      archiveDir: String,
+      quarantineDir: String,
+      maxAttempts: Int = DefaultMaxAttempts,
+      intervalMs: Long = 500L,
+      maxFilesPerTrigger: Int = 4,
+      parse: (String, String) => Seq[RadiationPoint] =
+        (name, text) => GridReader.explodeFile(name, text).toSeq): StreamingQuery = {
+    val raw = spark.readStream
+      .option("wholetext", "true")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(inDir)
+      .select(input_file_name().as("file_name"), col("value"))
+    raw.writeStream
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, servingDir, quarantineDir, inDir, maxAttempts, parse)
+      }
+      .start()
+  }
+
   /** Per-batch routing: good files → serving table; failed files →
     * re-enqueue (attempt < maxAttempts) or quarantine (attempt ==
     * maxAttempts). The failure set is collected to the driver — bounded

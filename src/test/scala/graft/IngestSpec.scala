@@ -138,6 +138,61 @@ class IngestSpec extends AnyFunSuite {
     assert(Option(quarantine.toFile.list()).forall(_.isEmpty))
   }
 
+  test("ProcessingTime soak: files across 3+ micro-batches, restart " +
+    "mid-stream, nothing lost or duplicated, equal to one AvailableNow run") {
+    val in = tmp("soak-in")
+    val serving = tmp("soak-serving").toString
+    val checkpoint = tmp("soak-chk").toString
+    val archive = tmp("soak-archive").toString
+    val quarantine = tmp("soak-quarantine").toString
+
+    def served(): Long =
+      scala.util.Try(spark.read.parquet(serving).count()).getOrElse(0L)
+    def waitServed(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (served() != n && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(served() == n, s"timed out waiting for $n served points")
+    }
+
+    // three arrivals while the query runs = three separate micro-batches
+    // (each file lands alone; the 150 ms trigger drains it before the next)
+    Files.writeString(in.resolve(GridFixtures.f1.name), GridFixtures.f1.content)
+    val q1 = Ingest.runProcessingTime(spark, in.toString, serving, checkpoint,
+      archive, quarantine, intervalMs = 150L)
+    try {
+      waitServed(8) // f1
+      Files.writeString(in.resolve(GridFixtures.f2.name), GridFixtures.f2.content)
+      waitServed(10) // + f2
+      Files.writeString(in.resolve(GridFixtures.f3.name), GridFixtures.f3.content)
+      waitServed(11) // + f3
+    } finally q1.stop() // restart point: stream down mid-arrival-sequence
+    assert(!q1.isActive)
+
+    // f4 arrives while the engine is DOWN; the restarted query must pick
+    // up exactly it — everything before the stop stays committed in the
+    // checkpoint (no replay), f4 is not missed
+    Files.writeString(in.resolve(GridFixtures.f4.name), GridFixtures.f4.content)
+    val q2 = Ingest.runProcessingTime(spark, in.toString, serving, checkpoint,
+      archive, quarantine, intervalMs = 150L)
+    try waitServed(14) finally q2.stop()
+
+    // exactly-once across the restart: 14 points, no file double-served
+    val soaked = spark.read.parquet(serving)
+    assert(soaked.count() == 14)
+    assert(Option(new java.io.File(quarantine).list()).forall(_.isEmpty))
+
+    // parity: one AvailableNow drain over the same four files produces
+    // the IDENTICAL partitioned dataset
+    val in2 = tmp("soak-once-in"); writeFixtures(in2)
+    val serving2 = tmp("soak-once-serving").toString
+    Ingest.runAvailableNow(spark, in2.toString, serving2,
+      tmp("soak-once-chk").toString, tmp("soak-once-archive").toString,
+      tmp("soak-once-quarantine").toString)
+    val once = spark.read.parquet(serving2)
+    assert(soaked.exceptAll(once).isEmpty && once.exceptAll(soaked).isEmpty,
+      "soak output diverges from the one-shot AvailableNow dataset")
+  }
+
   test("permanently-bad file quarantines after exactly maxAttempts tries") {
     val in = tmp("poison-in")
     Files.writeString(in.resolve("POISON_radiation_20180101_0100.txt"),
