@@ -135,7 +135,7 @@ object GraphRank {
 
   val q123Oracle: String = {
     val iters = (1 to Iterations).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT nd.source,
          |         CAST((15 * ($RankScale // p.n)) // 100
          |              + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
@@ -148,23 +148,27 @@ object GraphRank {
          |    GROUP BY e.src_to) s ON s.source = nd.source)"""
         .stripMargin
     }.mkString(",\n")
+    // MATERIALIZED everywhere below: edges/outdeg are referenced once
+    // per iteration CTE, and DuckDB inlines plain CTEs — without the
+    // hint the whole shingle self-join replays $Iterations times
+    // (~70 CPU-minutes at sf1 instead of seconds)
     // the CTE prefix is concatenated AFTER stripMargin: interpolating a
     // multi-line string into a stripMargin region corrupts its leading
     // `||` concat operators (stripMargin eats the first pipe)
     s"WITH ${Shingles.rareCteSql},\n" +
-    s"""ds AS (
+    s"""ds AS MATERIALIZED (
        |  SELECT s.doc_id, d.source, s.hh
        |  FROM hs s JOIN rare USING (hh) JOIN documents d USING (doc_id)),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS da, b.doc_id AS db, a.source AS sa, b.source AS sb
        |  FROM ds a JOIN ds b
        |    ON a.hh = b.hh AND a.doc_id < b.doc_id AND a.source <> b.source
        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MinSharedShingles),
-       |edges AS (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs),
-       |nodes AS (SELECT DISTINCT source FROM documents),
-       |params AS (SELECT count(*) AS n FROM nodes),
-       |outdeg AS (SELECT src_from, count(*) AS d FROM edges GROUP BY 1),
-       |indeg AS (SELECT src_to, count(*) AS i FROM edges GROUP BY 1),
+       |edges AS MATERIALIZED (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+       |params AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |outdeg AS MATERIALIZED (SELECT src_from, count(*) AS d FROM edges GROUP BY 1),
+       |indeg AS MATERIALIZED (SELECT src_to, count(*) AS i FROM edges GROUP BY 1),
        |r0 AS (
        |  SELECT nd.source, CAST($RankScale // p.n AS BIGINT) AS rank
        |  FROM nodes nd CROSS JOIN params p),
@@ -261,10 +265,10 @@ object GraphRank {
     */
   private def pairsCtePrefix: String =
     s"${Shingles.rareCteSql},\n" +
-    s"""ds AS (
+    s"""ds AS MATERIALIZED (
        |  SELECT s.doc_id, d.source, s.hh
        |  FROM hs s JOIN rare USING (hh) JOIN documents d USING (doc_id)),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS da, b.doc_id AS db, a.source AS sa, b.source AS sb
        |  FROM ds a JOIN ds b
        |    ON a.hh = b.hh AND a.doc_id < b.doc_id AND a.source <> b.source
@@ -277,11 +281,11 @@ object GraphRank {
     */
   private[queries] def edgesCtePrefix: String =
     s"$pairsCtePrefix,\n" +
-    "edges AS (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs)"
+    "edges AS MATERIALIZED (SELECT DISTINCT sb AS src_from, sa AS src_to FROM pairs)"
 
   val q161Oracle: String =
     s"WITH RECURSIVE $edgesCtePrefix,\n" +
-    s"""ue AS (
+    s"""ue AS MATERIALIZED (
        |  SELECT src_from AS src, src_to AS dst FROM edges
        |  UNION
        |  SELECT src_to AS src, src_from AS dst FROM edges),
@@ -534,7 +538,7 @@ object GraphRank {
 
   val q216Oracle: String =
     s"WITH $edgesCtePrefix,\n" +
-    s"""ue AS (
+    s"""ue AS MATERIALIZED (
        |  SELECT src_from AS s, src_to AS t FROM edges
        |  UNION
        |  SELECT src_to AS s, src_from AS t FROM edges),

@@ -67,7 +67,7 @@ object Shingles {
        |           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
        |  WHERE shingle IS NOT NULL),
-       |hs AS (SELECT DISTINCT doc_id, $h AS hh FROM sh)"""
+       |hs AS MATERIALIZED (SELECT DISTINCT doc_id, $h AS hh FROM sh)"""
       .stripMargin
   }
 
@@ -79,6 +79,10 @@ object Shingles {
     // concatenated, NOT interpolated into a stripMargin block — the
     // embedded `|| ' ' ||` concat lines would lose a pipe to a second
     // margin strip
+    // hs/rare/pairs consumers reference these CTEs once per pagerank/
+    // HITS/BFS iteration — MATERIALIZED stops DuckDB inlining the
+    // whole shingle self-join into every iteration (the sf1 gate's
+    // 70-CPU-minute q123 hang)
     hashesCteSql +
-      s",\nrare AS (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= $MaxDf)"
+      s",\nrare AS MATERIALIZED (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= $MaxDf)"
 }
