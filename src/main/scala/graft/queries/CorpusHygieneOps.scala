@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables.table
 import graft.functions.CrossHash
 
-/** Round-10 pack #12: corpus-hygiene statistics — cross-language mirror
+/** Corpus-hygiene statistics — cross-language mirror
   * detection (q254) and the Good–Turing unseen-shingle mass (q255).
   */
-object PipelineOps24 {
+object CorpusHygieneOps {
 
   // ---------------------------------------------------------------- q254
 

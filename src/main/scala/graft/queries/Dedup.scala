@@ -207,20 +207,20 @@ object Dedup {
        |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
        |  WHERE shingle IS NOT NULL),
        |hs AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM sh),
-       |mh AS (
+       |mh AS MATERIALIZED (
        |  SELECT doc_id,
        |       $minhashes
        |  FROM hs GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
-       |bandsc AS (
+       |bandsc AS MATERIALIZED (
        |  SELECT doc_id, band_idx, bh FROM (
        |    SELECT doc_id, band_idx, bh,
        |           row_number() OVER (PARTITION BY band_idx, bh
        |                              ORDER BY doc_id) AS rn
        |    FROM bands)
        |  WHERE rn <= $MaxBucketDocs),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bandsc a JOIN bandsc b
        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
@@ -570,8 +570,8 @@ object Dedup {
     // CTE prefix concatenated AFTER stripMargin — interpolating it into
     // the stripMargin region would corrupt its leading `||` operators
     s"WITH ${Shingles.rareCteSql},\n" +
-    s"""ds AS (SELECT doc_id, hh FROM hs JOIN rare USING (hh)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    s"""ds AS MATERIALIZED (SELECT doc_id, hh FROM hs JOIN rare USING (hh)),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
        |  FROM ds a JOIN ds b ON a.hh = b.hh AND a.doc_id < b.doc_id
@@ -680,7 +680,7 @@ object Dedup {
 
   /** Banding candidates + symmetric edges + the recursive CC walk,
     * ending in `labels(id, label)` — the SQL twin of [[ccLabels]], THE
-    * single copy (q78, q87, q156, q157, and PipelineOps23's q253 all
+    * single copy (q78, q87, q156, q157, and EvalOps's q253 all
     * prepend `WITH RECURSIVE` and consume `labels`).
     */
   private[queries] lazy val ccWalkCtes: String =

@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables.table
 import graft.functions.CrossHash
 
-/** Round-10 pack #15: dedup meta-audits — blocking recall against the
+/** Dedup meta-audits — blocking recall against the
   * exact-duplicate ground truth (q260) and the kept-set divergence
   * between the two shipped keep policies (q261).
   */
-object PipelineOps27 {
+object DedupAuditOps {
 
   // ---------------------------------------------------------------- q260
 
@@ -39,7 +39,7 @@ object PipelineOps27 {
     * Regime coverage: sf0.01 has zero exact dups (the empty-truth
     * branch: 0/0 with recall NULL), sf0.1 has 8 duplicated fps — the
     * q243/q253 two-gate pattern; both gates pin n_evicted = 0 and the
-    * hot-bucket fixture in PipelineOps27Spec pins it firing.
+    * hot-bucket fixture in DedupAuditSpec pins it firing.
     */
   def q260(spark: SparkSession, dir: String): DataFrame = {
     val fps = table(spark, dir, "documents")

@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables.table
 import graft.functions.CrossHash
 
-/** Round-10 pack #11: evaluation-set engineering and split hygiene —
+/** Evaluation-set engineering and split hygiene —
   * Neyman (variance-optimal) eval allocation (q252) and the
   * contamination BLAST RADIUS through near-dup clusters (q253).
   */
-object PipelineOps23 {
+object EvalOps {
 
   // ---------------------------------------------------------------- q252
 

@@ -94,10 +94,10 @@ object ImportanceOps {
        |             (PARTITION BY doc_id ORDER BY pos) AS bg
        |    FROM toks) s
        |  WHERE bg IS NOT NULL),
-       |db AS (
+       |db AS MATERIALIZED (
        |  SELECT doc_id, lang, bucket, count(*) AS f
        |  FROM bg GROUP BY doc_id, lang, bucket),
-       |bs AS (
+       |bs AS MATERIALIZED (
        |  SELECT bucket, sum(f) AS r_b,
        |         sum(CASE WHEN lang = 'en' THEN f ELSE 0 END) AS t_b
        |  FROM db GROUP BY bucket),

@@ -355,11 +355,11 @@ object PipelineOps15 {
       |  SELECT doc_id, lang,
       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
       |  FROM documents),
-      |bigr AS (
+      |bigr AS MATERIALIZED (
       |  SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS cur
       |  FROM d, unnest(range(1, len(toks))) AS u(i)
       |  WHERE len(toks) >= 2),
-      |bc AS (
+      |bc AS MATERIALIZED (
       |  SELECT prev, cur, count(*) AS bcnt FROM bigr GROUP BY prev, cur),
       |ctx AS (
       |  SELECT prev, CAST(sum(bcnt) AS BIGINT) AS ccnt FROM bc GROUP BY prev),

@@ -269,7 +269,7 @@ object PipelineOps16 {
   }
 
   val q230Oracle: String =
-    """WITH f AS (
+    """WITH f AS MATERIALIZED (
       |  SELECT doc_id, lang,
       |         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
       |              AS BIGINT) AS x,

@@ -60,11 +60,13 @@ object Relational16 {
   }
 
   val q183Oracle: String =
-    """WITH items AS (
+    // items is referenced four times (n_o, pp, both self-join sides) —
+    // MATERIALIZED stops DuckDB re-inlining the 6M-row DISTINCT per use
+    """WITH items AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
       |  FROM lineitem),
       |n_o AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
-      |pp AS (SELECT pkey, count(*) AS n_p FROM items GROUP BY pkey),
+      |pp AS MATERIALIZED (SELECT pkey, count(*) AS n_p FROM items GROUP BY pkey),
       |pairs AS (
       |  SELECT a.pkey AS pk_a, b.pkey AS pk_b, count(*) AS pair_n
       |  FROM items a JOIN items b

@@ -246,17 +246,102 @@ object TextAnalysis {
        |SELECT doc_id, min(${h60Sql("g")}) AS fingerprint
        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+
+  /** Rule bounds (inclusive) and bit values in the fail mask. */
+  val WcMin = 30L;  val WcMax = 90L    // bit 1: word count
+  val MwlMin = 3500L; val MwlMax = 5000L // bit 2: mean word len, permille
+  val StopMin = 2L                      // bit 4: stopword count
+  val TtrMin = 500L                     // bit 8: distinct-token permille
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  // ---------------------------------------------------------------- q172
+
+  /** q172: per-language Gopher-battery rollup — docs, per-rule failure
+    * counts, docs passing ALL rules, and the survivor permille.
+    */
+  def q172(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    table(spark, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("w", size(col("toks")).cast("long"))
+      .withColumn("mwl",
+        expr("CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000 DIV w"))
+      .withColumn("stop",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("long"))
+      .withColumn("ttr",
+        expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000 DIV w"))
+      .withColumn("f_wc",
+        when(col("w").between(WcMin, WcMax), 0L).otherwise(1L))
+      .withColumn("f_mwl",
+        when(col("mwl").between(MwlMin, MwlMax), 0L).otherwise(1L))
+      .withColumn("f_stop", when(col("stop") >= StopMin, 0L).otherwise(1L))
+      .withColumn("f_ttr", when(col("ttr") >= TtrMin, 0L).otherwise(1L))
+      .withColumn("passed",
+        when(col("f_wc") + col("f_mwl") + col("f_stop") + col("f_ttr") === 0L,
+          1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_wc")).as("fail_wordcount"),
+        sum(col("f_mwl")).as("fail_meanwordlen"),
+        sum(col("f_stop")).as("fail_stopwords"),
+        sum(col("f_ttr")).as("fail_ttr"),
+        sum(col("passed")).as("n_pass"))
+      .withColumn("pass_permille", expr("n_pass * 1000 DIV n_docs"))
+      .select(col("lang"), col("n_docs"), col("fail_wordcount"),
+        col("fail_meanwordlen"), col("fail_stopwords"), col("fail_ttr"),
+        col("n_pass"), col("pass_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q172Oracle: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT lang,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+       |         length(replace(text, ' ', '')) AS nosp
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang, len(toks) AS w,
+       |         CAST(nosp AS BIGINT) * 1000 // len(toks) AS mwl,
+       |         len(list_filter(toks, t -> t IN ($stopList))) AS stop,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) * 1000 // len(toks)
+       |           AS ttr
+       |  FROM f),
+       |v AS (
+       |  SELECT lang,
+       |         CASE WHEN w BETWEEN $WcMin AND $WcMax THEN 0 ELSE 1 END AS f_wc,
+       |         CASE WHEN mwl BETWEEN $MwlMin AND $MwlMax THEN 0 ELSE 1 END
+       |           AS f_mwl,
+       |         CASE WHEN stop >= $StopMin THEN 0 ELSE 1 END AS f_stop,
+       |         CASE WHEN ttr >= $TtrMin THEN 0 ELSE 1 END AS f_ttr
+       |  FROM g)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
+       |       CAST(sum(f_mwl) AS BIGINT) AS fail_meanwordlen,
+       |       CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+       |       CAST(sum(f_ttr) AS BIGINT) AS fail_ttr,
+       |       CAST(sum(CASE WHEN f_wc + f_mwl + f_stop + f_ttr = 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |       CAST(sum(CASE WHEN f_wc + f_mwl + f_stop + f_ttr = 0
+       |                     THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+       |         AS pass_permille
+       |FROM v GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_tokens" -> (q18 _),
     "q25_langid_markers" -> (q25 _),
     "q26_quality_score" -> (q26 _),
     "q27_token_count" -> (q27 _),
-    "q28_fingerprint" -> (q28 _))
+    "q28_fingerprint" -> (q28 _),
+    "q172_gopher_rules" -> (q172 _))
 
   val oracles: Map[String, String] = Map(
     "q18_text_tokens" -> q18Oracle,
     "q25_langid_markers" -> q25Oracle,
     "q26_quality_score" -> q26Oracle,
     "q27_token_count" -> q27Oracle,
-    "q28_fingerprint" -> q28Oracle)
+    "q28_fingerprint" -> q28Oracle,
+    "q172_gopher_rules" -> q172Oracle)
 }

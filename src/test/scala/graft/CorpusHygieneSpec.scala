@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps24
+import graft.queries.CorpusHygieneOps
 
 /** First-principles re-derivations of the round-10 pack #12 (q254-q255)
   * from collected raw rows, plus the mirror-detection mechanism pinned
   * on a crafted corpus (sf0.001 itself has no cross-language collision,
   * so the fixture is what proves the flag can fire).
   */
-class PipelineOps24Spec extends AnyFunSuite {
+class CorpusHygieneSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -34,7 +34,7 @@ class PipelineOps24Spec extends AnyFunSuite {
       val m = xs.count(d => langsByText(d._2) > 1).toLong
       (lang, xs.length.toLong, m, 1000 * m / xs.length)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps24.q254(spark, sfDir).collect().map(r =>
+    val got = CorpusHygieneOps.q254(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expect)
 
@@ -49,7 +49,7 @@ class PipelineOps24Spec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
-    val fx = PipelineOps24.q254(spark, dir).collect().map(r =>
+    val fx = CorpusHygieneOps.q254(spark, dir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(fx == Seq(("de", 1L, 1L, 1000L), ("en", 2L, 1L, 500L)),
       s"fixture mirror rows: $fx")
@@ -79,7 +79,7 @@ class PipelineOps24Spec extends AnyFunSuite {
       (lang, n, types, h, d, 1000 * h / n,
         if (h == 0) null else java.lang.Long.valueOf(2000 * d / h))
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps24.q255(spark, sfDir).collect().map(r =>
+    val got = CorpusHygieneOps.q255(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5),
         if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6))))

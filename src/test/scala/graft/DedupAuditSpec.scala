@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Dedup, PipelineOps27}
+import graft.queries.{Dedup, DedupAuditOps}
 
 /** First-principles re-derivations of the round-10 pack #15 (q260-q261):
   * blocking recall recomputed from raw text fingerprints against the
   * collected candidate frame, and the keep-policy divergence recomputed
   * from collected labels + an independent quality score.
   */
-class PipelineOps27Spec extends AnyFunSuite {
+class DedupAuditSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -55,7 +55,7 @@ class PipelineOps27Spec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val caught = truth.count(cand.contains).toLong
-    val r = PipelineOps27.q260(spark, sfDir).collect()
+    val r = DedupAuditOps.q260(spark, sfDir).collect()
     assert(r.length == 1)
     assert(r(0).getLong(0) == truth.size.toLong)
     assert(r(0).getLong(1) == caught)
@@ -78,7 +78,7 @@ class PipelineOps27Spec extends AnyFunSuite {
       (1L to n.toLong).map(i => (i, boiler)).toDF("doc_id", "text")
         .repartition(4)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val r = PipelineOps27.q260(spark, dir.toString).collect()
+      val r = DedupAuditOps.q260(spark, dir.toString).collect()
       assert(r.length == 1)
       val cap = Dedup.MaxBucketDocs.toLong
       val truePairs = n.toLong * (n - 1) / 2
@@ -117,7 +117,7 @@ class PipelineOps27Spec extends AnyFunSuite {
       (lang, xs.length.toLong, nd, xs.map(_._3).sum,
         1000 * nd / xs.length)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps27.q261(spark, sfDir).collect().map(r =>
+    val got = DedupAuditOps.q261(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == expect)

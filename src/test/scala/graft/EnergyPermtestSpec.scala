@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps26
+import graft.queries.MonitoringOps
 
 /** First-principles re-derivation of q259's permutation energy test —
   * the full pipeline (quantize, isqrt distances, h60 rank splits,
@@ -12,7 +12,7 @@ import graft.queries.PipelineOps26
   * corpus where class 1 is a genuinely shifted distribution: label01
   * must reject, parity (which mixes both classes) must not.
   */
-class PipelineOps26Spec extends AnyFunSuite {
+class EnergyPermtestSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -66,14 +66,14 @@ class PipelineOps26Spec extends AnyFunSuite {
           2000 * sbb / (nb * (nb - 1))
       }
       val eObs = eOf(grp)
-      val nGe = (1 to PipelineOps26.EdPerms).count { p =>
+      val nGe = (1 to MonitoringOps.EdPerms).count { p =>
         val ranked = ids.sortBy(id => (h60(s"ed:$cmp:$p:$id"), id))
         val aSet = ranked.take(na.toInt).toSet
         eOf(id => if (aSet.contains(id)) "A" else "B") >= eObs
       }.toLong
-      val pPm = 1000 * (1 + nGe) / (1 + PipelineOps26.EdPerms)
+      val pPm = 1000 * (1 + nGe) / (1 + MonitoringOps.EdPerms)
       (cmp, na, nb, eObs, nGe, pPm,
-        pPm <= PipelineOps26.EdAlphaPermille)
+        pPm <= MonitoringOps.EdAlphaPermille)
     }.sortBy(_._1)
   }
 
@@ -85,7 +85,7 @@ class PipelineOps26Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1).toLong,
         r.getSeq[Float](2).toArray)).toSeq
     val expect = model(rows)
-    val got = PipelineOps26.q259(spark, "/root/testdata/sf0.001")
+    val got = MonitoringOps.q259(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
     assert(got == expect)
@@ -108,7 +108,7 @@ class PipelineOps26Spec extends AnyFunSuite {
     rows.toDF("vec_id", "label", "embedding")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
-    val byCmp = PipelineOps26.q259(spark, dir).collect()
+    val byCmp = MonitoringOps.q259(spark, dir).collect()
       .map(r => (r.getString(0), (r.getLong(5), r.getBoolean(6)))).toMap
     assert(byCmp("label01")._2,
       s"shifted class not rejected: p=${byCmp("label01")._1}")
@@ -116,7 +116,7 @@ class PipelineOps26Spec extends AnyFunSuite {
       s"null parity split rejected: p=${byCmp("parity")._1}")
     // the crafted rows must also match the independent model end-to-end
     val expect = model(rows)
-    val full = PipelineOps26.q259(spark, dir).collect()
+    val full = MonitoringOps.q259(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
     assert(full == expect)

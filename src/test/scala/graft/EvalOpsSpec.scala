@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps23
+import graft.queries.EvalOps
 
 /** First-principles re-derivations of the round-10 pack #11 (q252-q253):
   * the Neyman weights recomputed from raw rows with independent integer
@@ -11,7 +11,7 @@ import graft.queries.PipelineOps23
   * crafted corpus where a train paraphrase of a leaked document must be
   * quarantined even though its own fingerprint is clean.
   */
-class PipelineOps23Spec extends AnyFunSuite {
+class EvalOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -60,7 +60,7 @@ class PipelineOps23Spec extends AnyFunSuite {
       val prop = 1000 * n / totN
       (lang, n, w, ney, prop, ney - prop)
     }
-    val got = PipelineOps23.q252(spark, sfDir).collect().map(r =>
+    val got = EvalOps.q252(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect)
@@ -108,7 +108,7 @@ class PipelineOps23Spec extends AnyFunSuite {
     assert(pairs.contains(ab),
       s"fixture near-dup did not band-collide: $pairs")
 
-    val got = PipelineOps23.q253(spark, dir).collect().map(r =>
+    val got = EvalOps.q253(spark, dir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == Seq(("en", 3L, 1L, 1L, 666L)),

@@ -5,14 +5,14 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps13
+import graft.queries.TextAnalysis
 
 /** q172 (Gopher rule battery): a constructed corpus with one document
   * failing EXACTLY one rule each plus one passing all four — pins that
   * every rule fires independently and that the pass verdict is the
   * conjunction, which the per-language aggregate alone cannot show.
   */
-class PipelineOps13Spec extends AnyFunSuite {
+class GopherRulesSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -44,7 +44,7 @@ class PipelineOps13Spec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val r = PipelineOps13.q172(spark, dir).collect()
+    val r = TextAnalysis.q172(spark, dir).collect()
     assert(r.length == 1 && r.head.getString(0) == "xx")
     val Seq(nDocs, fWc, fMwl, fStop, fTtr, nPass, permille) =
       (1 to 7).map(r.head.getLong)
@@ -55,7 +55,7 @@ class PipelineOps13Spec extends AnyFunSuite {
   }
 
   test("q172: every rule discriminates on the real corpus") {
-    val rows = PipelineOps13.q172(spark, sfDir).collect()
+    val rows = TextAnalysis.q172(spark, sfDir).collect()
     assert(rows.map(_.getLong(1)).sum == 500L)
     def total(i: Int) = rows.map(_.getLong(i)).sum
     assert(total(2) > 0 && total(3) > 0 && total(4) > 0 && total(5) > 0,

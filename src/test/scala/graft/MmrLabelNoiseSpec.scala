@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps22
+import graft.queries.RetrievalOps
 
 /** First-principles re-derivations of the round-10 pack #10 (q250-q251):
   * the greedy MMR trace and the k-NN disagreement screen recomputed from
@@ -11,7 +11,7 @@ import graft.queries.PipelineOps22
   * plus the diversity invariant the hash gate cannot express (the MMR
   * set is never MORE redundant than the plain top-k).
   */
-class PipelineOps22Spec extends AnyFunSuite {
+class MmrLabelNoiseSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -48,10 +48,10 @@ class PipelineOps22Spec extends AnyFunSuite {
       val pool = emb.filter(_._1 != pid)
         .map { case (nid, _, ce) => (nid, micro(pe, ce)) }
         .sortBy { case (nid, sm) => (-sm, nid) }
-        .take(PipelineOps22.MmrPoolK)
+        .take(RetrievalOps.MmrPoolK)
       var sel = List(pool.minBy { case (nid, sm) => (-sm, nid) })
       var trace = List((pid, 1L, sel.head._1, sel.head._2, sel.head._2))
-      for (r <- 2 to PipelineOps22.MmrSelK) {
+      for (r <- 2 to RetrievalOps.MmrSelK) {
         val selIds = sel.map(_._1).toSet
         val scored = pool.filterNot(c => selIds.contains(c._1))
           .map { case (nid, smq) =>
@@ -71,12 +71,12 @@ class PipelineOps22Spec extends AnyFunSuite {
         ps.sum / ps.length
       }
       val mmrIds = trace.map(_._3)
-      val topIds = pool.take(PipelineOps22.MmrSelK).map(_._1).toSeq
+      val topIds = pool.take(RetrievalOps.MmrSelK).map(_._1).toSeq
       assert(meanPair(mmrIds) <= meanPair(topIds) + 1e-9,
         s"probe $pid: MMR set more redundant than plain top-k")
       trace
     }.sortBy(t => (t._1, t._2)).toSeq
-    val got = PipelineOps22.q250(spark, sfDir).collect().map(r =>
+    val got = RetrievalOps.q250(spark, sfDir).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == expect)
@@ -92,15 +92,15 @@ class PipelineOps22Spec extends AnyFunSuite {
       val nn = emb.filter(_._1 != pid)
         .map { case (nid, nl, ce) => (nid, nl, micro(pe, ce)) }
         .sortBy { case (nid, _, sm) => (-sm, nid) }
-        .take(PipelineOps22.NoiseK)
+        .take(RetrievalOps.NoiseK)
       (pl, nn.count(_._2 != pl).toLong)
     }
     val expect = per.groupBy(_._1).map { case (l, xs) =>
       (l, xs.length.toLong,
-        1000 * xs.map(_._2).sum / (PipelineOps22.NoiseK * xs.length),
-        xs.count(_._2 * 2 > PipelineOps22.NoiseK).toLong)
+        1000 * xs.map(_._2).sum / (RetrievalOps.NoiseK * xs.length),
+        xs.count(_._2 * 2 > RetrievalOps.NoiseK).toLong)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps22.q251(spark, sfDir).collect().map(r =>
+    val got = RetrievalOps.q251(spark, sfDir).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expect)
   }

@@ -66,7 +66,6 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Similarity3" -> graft.queries.Similarity3.queries.keys,
       "PipelineOps12" -> graft.queries.PipelineOps12.queries.keys,
       "Similarity4" -> graft.queries.Similarity4.queries.keys,
-      "PipelineOps13" -> graft.queries.PipelineOps13.queries.keys,
       "SetSimJoin" -> graft.queries.SetSimJoin.queries.keys,
       "Relational15" -> graft.queries.Relational15.queries.keys,
       "CorpusStats" -> graft.queries.CorpusStats.queries.keys,
@@ -82,13 +81,10 @@ class QuerySmokeSpec extends AnyFunSuite {
       "PipelineOps18" -> graft.queries.PipelineOps18.queries.keys,
       "PipelineOps19" -> graft.queries.PipelineOps19.queries.keys,
       "PipelineOps20" -> graft.queries.PipelineOps20.queries.keys,
-      "PipelineOps21" -> graft.queries.PipelineOps21.queries.keys,
-      "PipelineOps22" -> graft.queries.PipelineOps22.queries.keys,
-      "PipelineOps23" -> graft.queries.PipelineOps23.queries.keys,
-      "PipelineOps24" -> graft.queries.PipelineOps24.queries.keys,
-      "PipelineOps25" -> graft.queries.PipelineOps25.queries.keys,
-      "PipelineOps26" -> graft.queries.PipelineOps26.queries.keys,
-      "PipelineOps27" -> graft.queries.PipelineOps27.queries.keys)
+      "RetrievalOps" -> graft.queries.RetrievalOps.queries.keys,
+      "EvalOps" -> graft.queries.EvalOps.queries.keys,
+      "CorpusHygieneOps" -> graft.queries.CorpusHygieneOps.queries.keys,
+      "DedupAuditOps" -> graft.queries.DedupAuditOps.queries.keys)
     val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
       "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
     val all = grid ++ packs.flatMap(_._2)

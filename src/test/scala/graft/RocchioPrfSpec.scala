@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps21
+import graft.queries.RetrievalOps
 
 /** First-principles re-derivations of the round-10 pack #9 (q248-q249):
   * the Rocchio two-pass retrieval and the negative-sampling table are
@@ -11,7 +11,7 @@ import graft.queries.PipelineOps21
   * (cosine fold, micro-sim floor, integer centroid, md5 draw hash all
   * REIMPLEMENTED — never called).
   */
-class PipelineOps21Spec extends AnyFunSuite {
+class RocchioPrfSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -52,7 +52,7 @@ class PipelineOps21Spec extends AnyFunSuite {
         .map { case (nid, nl, ce) =>
           (nid, nl, micro(pe, ce.map(_.toDouble))) }
         .sortBy { case (nid, _, sm) => (-sm, nid) }
-        .take(PipelineOps21.PrfK)
+        .take(RetrievalOps.PrfK)
         .map { case (nid, nl, _) => (nid, nl) }.toSeq
     val labCnt = emb.groupBy(_._2).map { case (l, xs) => (l, xs.length) }
     val probes = emb.filter(e => e._1 % 31 == 0 && e._1 < 3100)
@@ -74,13 +74,13 @@ class PipelineOps21Spec extends AnyFunSuite {
       val ha = t2.count(_._2 == pl).toLong
       (pid, pl, labCnt(pl).toLong - 1, hb, ha, ha - hb)
     }.sortBy(_._1).toSeq
-    val got = PipelineOps21.q248(spark, sfDir).collect().map(r =>
+    val got = RetrievalOps.q248(spark, sfDir).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect)
     // the readout is live: hits are bounded by k and by the relevant set
     got.foreach { case (_, _, nRel, hb, ha, _) =>
-      assert(hb <= PipelineOps21.PrfK && ha <= PipelineOps21.PrfK)
+      assert(hb <= RetrievalOps.PrfK && ha <= RetrievalOps.PrfK)
       assert(hb <= nRel && ha <= nRel)
     }
   }
@@ -95,7 +95,7 @@ class PipelineOps21Spec extends AnyFunSuite {
     val top = toks.groupBy(identity).toSeq
       .map { case (t, xs) => (t, xs.length.toLong) }
       .sortBy { case (t, c) => (-c, t) }
-      .take(PipelineOps21.NegVocab)
+      .take(RetrievalOps.NegVocab)
     val wq = top.map { case (t, c) =>
       (t, c, math.floor(
         math.sqrt(c.toDouble * math.sqrt(c.toDouble)) * 1000d).toLong)
@@ -103,7 +103,7 @@ class PipelineOps21Spec extends AnyFunSuite {
     val his = wq.scanLeft(0L)(_ + _._3).tail
     val total = his.last
     val sampled = scala.collection.mutable.Map.empty[String, Long]
-    for (i <- 0L until PipelineOps21.NegDraws) {
+    for (i <- 0L until RetrievalOps.NegDraws) {
       val u = h60(s"negdraw:$i") % total
       // first index whose hi exceeds u
       var loI = 0; var hiI = his.length - 1
@@ -116,9 +116,9 @@ class PipelineOps21Spec extends AnyFunSuite {
     }
     val expect = wq.take(20).map { case (t, c, w) =>
       val n = sampled.getOrElse(t, 0L)
-      (t, c, w, 1000 * w / total, n, 1000 * n / PipelineOps21.NegDraws)
+      (t, c, w, 1000 * w / total, n, 1000 * n / RetrievalOps.NegDraws)
     }
-    val got = PipelineOps21.q249(spark, sfDir).collect().map(r =>
+    val got = RetrievalOps.q249(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect)

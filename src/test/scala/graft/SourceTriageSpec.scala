@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps25
+import graft.queries.MonitoringOps
 
 /** First-principles re-derivations of the round-10 pack #13 (q256-q257):
   * the rank-sum U recomputed by BRUTE-FORCE pairwise comparison (the
   * histogram walk under test never runs here), the tie-corrected z from
   * raw moments, and the TVD from independently built histograms.
   */
-class PipelineOps25Spec extends AnyFunSuite {
+class SourceTriageSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -57,9 +57,9 @@ class PipelineOps25Spec extends AnyFunSuite {
       (src, mine.length.toLong, rest.length.toLong, u2,
         BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
           .toDouble,
-        math.abs(z) > PipelineOps25.RankZCrit)
+        math.abs(z) > MonitoringOps.RankZCrit)
     }.toSeq
-    val got = PipelineOps25.q256(spark, sfDir).collect().map(r =>
+    val got = MonitoringOps.q256(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getBoolean(5))).toSeq
     // compare z loosely (the engine rounds its own bit pattern); the
@@ -88,7 +88,7 @@ class PipelineOps25Spec extends AnyFunSuite {
       }.sum
       (src, ns, 1000 * num / (2 * ns * n))
     }.toSeq
-    val got = PipelineOps25.q257(spark, sfDir).collect().map(r =>
+    val got = MonitoringOps.q257(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expect)
     got.foreach { case (src, _, tvd) =>
