@@ -45,7 +45,6 @@ class QuerySmokeSpec extends AnyFunSuite {
       "PipelineOps2" -> graft.queries.PipelineOps2.queries.keys,
       "Relational7" -> graft.queries.Relational7.queries.keys,
       "Relational8" -> graft.queries.Relational8.queries.keys,
-      "PipelineOps3" -> graft.queries.PipelineOps3.queries.keys,
       "Relational9" -> graft.queries.Relational9.queries.keys,
       "SourceSink" -> graft.queries.SourceSink.queries.keys,
       "PipelineOps4" -> graft.queries.PipelineOps4.queries.keys,
