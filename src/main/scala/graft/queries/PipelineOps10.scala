@@ -198,10 +198,15 @@ object PipelineOps10 {
     * re-visit candidate bins because doubles don't compress.
     */
   def q137(spark: SparkSession, dir: String): DataFrame = {
+    // bounded by distinct (type, cents) — the q33 histogram class, far
+    // below corpus scale; checkpointed because FOUR consumers (median
+    // windows, deviation table, outlier count, final join) would
+    // otherwise each replay the events scan + aggregate
     val freq = table(spark, dir, "events")
       .select(col("event_type"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("x"))
       .groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val wn = Window.partitionBy(col("event_type"))
     val wcum = wn.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
