@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables.table
 import graft.functions.CrossHash.h60Sql
 
-/** Round-10 pack: winnowing fingerprint selection (q207) and Burrows'
+/** Document-fingerprinting probes: winnowing fingerprint selection (q207) and Burrows'
   * Delta stopword stylometry (q208) — two curation probes the 205-query
   * surface lacked: a POSITION-AWARE local fingerprinting scheme (the
   * MOSS primitive, guaranteeing detection of any shared passage above a
   * length threshold at ~2/(w+1) index density) and an authorship/
   * generator drift screen over function-word rates.
   */
-object PipelineOps14 {
+object FingerprintOps {
 
   // ---------------------------------------------------------------- q207
 
@@ -343,98 +343,13 @@ object PipelineOps14 {
        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT $WinnowTop""".stripMargin
   }
 
-  // ---------------------------------------------------------------- q209
-
-  /** The derived release's documents as a DuckDB CTE — the exact
-    * spelling q121's oracle uses for [[PipelineOps8.snapshotBDocs]].
-    */
-  private val BdocsCte: String =
-    """bdocs AS (
-      |  SELECT doc_id, lang,
-      |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
-      |  FROM documents WHERE doc_id % 13 <> 0
-      |  UNION ALL
-      |  SELECT -doc_id - 1 AS doc_id, lang, 'new:' || text AS text
-      |  FROM documents WHERE doc_id % 17 = 0)""".stripMargin
-
-  /** q209: EXACT two-sample Kolmogorov–Smirnov statistic between the
-    * shipped corpus and the derived release over document length — the
-    * order-statistic drift test q117's 20-bin histogram TVD
-    * approximates: D = sup over ALL thresholds of |F_A(v) − F_B(v)|,
-    * so a shift concentrated inside one histogram bin (invisible to
-    * TVD-over-bins) still moves D. Reported EXACTLY in integers by
-    * cross-multiplying the CDFs (gap = |cumA·n_B − cumB·n_A|, max over
-    * the value domain, denominator n_A·n_B) with the argmax threshold
-    * (lowest value attaining D) — no division until the final permille
-    * readout. Int64-safe while n_A·n_B < 2⁶³ (~3·10⁹ docs per side).
-    *
-    * Scale shape: both corpus scans collapse to per-length counts
-    * (value-domain-sized — thousands of rows at any corpus size)
-    * before the single unpartitioned cumulative window runs, the q203
-    * bounded-spine argument; the max+argmax fold is one min-struct
-    * aggregate over that domain frame.
-    */
-  def q209(spark: SparkSession, dir: String): DataFrame = {
-    val a = table(spark, dir, "documents")
-      .select(length(col("text")).cast("long").as("v"),
-        lit(1L).as("ia"), lit(0L).as("ib"))
-    val b = PipelineOps8.snapshotBDocs(spark, dir)
-      .select(length(col("text")).cast("long").as("v"),
-        lit(0L).as("ia"), lit(1L).as("ib"))
-    val counts = a.unionAll(b).groupBy(col("v"))
-      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
-    val tot = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts.crossJoin(broadcast(tot))
-      .withColumn("cum_a", sum(col("ca")).over(w))
-      .withColumn("cum_b", sum(col("cb")).over(w))
-      .select(col("n_a"), col("n_b"), col("v"),
-        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("gap"))
-      .groupBy(col("n_a"), col("n_b"))
-      .agg(max(struct(col("gap").as("g"), (-col("v")).as("nv"))).as("best"))
-      .select(col("n_a"), col("n_b"),
-        col("best.g").as("ks_scaled"),
-        expr("1000 * best.g DIV (n_a * n_b)").as("ks_permille"),
-        (-col("best.nv")).as("at_value"))
-  }
-
-  val q209Oracle: String =
-    s"""WITH $BdocsCte,
-       |vals AS (
-       |  SELECT length(text) AS v, 1 AS ia, 0 AS ib FROM documents
-       |  UNION ALL
-       |  SELECT length(text) AS v, 0 AS ia, 1 AS ib FROM bdocs),
-       |counts AS (
-       |  SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM vals GROUP BY v),
-       |tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM counts),
-       |cum AS (
-       |  SELECT v,
-       |         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-       |                       AND CURRENT ROW) AS cum_a,
-       |         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-       |                       AND CURRENT ROW) AS cum_b
-       |  FROM counts),
-       |gaps AS (
-       |  SELECT v, abs(cum_a * n_b - cum_b * n_a) AS gap
-       |  FROM cum CROSS JOIN tot),
-       |best AS (SELECT max(gap) AS d FROM gaps)
-       |SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
-       |       CAST(b.d AS BIGINT) AS ks_scaled,
-       |       CAST(1000 * b.d // (t.n_a * t.n_b) AS BIGINT) AS ks_permille,
-       |       CAST((SELECT min(v) FROM gaps WHERE gap = b.d) AS BIGINT)
-       |         AS at_value
-       |FROM tot t CROSS JOIN best b""".stripMargin
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_winnowing" -> (q207 _),
     "q208_stopword_delta" -> (q208 _),
-    "q209_ks_drift" -> (q209 _),
     "q210_winnow_overlap" -> (q210 _))
 
   val oracles: Map[String, String] = Map(
     "q207_winnowing" -> q207Oracle,
     "q208_stopword_delta" -> q208Oracle,
-    "q209_ks_drift" -> q209Oracle,
     "q210_winnow_overlap" -> q210Oracle)
 }

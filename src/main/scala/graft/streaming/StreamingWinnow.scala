@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.queries.PipelineOps14
+import graft.queries.FingerprintOps
 
 /** Streaming winnow-index probe: q210's overlap detection applied to a
   * LIVE document feed — the ingestion-time guard that flags an arriving
@@ -20,11 +20,11 @@ import graft.queries.PipelineOps14
   * compromise is needed — each micro-batch runs the exact batch
   * semantics via `foreachBatch` (the [[StreamingDecontam]] pattern).
   * Fingerprint construction routes through
-  * [[PipelineOps14.gramStreamOf]]/[[PipelineOps14.selectedFpsOf]] — the
+  * [[FingerprintOps.gramStreamOf]]/[[FingerprintOps.selectedFpsOf]] — the
   * SAME chain the batch index and q207/q210 use — so live and batch
   * verdicts are bit-identical by construction (StreamingWinnowSpec pins
   * this). At cluster scale the index is the big side: the per-batch
-  * join shuffles on the 8-byte fingerprint key; the [[PipelineOps14
+  * join shuffles on the 8-byte fingerprint key; the [[FingerprintOps
   * .WinnowMaxDf]] cap already bounded any fingerprint's posting list
   * when the index was built.
   */
@@ -32,17 +32,17 @@ object StreamingWinnow {
 
   /** The probe index of a static corpus frame `(doc_id, text, ...)`:
     * (wh, doc_id) postings with boilerplate fingerprints (df >
-    * [[PipelineOps14.WinnowMaxDf]]) dropped — one viral footer
+    * [[FingerprintOps.WinnowMaxDf]]) dropped — one viral footer
     * fingerprint would otherwise fan every arriving doc into its whole
     * posting list. Callers should cache/checkpoint the result; it is
     * re-read every micro-batch.
     */
   def indexOf(corpus: DataFrame): DataFrame = {
-    val fps = PipelineOps14
-      .selectedFpsOf(PipelineOps14.gramStreamOf(corpus, Seq.empty), Seq.empty)
+    val fps = FingerprintOps
+      .selectedFpsOf(FingerprintOps.gramStreamOf(corpus, Seq.empty), Seq.empty)
     fps.join(
       fps.groupBy(col("wh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= PipelineOps14.WinnowMaxDf)
+        .filter(col("df") <= FingerprintOps.WinnowMaxDf)
         .select(col("wh")),
       Seq("wh"), "left_semi")
       .select(col("wh"), col("doc_id").as("index_doc_id"))
@@ -58,8 +58,8 @@ object StreamingWinnow {
     */
   def probeBatch(batch: DataFrame, index: DataFrame,
       minShared: Long = 1L): DataFrame = {
-    val fps = PipelineOps14
-      .selectedFpsOf(PipelineOps14.gramStreamOf(batch, Seq.empty), Seq.empty)
+    val fps = FingerprintOps
+      .selectedFpsOf(FingerprintOps.gramStreamOf(batch, Seq.empty), Seq.empty)
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
     fps.join(index, Seq("wh"))
       .groupBy(col("doc_id"), col("index_doc_id"))

@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps19
+import graft.queries.MonitoringOps
 
 /** First-principles re-derivations of the round-10 pack #7 (q240-q242):
   * an independent margin-binned reliability model, a sort-based
   * Hazen-percentile selection model, and a spine-aligned Pearson ACF
   * model, each from collected raw rows.
   */
-class PipelineOps19Spec extends AnyFunSuite {
+class CalibrationSeasonalitySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -50,13 +50,13 @@ class PipelineOps19Spec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)))
     val expect = docs.map { case (lang, text) =>
       val (pred, margin) = predictWithMargin(text)
-      (math.min(margin, PipelineOps19.ReliabilityBinMax), lang == pred)
+      (math.min(margin, MonitoringOps.ReliabilityBinMax), lang == pred)
     }.groupBy(_._1).map { case (bin, xs) =>
       val n = xs.length.toLong
       val ok = xs.count(_._2).toLong
       (bin, n, ok, 1000 * ok / n)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps19.q240(spark, sfDir).collect()
+    val got = MonitoringOps.q240(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expect)
@@ -90,15 +90,15 @@ class PipelineOps19Spec extends AnyFunSuite {
       val pct = sortedQ.zip(below).map { case (q, b) =>
         q -> (500 * (2 * b + byVal(q) + 1)) / n
       }.toMap
-      val rawSel = qs.count(_ >= PipelineOps19.RawSelThresh).toLong
-      val normSel = qs.count(q => pct(q) >= PipelineOps19.NormSelPct).toLong
-      val both = qs.count(q => q >= PipelineOps19.RawSelThresh &&
-        pct(q) >= PipelineOps19.NormSelPct).toLong
-      val cut = qs.filter(q => pct(q) >= PipelineOps19.NormSelPct)
+      val rawSel = qs.count(_ >= MonitoringOps.RawSelThresh).toLong
+      val normSel = qs.count(q => pct(q) >= MonitoringOps.NormSelPct).toLong
+      val both = qs.count(q => q >= MonitoringOps.RawSelThresh &&
+        pct(q) >= MonitoringOps.NormSelPct).toLong
+      val cut = qs.filter(q => pct(q) >= MonitoringOps.NormSelPct)
         .reduceOption(_ min _)
       (lang, n, rawSel, normSel, both, cut)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps19.q241(spark, sfDir).collect().map { r =>
+    val got = MonitoringOps.q241(spark, sfDir).collect().map { r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
         if (r.isNullAt(5)) None else Some(r.getLong(5)))
     }.toSeq
@@ -129,7 +129,7 @@ class PipelineOps19Spec extends AnyFunSuite {
     }
     val h0 = hours.min; val h1 = hours.max
     val spine = (h0 to h1).map(h => byHour.getOrElse(h, 0L))
-    val expect = PipelineOps19.AcfLags.map { lag =>
+    val expect = MonitoringOps.AcfLags.map { lag =>
       val l = lag.toInt
       val pairs = spine.indices.dropRight(l).map(i => (spine(i), spine(i + l)))
       val n = pairs.length.toLong
@@ -145,7 +145,7 @@ class PipelineOps19Spec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       (lag, n, sxy, r)
     }
-    val got = PipelineOps19.q242(spark, sfDir).collect().map { r =>
+    val got = MonitoringOps.q242(spark, sfDir).collect().map { r =>
       (r.getLong(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3)))
     }.toSeq

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{GraphRank, PipelineOps14}
+import graft.queries.{FingerprintOps, GraphRank, MonitoringOps}
 
 /** q206 (HITS), q207 (winnowing), q208 (Burrows' Delta): each verified
   * against a first-principles driver-side re-derivation over the
@@ -14,7 +14,7 @@ import graft.queries.{GraphRank, PipelineOps14}
   * caught — plus the structural properties the operators exist for
   * (the winnowing match guarantee, the stylometric-outlier ordering).
   */
-class PipelineOps14Spec extends AnyFunSuite {
+class FingerprintOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -32,11 +32,11 @@ class PipelineOps14Spec extends AnyFunSuite {
     */
   private def winnowSets(text: String): Option[(Int, Set[Long])] = {
     val toks = text.split(' ').filter(_.nonEmpty)
-    if (toks.length < PipelineOps14.WinnowK + PipelineOps14.WinnowW - 1) None
+    if (toks.length < FingerprintOps.WinnowK + FingerprintOps.WinnowW - 1) None
     else {
-      val hashes = toks.sliding(PipelineOps14.WinnowK)
+      val hashes = toks.sliding(FingerprintOps.WinnowK)
         .map(w => ShingleModel.h60(w.mkString(" "))).toVector
-      val sel = hashes.sliding(PipelineOps14.WinnowW).map(_.min).toSet
+      val sel = hashes.sliding(FingerprintOps.WinnowW).map(_.min).toSet
       Some((hashes.length, sel))
     }
   }
@@ -54,7 +54,7 @@ class PipelineOps14Spec extends AnyFunSuite {
       val selected = rows.map(_._3.toLong).sum
       lang -> (rows.length.toLong, grams, selected, 1000 * selected / grams)
     }
-    val got = PipelineOps14.q207(spark, sfDir).collect()
+    val got = FingerprintOps.q207(spark, sfDir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got == expected)
@@ -105,7 +105,7 @@ class PipelineOps14Spec extends AnyFunSuite {
         v -> (if (amax == 0) 0L else r * scale / amax)
       }
     }
-    val got = PipelineOps14Spec.collectQ206(spark, sfDir)
+    val got = FingerprintOpsSpec.collectQ206(spark, sfDir)
     assert(got.map(_._1).toSet == nodes.toSet)
     got.foreach { case (src, h, a) =>
       assert(h == hub(src), s"hub mismatch at $src: $h vs ${hub(src)}")
@@ -132,7 +132,7 @@ class PipelineOps14Spec extends AnyFunSuite {
         aLens.count(_ <= v) * nb - bLens.count(_ <= v) * na)
       if (gap > best) { best = gap; atValue = v }
     }
-    val row = PipelineOps14.q209(spark, sfDir).collect().head
+    val row = MonitoringOps.q209(spark, sfDir).collect().head
     assert(row.getLong(0) == na && row.getLong(1) == nb)
     assert(row.getLong(2) == best, s"D ${row.getLong(2)} vs model $best")
     assert(row.getLong(3) == 1000 * best / (na * nb))
@@ -152,18 +152,18 @@ class PipelineOps14Spec extends AnyFunSuite {
     val df = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val pairable = df.filter { case (_, ds) =>
-      ds.size >= 2 && ds.size <= PipelineOps14.WinnowMaxDf }
+      ds.size >= 2 && ds.size <= FingerprintOps.WinnowMaxDf }
     val shared = pairable.values.flatMap { ds =>
       val sorted = ds.sorted
       for (i <- sorted.indices; j <- (i + 1) until sorted.length)
         yield (sorted(i), sorted(j))
     }.groupBy(identity).view.mapValues(_.size.toLong)
-      .filter(_._2 >= PipelineOps14.WinnowMinShared).toMap
+      .filter(_._2 >= FingerprintOps.WinnowMinShared).toMap
     val expected = shared.toSeq.map { case ((a, b), n) =>
       (a, b, n, 1000 * n / math.min(sets(a).size, sets(b).size))
     }.sortBy { case (a, b, n, _) => (-n, a, b) }
-      .take(PipelineOps14.WinnowTop)
-    val got = PipelineOps14.q210(spark, sfDir).collect().toSeq
+      .take(FingerprintOps.WinnowTop)
+    val got = FingerprintOps.q210(spark, sfDir).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got == expected,
       s"got=${got.take(5)}... expected=${expected.take(5)}...")
@@ -183,7 +183,7 @@ class PipelineOps14Spec extends AnyFunSuite {
         "en", "src_weird", 59L))
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = PipelineOps14.q208(spark, dir).collect()
+    val out = FingerprintOps.q208(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(2)))
     assert(out.map(_._1).toSet == Set("src_a", "src_b", "src_weird"))
     val delta = out.toMap
@@ -195,7 +195,7 @@ class PipelineOps14Spec extends AnyFunSuite {
   }
 
   test("q208 on the real corpus: complete source domain, non-negative deltas") {
-    val out = PipelineOps14.q208(spark, sfDir).collect()
+    val out = FingerprintOps.q208(spark, sfDir).collect()
     val nSources = graft.Tables.table(spark, sfDir, "documents")
       .select("source").distinct().count()
     assert(out.length == nSources)
@@ -204,7 +204,7 @@ class PipelineOps14Spec extends AnyFunSuite {
   }
 }
 
-object PipelineOps14Spec {
+object FingerprintOpsSpec {
   /** Collect q206 as (source, hub, authority) triples. */
   def collectQ206(spark: SparkSession, dir: String): Seq[(String, Long, Long)] =
     GraphRank.q206(spark, dir).collect().toSeq

@@ -73,12 +73,11 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Relational16" -> graft.queries.Relational16.queries.keys,
       "ImportanceOps" -> graft.queries.ImportanceOps.queries.keys,
       "MonitoringOps" -> graft.queries.MonitoringOps.queries.keys,
-      "PipelineOps14" -> graft.queries.PipelineOps14.queries.keys,
+      "FingerprintOps" -> graft.queries.FingerprintOps.queries.keys,
       "PipelineOps15" -> graft.queries.PipelineOps15.queries.keys,
       "PipelineOps16" -> graft.queries.PipelineOps16.queries.keys,
       "PipelineOps17" -> graft.queries.PipelineOps17.queries.keys,
       "PipelineOps18" -> graft.queries.PipelineOps18.queries.keys,
-      "PipelineOps19" -> graft.queries.PipelineOps19.queries.keys,
       "PipelineOps20" -> graft.queries.PipelineOps20.queries.keys,
       "RetrievalOps" -> graft.queries.RetrievalOps.queries.keys,
       "EvalOps" -> graft.queries.EvalOps.queries.keys,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps14
+import graft.queries.FingerprintOps
 import graft.streaming.StreamingWinnow
 
 /** Streaming winnow-index probe: live verdicts against a static index
@@ -87,15 +87,15 @@ class StreamingWinnowSpec extends AnyFunSuite {
     // model: winnow fp sets, df-capped index, best match per doc
     def winnowSet(text: String): Option[Set[Long]] = {
       val toks = text.split(' ').filter(_.nonEmpty)
-      if (toks.length < PipelineOps14.WinnowK + PipelineOps14.WinnowW - 1) None
-      else Some(toks.sliding(PipelineOps14.WinnowK)
+      if (toks.length < FingerprintOps.WinnowK + FingerprintOps.WinnowW - 1) None
+      else Some(toks.sliding(FingerprintOps.WinnowK)
         .map(w => ShingleModel.h60(w.mkString(" "))).toVector
-        .sliding(PipelineOps14.WinnowW).map(_.min).toSet)
+        .sliding(FingerprintOps.WinnowW).map(_.min).toSet)
     }
     val sets = docs.flatMap { case (id, t) => winnowSet(t).map(id -> _) }.toMap
     val postings = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      .filter(_._2.size <= PipelineOps14.WinnowMaxDf)
+      .filter(_._2.size <= FingerprintOps.WinnowMaxDf)
     val expected = sets.flatMap { case (id, s) =>
       val shares = s.toSeq.flatMap(postings.getOrElse(_, Nil))
         .groupBy(identity).view.mapValues(_.size.toLong).toMap

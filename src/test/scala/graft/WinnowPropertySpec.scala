@@ -4,10 +4,10 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps14
+import graft.queries.FingerprintOps
 
 /** Seeded property tests for the winnowing MODEL on randomized token
-  * streams (the model is pinned to the engine by PipelineOps14Spec's
+  * streams (the model is pinned to the engine by FingerprintOpsSpec's
   * corpus test, so properties proven here transfer to q207/q210 and
   * StreamingWinnow):
   *
@@ -21,8 +21,8 @@ import graft.queries.PipelineOps14
   */
 class WinnowPropertySpec extends AnyFunSuite {
 
-  private val K = PipelineOps14.WinnowK
-  private val W = PipelineOps14.WinnowW
+  private val K = FingerprintOps.WinnowK
+  private val W = FingerprintOps.WinnowW
 
   private def winnow(toks: Seq[String]): Set[Long] = {
     val hashes = toks.sliding(K).map(w => ShingleModel.h60(w.mkString(" ")))
