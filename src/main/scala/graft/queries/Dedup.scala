@@ -1080,7 +1080,7 @@ object Dedup {
   // ---------------------------------------------------------------- q212
 
   /** Group split for a cluster id — the same 900/50/50 permille
-    * thresholds as [[PipelineOps9.splitOf]] under a DIFFERENT salt, so
+    * thresholds as [[ReleaseOps.splitOf]] under a DIFFERENT salt, so
     * group and doc assignments are independent hashes and the
     * migration count is a real measurement, not an artifact.
     */
@@ -1088,8 +1088,8 @@ object Dedup {
       cluster: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bucket = CrossHash.h60(concat(lit("gsplit:"),
       cluster.cast("string"))) % 1000
-    when(bucket < PipelineOps9.SplitTrainUpto, "train")
-      .when(bucket < PipelineOps9.SplitValUpto, "val")
+    when(bucket < ReleaseOps.SplitTrainUpto, "train")
+      .when(bucket < ReleaseOps.SplitValUpto, "val")
       .otherwise("test")
   }
 
@@ -1120,7 +1120,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"))
       .select(col("doc_id"), col("cluster"),
-        PipelineOps9.splitOf(col("doc_id")).as("doc_split"),
+        ReleaseOps.splitOf(col("doc_id")).as("doc_split"),
         groupSplitOf(col("cluster")).as("group_split"))
       .groupBy(col("group_split"))
       .agg(countDistinct(col("cluster")).as("n_clusters"),
@@ -1134,8 +1134,8 @@ object Dedup {
     val dh = CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
     val gh = CrossHash.h60Sql("'gsplit:' || CAST(cluster AS VARCHAR)")
     def splitCase(h: String) =
-      s"""CASE WHEN ($h) % 1000 < ${PipelineOps9.SplitTrainUpto} THEN 'train'
-         |     WHEN ($h) % 1000 < ${PipelineOps9.SplitValUpto} THEN 'val'
+      s"""CASE WHEN ($h) % 1000 < ${ReleaseOps.SplitTrainUpto} THEN 'train'
+         |     WHEN ($h) % 1000 < ${ReleaseOps.SplitValUpto} THEN 'val'
          |     ELSE 'test' END""".stripMargin
     s"""WITH RECURSIVE ${q21CandCte},
        |edges AS (

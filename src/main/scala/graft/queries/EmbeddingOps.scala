@@ -14,7 +14,7 @@ import graft.functions.{CrossHash, VectorOps}
   * trained clustering (q239, the semantic twin of q233's geometric
   * silhouette).
   */
-object PipelineOps18 {
+object EmbeddingOps {
 
   // ---------------------------------------------------------------- q237
 
@@ -69,7 +69,7 @@ object PipelineOps18 {
       .filter(size(col("embedding")) === JlInDim &&
         col("vec_id") < JlPanelMax)
       .select(col("vec_id"),
-        VectorOps.quantize(col("embedding"), PipelineOps9.EmbQScale).as("qv"))
+        VectorOps.quantize(col("embedding"), ReleaseOps.EmbQScale).as("qv"))
     val proj = q.select(col("vec_id"), col("qv"),
       array((0 until JlOutDim).map { j =>
         expr(s"aggregate(zip_with(qv, array(${jlSigns(j).mkString(",")}), " +
@@ -107,7 +107,7 @@ object PipelineOps18 {
        |q AS (
        |  SELECT vec_id,
        |         list_transform(embedding, e ->
-       |           CAST(floor(CAST(e AS DOUBLE) * ${PipelineOps9.EmbQScale})
+       |           CAST(floor(CAST(e AS DOUBLE) * ${ReleaseOps.EmbQScale})
        |                AS BIGINT)) AS qv
        |  FROM embeddings
        |  WHERE len(embedding) = $JlInDim AND vec_id < $JlPanelMax),

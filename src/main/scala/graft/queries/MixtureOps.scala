@@ -18,7 +18,7 @@ import graft.functions.CrossHash
   *  - q109 token-budget shard packing via a distributed two-level
   *    prefix sum.
   */
-object PipelineOps7 {
+object MixtureOps {
 
   // ---------------------------------------------------------------- q106
 

@@ -445,7 +445,7 @@ object MonitoringOps {
     val emb = table(spark, dir, "embeddings")
       .filter(size(col("embedding")) === 64 && col("vec_id") < EdPanelMax)
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        VectorOps.quantize(col("embedding"), PipelineOps9.EmbQScale)
+        VectorOps.quantize(col("embedding"), ReleaseOps.EmbQScale)
           .as("qv"))
     val members = emb
       .filter(col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2)
@@ -528,7 +528,7 @@ object MonitoringOps {
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
        |         list_transform(embedding, e ->
-       |           CAST(floor(CAST(e AS DOUBLE) * ${PipelineOps9.EmbQScale})
+       |           CAST(floor(CAST(e AS DOUBLE) * ${ReleaseOps.EmbQScale})
        |                AS BIGINT)) AS qv
        |  FROM embeddings
        |  WHERE len(embedding) = 64 AND vec_id < $EdPanelMax),

@@ -311,7 +311,7 @@ object PipelineOps12 {
   /** Memoized DISTINCT train-split 13-gram hash set per (session, dir)
     * — the expensive side of q166 (full-corpus tokenize + gram explode
     * + distinct), shared across bench reruns like
-    * [[PipelineOps9.trainFpSet]]. The set is gram-hash-only (8-byte
+    * [[ReleaseOps.trainFpSet]]. The set is gram-hash-only (8-byte
     * rows), so the checkpoint is small relative to the corpus.
     */
   private val gramCache =
@@ -323,7 +323,7 @@ object PipelineOps12 {
       explodedGramHashes(
         table(spark, dir, "documents")
           .select(col("doc_id"),
-            PipelineOps9.splitOf(col("doc_id")).as("split"), col("text"))
+            ReleaseOps.splitOf(col("doc_id")).as("split"), col("text"))
           .filter(col("split") === "train"),
         DecontamN, Seq("doc_id"))
         .select(col("gh")).distinct().localCheckpoint())
@@ -332,7 +332,7 @@ object PipelineOps12 {
     val docs = explodedGramHashes(
       table(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          PipelineOps9.splitOf(col("doc_id")).as("split"), col("text")),
+          ReleaseOps.splitOf(col("doc_id")).as("split"), col("text")),
       DecontamN, Seq("doc_id", "lang", "split"))
     val trainGrams = trainGramSet(spark, dir).withColumn("hit", lit(true))
     docs.filter(col("split") === "test")
@@ -355,8 +355,8 @@ object PipelineOps12 {
     val h = CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
     s"""WITH d AS (
        |  SELECT doc_id, lang,
-       |         CASE WHEN $h % 1000 < ${PipelineOps9.SplitTrainUpto} THEN 'train'
-       |              WHEN $h % 1000 < ${PipelineOps9.SplitValUpto} THEN 'val'
+       |         CASE WHEN $h % 1000 < ${ReleaseOps.SplitTrainUpto} THEN 'train'
+       |              WHEN $h % 1000 < ${ReleaseOps.SplitValUpto} THEN 'val'
        |              ELSE 'test' END AS split,
        |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
        |  FROM documents),

@@ -328,7 +328,7 @@ object PipelineOps15 {
   def q223(spark: SparkSession, dir: String): DataFrame = {
     // tokenization + pairing through the single LM copy (q244/streaming
     // share it); split is never read here, so don't pay its id-hash
-    val bigr = PipelineOps20.bigramsOf(
+    val bigr = EvalOps.bigramsOf(
       table(spark, dir, "documents"), withSplit = false)
     val bc = bigr.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("bcnt"))

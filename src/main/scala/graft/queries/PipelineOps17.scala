@@ -345,7 +345,7 @@ object PipelineOps17 {
     */
   def q236(spark: SparkSession, dir: String): DataFrame = {
     val cells = table(spark, dir, "documents")
-      .select(col("lang"), PipelineOps9.splitOf(col("doc_id")).as("split"))
+      .select(col("lang"), ReleaseOps.splitOf(col("doc_id")).as("split"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("o"))
     cells
@@ -364,8 +364,8 @@ object PipelineOps17 {
     val h = graft.functions.CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
     s"""WITH assigned AS (
        |  SELECT lang,
-       |         CASE WHEN $h % 1000 < ${PipelineOps9.SplitTrainUpto} THEN 'train'
-       |              WHEN $h % 1000 < ${PipelineOps9.SplitValUpto} THEN 'val'
+       |         CASE WHEN $h % 1000 < ${ReleaseOps.SplitTrainUpto} THEN 'train'
+       |              WHEN $h % 1000 < ${ReleaseOps.SplitValUpto} THEN 'val'
        |              ELSE 'test' END AS split
        |  FROM documents),
        |cells AS (

@@ -15,7 +15,7 @@ import graft.functions.CrossHash
   * integer-only ranking/ratio keys (floor DIV, never round), literal
   * top-k bounds, every query ends in a total ORDER BY.
   */
-object PipelineOps9 {
+object ReleaseOps {
 
   // ---------------------------------------------------------------- q114
 
@@ -41,7 +41,7 @@ object PipelineOps9 {
     * the corpus, no second scan of the data).
     */
   /** The split of a doc id — a pure function of the id column alone
-    * (PinnedBy PipelineOps9Spec: no other column can influence it).
+    * (PinnedBy ReleaseOpsSpec: no other column can influence it).
     */
   def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bucket = CrossHash.h60(concat(lit("split:"), docId.cast("string"))) % 1000

@@ -82,13 +82,13 @@ object RetrievalOps {
     val fbSums = pass1
       .join(emb64.select(col("vec_id").as("nid"), col("embedding")), "nid")
       .select(col("pid"), posexplode(
-        VectorOps.quantize(col("embedding"), PipelineOps9.EmbQScale))
+        VectorOps.quantize(col("embedding"), ReleaseOps.EmbQScale))
         .as(Seq("d", "x")))
       .groupBy(col("pid"), col("d")).agg(sum(col("x")).as("s"))
     val nRet = pass1.groupBy(col("pid")).agg(count(lit(1)).as("nr"))
     val probeDims = probes
       .select(col("pid"), posexplode(
-        VectorOps.quantize(col("pe"), PipelineOps9.EmbQScale))
+        VectorOps.quantize(col("pe"), ReleaseOps.EmbQScale))
         .as(Seq("d", "px")))
     val fbVec = probeDims
       .join(fbSums, Seq("pid", "d"))
@@ -124,7 +124,7 @@ object RetrievalOps {
 
   val q248Oracle: String = {
     val qexpr = s"list_transform(embedding, e -> " +
-      s"CAST(floor(CAST(e AS DOUBLE) * ${PipelineOps9.EmbQScale}) AS BIGINT))"
+      s"CAST(floor(CAST(e AS DOUBLE) * ${ReleaseOps.EmbQScale}) AS BIGINT))"
     s"""WITH emb64 AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
        |  FROM embeddings WHERE len(embedding) = 64),

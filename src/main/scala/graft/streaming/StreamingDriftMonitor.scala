@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.queries.PipelineOps9
+import graft.queries.ReleaseOps
 
 /** Streaming twin of the q117 length-distribution drift monitor: the
   * next release's documents arrive as a STREAM (the crawl lands file by
@@ -13,8 +13,8 @@ import graft.queries.PipelineOps9
   * QA abort a bad crawl early.
   *
   * The running B histogram is a plain streaming aggregation over the
-  * [[PipelineOps9.driftBin]] projection in COMPLETE output mode — state
-  * is bounded by construction at [[PipelineOps9.DriftBins]] rows (20),
+  * [[ReleaseOps.driftBin]] projection in COMPLETE output mode — state
+  * is bounded by construction at [[ReleaseOps.DriftBins]] rows (20),
   * the smallest possible stateful-streaming footprint, and the sink
   * rewrite per micro-batch is 20 rows. No watermark is needed: bins
   * are a closed domain, not a time axis.
@@ -36,7 +36,7 @@ object StreamingDriftMonitor {
     */
   def start(lens: DataFrame, queryName: String, checkpointDir: String): StreamingQuery =
     lens
-      .select(PipelineOps9.driftBin(col("len")).as("bin"))
+      .select(ReleaseOps.driftBin(col("len")).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_b"))
       .writeStream
@@ -49,7 +49,7 @@ object StreamingDriftMonitor {
   /** The static A-side histogram of the shipped corpus. */
   def staticHistogram(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.table(spark, dir, "documents")
-      .select(PipelineOps9.driftBin(length(col("text"))).as("bin"))
+      .select(ReleaseOps.driftBin(length(col("text"))).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_a"))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.queries.PipelineOps16
+import graft.queries.EvalOps
 
 /** Streaming SEMANTIC decontamination: q228's embedding-space leak rule
   * applied to a LIVE vector feed — the ingestion-time guard that keeps
@@ -17,8 +17,8 @@ import graft.queries.PipelineOps16
   * STATIC held-out panel, so no cross-batch state, watermark, or
   * output-mode compromise is needed — each micro-batch runs the exact
   * batch semantics via `foreachBatch`. Quantization and the min-d²
-  * fold go through [[PipelineOps16.quantized64]] /
-  * [[PipelineOps16.minD2ToPanel]] — the SAME constructors q228 scores
+  * fold go through [[EvalOps.quantized64]] /
+  * [[EvalOps.minD2ToPanel]] — the SAME constructors q228 scores
   * with, so streaming and batch verdicts are bit-identical by
   * construction (StreamingSemDecontamSpec pins this). The panel frame
   * is tiny and broadcast per batch, exactly as in batch.
@@ -30,8 +30,8 @@ object StreamingSemDecontam {
     * every micro-batch.
     */
   def panelOf(embeddings: DataFrame): DataFrame =
-    PipelineOps16.quantized64(embeddings)
-      .filter(PipelineOps16.isSemPanel(col("vec_id")))
+    EvalOps.quantized64(embeddings)
+      .filter(EvalOps.isSemPanel(col("vec_id")))
       .select(col("vec_id").as("p_id"), col("qv").as("pv"))
 
   /** Per-vector verdicts for one (micro-)batch of embeddings
@@ -40,10 +40,10 @@ object StreamingSemDecontam {
     * as are ragged non-64-dim vectors — both exactly as in q228.
     */
   def flagBatch(batch: DataFrame, panel: DataFrame,
-      maxD2: Long = PipelineOps16.SemLeakD2Max): DataFrame =
-    PipelineOps16.minD2ToPanel(
-        PipelineOps16.quantized64(batch)
-          .filter(not(PipelineOps16.isSemPanel(col("vec_id")))),
+      maxD2: Long = EvalOps.SemLeakD2Max): DataFrame =
+    EvalOps.minD2ToPanel(
+        EvalOps.quantized64(batch)
+          .filter(not(EvalOps.isSemPanel(col("vec_id")))),
         panel)
       .withColumn("leaked", col("min_d2") <= maxD2)
 
@@ -52,7 +52,7 @@ object StreamingSemDecontam {
     * `sink`.
     */
   def start(vectors: DataFrame, panel: DataFrame,
-      maxD2: Long = PipelineOps16.SemLeakD2Max)(
+      maxD2: Long = EvalOps.SemLeakD2Max)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     vectors.writeStream
       .outputMode("append")

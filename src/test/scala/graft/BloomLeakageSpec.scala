@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{GraphRank, PipelineOps9}
+import graft.queries.{GraphRank, ReleaseOps}
 
 /** q162 (bloom-prefiltered leakage) and q161 (BFS hops): the execution
   * claims their Scaladoc makes, pinned.
@@ -15,13 +15,13 @@ class BloomLeakageSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("q162 equals q120 row for row (bloom prefilter is invisible)") {
-    val exact = PipelineOps9.q120(spark, sfDir).collect().map(_.toSeq).toSeq
-    val bloom = PipelineOps9.q162(spark, sfDir).collect().map(_.toSeq).toSeq
+    val exact = ReleaseOps.q120(spark, sfDir).collect().map(_.toSeq).toSeq
+    val bloom = ReleaseOps.q162(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(bloom == exact)
   }
 
   test("q162's plan actually carries the bloom probe") {
-    val plan = PipelineOps9.q162(spark, sfDir)
+    val plan = ReleaseOps.q162(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       "expected a BloomFilterMightContain predicate in the executed plan")

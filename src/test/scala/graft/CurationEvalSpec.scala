@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps16
+import graft.queries.EvalOps
 
 /** First-principles re-derivations of the round-10 pack #4 (q228-q232):
   * every model here recomputes the query's contract from collected raw
@@ -11,7 +11,7 @@ import graft.queries.PipelineOps16
   * plus the q229 permutation properties (bijectivity, invertibility)
   * that the hash gate cannot see.
   */
-class PipelineOps16Spec extends AnyFunSuite {
+class CurationEvalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -26,31 +26,31 @@ class PipelineOps16Spec extends AnyFunSuite {
 
   /** Independent model of the 3-round modular-add Feistel. */
   private def feistel(id: Long): Long = {
-    var l = id / PipelineOps16.FM20
-    var h = id % PipelineOps16.FM20
-    for (r <- 1 to PipelineOps16.FeistelRounds) {
-      val f = (h * PipelineOps16.FMult +
-        r * PipelineOps16.FAddR + PipelineOps16.FAddC) % PipelineOps16.FM20
+    var l = id / EvalOps.FM20
+    var h = id % EvalOps.FM20
+    for (r <- 1 to EvalOps.FeistelRounds) {
+      val f = (h * EvalOps.FMult +
+        r * EvalOps.FAddR + EvalOps.FAddC) % EvalOps.FM20
       val nl = h
-      val nh = (l + f) % PipelineOps16.FM20
+      val nh = (l + f) % EvalOps.FM20
       l = nl; h = nh
     }
-    l * PipelineOps16.FM20 + h
+    l * EvalOps.FM20 + h
   }
 
   /** Exact inverse: runs the rounds backwards. */
   private def feistelInv(pos: Long): Long = {
-    var l = pos / PipelineOps16.FM20
-    var h = pos % PipelineOps16.FM20
-    for (r <- PipelineOps16.FeistelRounds to 1 by -1) {
+    var l = pos / EvalOps.FM20
+    var h = pos % EvalOps.FM20
+    for (r <- EvalOps.FeistelRounds to 1 by -1) {
       val prevH = l
-      val f = (prevH * PipelineOps16.FMult +
-        r * PipelineOps16.FAddR + PipelineOps16.FAddC) % PipelineOps16.FM20
-      val prevL = ((h - f) % PipelineOps16.FM20 +
-        PipelineOps16.FM20) % PipelineOps16.FM20
+      val f = (prevH * EvalOps.FMult +
+        r * EvalOps.FAddR + EvalOps.FAddC) % EvalOps.FM20
+      val prevL = ((h - f) % EvalOps.FM20 +
+        EvalOps.FM20) % EvalOps.FM20
       l = prevL; h = prevH
     }
-    l * PipelineOps16.FM20 + h
+    l * EvalOps.FM20 + h
   }
 
   test("q229: the Feistel map is invertible (hence injective) over a 100k-id slab") {
@@ -67,8 +67,8 @@ class PipelineOps16Spec extends AnyFunSuite {
       .select("doc_id", "lang").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val expect = docs.map { case (id, lang) => (feistel(id), id, lang) }
-      .sortBy(_._1).take(PipelineOps16.TrainOrderTop).toSeq
-    val got = PipelineOps16.q229(spark, sfDir).collect()
+      .sortBy(_._1).take(EvalOps.TrainOrderTop).toSeq
+    val got = EvalOps.q229(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == expect)
   }
@@ -98,10 +98,10 @@ class PipelineOps16Spec extends AnyFunSuite {
     }
     val expect = minD2.groupBy(_._1).map { case (label, xs) =>
       val n = xs.length.toLong
-      val leaked = xs.count(_._2 <= PipelineOps16.SemLeakD2Max).toLong
+      val leaked = xs.count(_._2 <= EvalOps.SemLeakD2Max).toLong
       (label, n, leaked, 1000 * leaked / n, xs.map(_._2).min)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps16.q228(spark, sfDir).collect()
+    val got = EvalOps.q228(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == expect)
@@ -151,7 +151,7 @@ class PipelineOps16Spec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       (lang, n, sxy, rho)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps16.q230(spark, sfDir).collect().map { r =>
+    val got = EvalOps.q230(spark, sfDir).collect().map { r =>
       (r.getString(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3)))
     }.toSeq
@@ -191,7 +191,7 @@ class PipelineOps16Spec extends AnyFunSuite {
     val peNum = rowT.map { case (k, rt) =>
       rt * colT.getOrElse(k, 0L)
     }.sum
-    val row = PipelineOps16.q231(spark, sfDir).collect().head
+    val row = EvalOps.q231(spark, sfDir).collect().head
     assert(row.getLong(0) == n)
     assert(row.getLong(1) == agree)
     assert(row.getLong(2) == peNum)
@@ -227,7 +227,7 @@ class PipelineOps16Spec extends AnyFunSuite {
         val dups = xs.count(_._2).toLong
         (bin, nd, dups, 1000 * dups / nd)
       }.toSeq.sortBy(_._1)
-    val got = PipelineOps16.q232(spark, sfDir).collect()
+    val got = EvalOps.q232(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expect)

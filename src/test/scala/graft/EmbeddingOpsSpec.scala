@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps18, Similarity}
+import graft.queries.{EmbeddingOps, Similarity}
 
 /** First-principles re-derivations of the round-10 pack #6 (q237-q239):
   * independent Scala models of the JL projector + distortion audit, the
   * hard-negative miner, and the purity rollup, over collected raw rows.
   */
-class PipelineOps18Spec extends AnyFunSuite {
+class EmbeddingOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -28,24 +28,24 @@ class PipelineOps18Spec extends AnyFunSuite {
     def sign(d: Int, j: Int): Long =
       if (ShingleModel.h60(s"jl:$d:$j") % 2 == 0) 1L else -1L
     // the matrix must be roughly balanced or the projector is biased
-    val ones = (for (j <- 0 until PipelineOps18.JlOutDim;
-                     d <- 1 to PipelineOps18.JlInDim)
+    val ones = (for (j <- 0 until EmbeddingOps.JlOutDim;
+                     d <- 1 to EmbeddingOps.JlInDim)
       yield sign(d, j)).count(_ == 1L)
     assert(math.abs(ones - 512) < 200, s"sign matrix skewed: $ones of 1024")
 
     val vecs = Tables.table(spark, sfDir, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .filter(t => t._2.length == PipelineOps18.JlInDim &&
-        t._1 < PipelineOps18.JlPanelMax)
+      .filter(t => t._2.length == EmbeddingOps.JlInDim &&
+        t._1 < EmbeddingOps.JlPanelMax)
       .sortBy(_._1)
     val q = vecs.map { case (id, e) =>
       (id, e.map(x => math.floor(x.toDouble * 10000).toLong))
     }
     def proj(qv: Array[Long]): Array[Long] =
-      Array.tabulate(PipelineOps18.JlOutDim) { j =>
+      Array.tabulate(EmbeddingOps.JlOutDim) { j =>
         var s = 0L; var d = 0
-        while (d < PipelineOps18.JlInDim) { s += sign(d + 1, j) * qv(d); d += 1 }
+        while (d < EmbeddingOps.JlInDim) { s += sign(d + 1, j) * qv(d); d += 1 }
         s
       }
     val ys = q.map { case (id, qv) => (id, qv, proj(qv)) }
@@ -58,14 +58,14 @@ class PipelineOps18Spec extends AnyFunSuite {
       val d2p = ys(i)._3.zip(ys(k)._3).map { case (a, b) =>
         (a - b) * (a - b)
       }.sum
-      if (d2o == 0) 1000L else 1000 * d2p / (PipelineOps18.JlOutDim * d2o)
+      if (d2o == 0) 1000L else 1000 * d2p / (EmbeddingOps.JlOutDim * d2o)
     }
     val n = dists.length.toLong
     val inBand = dists.count(d =>
-      d >= PipelineOps18.JlBandLo && d <= PipelineOps18.JlBandHi).toLong
+      d >= EmbeddingOps.JlBandLo && d <= EmbeddingOps.JlBandHi).toLong
     val expect = (n, dists.sum / n, dists.min, dists.max, inBand,
       1000 * inBand / n)
-    val r = PipelineOps18.q237(spark, sfDir).collect().head
+    val r = EmbeddingOps.q237(spark, sfDir).collect().head
     val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5))
     assert(got == expect)
@@ -108,13 +108,13 @@ class PipelineOps18Spec extends AnyFunSuite {
               math.floor(cosine(pe, ne) * 1000000).toLong)
           }
           .sortBy { case (nid, _, sm) => (-sm, nid) }
-          .take(PipelineOps18.HardNegK)
+          .take(EmbeddingOps.HardNegK)
           .zipWithIndex
           .map { case ((nid, nl, sm), i) =>
             (pid, pl, i + 1L, nid, nl, sm)
           }
       }.toSeq
-    val got = PipelineOps18.q238(spark, sfDir).collect()
+    val got = EmbeddingOps.q238(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect)
@@ -137,7 +137,7 @@ class PipelineOps18Spec extends AnyFunSuite {
       val n = xs.length.toLong
       (c.toLong, n, majL, majC, 1000 * majC / n)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps18.q239(spark, sfDir).collect()
+    val got = EmbeddingOps.q239(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == expect)

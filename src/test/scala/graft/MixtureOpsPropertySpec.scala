@@ -6,7 +6,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps7 => P7}
+import graft.queries.{MixtureOps => P7}
 
 /** Seeded property tests for the allocation/packing operators on
   * randomized corpora the sf fixtures cannot produce: sparse doc_id
@@ -14,7 +14,7 @@ import graft.queries.{PipelineOps7 => P7}
   * distributions, and degenerate token counts — the edges where a
   * prefix-sum or apportionment bug would hide.
   */
-class PipelineOps7PropertySpec extends AnyFunSuite {
+class MixtureOpsPropertySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftSession.local(4)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps7
+import graft.queries.MixtureOps
 
 /** Semantic assertions for the q106-q109 pack: the map-only shape of
   * rate sampling (q106), retention-matrix structure (q107), the
@@ -12,7 +12,7 @@ import graft.queries.PipelineOps7
   * packing's conservation/contiguity plus the two-level-scan ≡ flat
   * -cumsum equivalence (q109).
   */
-class PipelineOps7Spec extends AnyFunSuite {
+class MixtureOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -25,14 +25,14 @@ class PipelineOps7Spec extends AnyFunSuite {
   private val sfDir01 = "/root/testdata/sf0.01"
 
   test("q106: the corpus path is map-only — no window, no sort-merge join") {
-    val plan = PipelineOps7.q106(spark, sfDir01).queryExecution.sparkPlan.toString
+    val plan = MixtureOps.q106(spark, sfDir01).queryExecution.sparkPlan.toString
     assert(!plan.contains("Window"), s"rate sampling must not rank:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"rates must broadcast, the corpus must not shuffle into a join:\n$plan")
   }
 
   test("q106: kept counts are bounded and land near the flattening target") {
-    val rows = PipelineOps7.q106(spark, sfDir01).collect()
+    val rows = MixtureOps.q106(spark, sfDir01).collect()
     assert(rows.nonEmpty)
     val m = rows.map(_.getAs[Long]("n_total")).min
     rows.foreach { r =>
@@ -48,7 +48,7 @@ class PipelineOps7Spec extends AnyFunSuite {
   }
 
   test("q107: retention matrix is triangular and age 0 covers every cohort user") {
-    val rows = PipelineOps7.q107(spark, sfDir01).collect()
+    val rows = MixtureOps.q107(spark, sfDir01).collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("age_days") >= 0))
     val byCohort = rows.groupBy(_.getAs[Long]("cohort_day"))
@@ -69,8 +69,8 @@ class PipelineOps7Spec extends AnyFunSuite {
   }
 
   test("q108: quotas sum to the budget exactly and selection honors them") {
-    val rows = PipelineOps7.q108(spark, sfDir01).collect()
-    assert(rows.map(_.getAs[Long]("quota")).sum == PipelineOps7.EvalBudget.toLong,
+    val rows = MixtureOps.q108(spark, sfDir01).collect()
+    assert(rows.map(_.getAs[Long]("quota")).sum == MixtureOps.EvalBudget.toLong,
       "Hamilton apportionment must hit the budget exactly")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_selected") == r.getAs[Long]("quota"),
@@ -78,14 +78,14 @@ class PipelineOps7Spec extends AnyFunSuite {
       // quota is base or base+1: within 1 of the proportional share
       val (c, q) = (r.getAs[Long]("n_total"), r.getAs[Long]("quota"))
       val t = rows.map(_.getAs[Long]("n_total")).sum
-      val share = PipelineOps7.EvalBudget.toDouble * c / t
+      val share = MixtureOps.EvalBudget.toDouble * c / t
       assert(q >= math.floor(share) && q <= math.floor(share) + 1,
         s"quota $q strays from proportional share $share")
     }
   }
 
   test("q109: shards conserve the corpus, are contiguous, and respect the budget") {
-    val rows = PipelineOps7.q109(spark, sfDir01).collect()
+    val rows = MixtureOps.q109(spark, sfDir01).collect()
     assert(rows.length > 1, "fixture corpus must span multiple shards")
     val docs = graft.Tables.table(spark, sfDir01, "documents")
       .select(expr("size(filter(split(text, ' '), t -> t <> ''))")
@@ -103,11 +103,11 @@ class PipelineOps7Spec extends AnyFunSuite {
       case _ =>
     }
     sorted.foreach { r =>
-      assert(r.getAs[Long]("tok_sum") < PipelineOps7.ShardTokens + maxTok,
+      assert(r.getAs[Long]("tok_sum") < MixtureOps.ShardTokens + maxTok,
         "a shard overflows by less than one document")
     }
     sorted.dropRight(1).foreach { r =>
-      assert(r.getAs[Long]("tok_sum") > PipelineOps7.ShardTokens - maxTok,
+      assert(r.getAs[Long]("tok_sum") > MixtureOps.ShardTokens - maxTok,
         "a closed shard is full up to one document")
     }
   }
@@ -125,25 +125,25 @@ class PipelineOps7Spec extends AnyFunSuite {
           org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
           lit(0L)))
-      .withColumn("shard_id", expr(s"cum_before DIV ${PipelineOps7.ShardTokens}"))
+      .withColumn("shard_id", expr(s"cum_before DIV ${MixtureOps.ShardTokens}"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("shard_id"))
       .collect()
-    val twoLevel = PipelineOps7.q109(spark, sfDir).collect()
+    val twoLevel = MixtureOps.q109(spark, sfDir).collect()
     assert(twoLevel.map(_.toString).toSeq == flat.map(_.toString).toSeq)
   }
 
   test("q125: weights follow the exact importance formula and rebalance the mix") {
-    val rows = PipelineOps7.q125(spark, sfDir01).collect()
+    val rows = MixtureOps.q125(spark, sfDir01).collect()
     assert(rows.nonEmpty)
     val total = rows.map(_.getAs[Long]("n_docs")).sum
     val nLangs = rows.length.toLong
     rows.foreach { r =>
       val n = r.getAs[Long]("n_docs")
       val expected = math.min(1000L,
-        (PipelineOps7.ImpBasePermille * total) / (nLangs * n))
+        (MixtureOps.ImpBasePermille * total) / (nLangs * n))
       assert(r.getAs[Long]("weight_permille") == expected,
         s"${r.getAs[String]("lang")}: weight formula mismatch")
       // Bernoulli(w/1000) over n docs: 6 sigma determinism band
@@ -164,7 +164,7 @@ class PipelineOps7Spec extends AnyFunSuite {
   }
 
   test("q125: the corpus acceptance pass broadcast-joins the weight table") {
-    val plan = PipelineOps7.q125(spark, sfDir01).queryExecution.sparkPlan.toString
+    val plan = MixtureOps.q125(spark, sfDir01).queryExecution.sparkPlan.toString
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus must never shuffle into the weight join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),

@@ -130,10 +130,10 @@ class PipelineOps12Spec extends AnyFunSuite {
     */
   private def idsBySplit(n: Int): Map[String, Seq[Long]] = {
     import spark.implicits._
-    import graft.queries.PipelineOps9
+    import graft.queries.ReleaseOps
     (1L to n.toLong).toDF("doc_id")
       .select(org.apache.spark.sql.functions.col("doc_id"),
-        PipelineOps9.splitOf(org.apache.spark.sql.functions.col("doc_id"))
+        ReleaseOps.splitOf(org.apache.spark.sql.functions.col("doc_id"))
           .as("split"))
       .collect().map(r => r.getString(1) -> r.getLong(0))
       .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq.sorted }

@@ -50,9 +50,9 @@ class QuerySmokeSpec extends AnyFunSuite {
       "PipelineOps4" -> graft.queries.PipelineOps4.queries.keys,
       "PipelineOps5" -> graft.queries.PipelineOps5.queries.keys,
       "PipelineOps6" -> graft.queries.PipelineOps6.queries.keys,
-      "PipelineOps7" -> graft.queries.PipelineOps7.queries.keys,
+      "MixtureOps" -> graft.queries.MixtureOps.queries.keys,
       "PipelineOps8" -> graft.queries.PipelineOps8.queries.keys,
-      "PipelineOps9" -> graft.queries.PipelineOps9.queries.keys,
+      "ReleaseOps" -> graft.queries.ReleaseOps.queries.keys,
       "GraphRank" -> graft.queries.GraphRank.queries.keys,
       "TokenizerOps" -> graft.queries.TokenizerOps.queries.keys,
       "Relational10" -> graft.queries.Relational10.queries.keys,
@@ -75,10 +75,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       "MonitoringOps" -> graft.queries.MonitoringOps.queries.keys,
       "FingerprintOps" -> graft.queries.FingerprintOps.queries.keys,
       "PipelineOps15" -> graft.queries.PipelineOps15.queries.keys,
-      "PipelineOps16" -> graft.queries.PipelineOps16.queries.keys,
       "PipelineOps17" -> graft.queries.PipelineOps17.queries.keys,
-      "PipelineOps18" -> graft.queries.PipelineOps18.queries.keys,
-      "PipelineOps20" -> graft.queries.PipelineOps20.queries.keys,
+      "EmbeddingOps" -> graft.queries.EmbeddingOps.queries.keys,
       "RetrievalOps" -> graft.queries.RetrievalOps.queries.keys,
       "EvalOps" -> graft.queries.EvalOps.queries.keys,
       "CorpusHygieneOps" -> graft.queries.CorpusHygieneOps.queries.keys,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps20
+import graft.queries.EvalOps
 
 /** First-principles re-derivations of the round-10 pack #8 (q243-q247):
   * every model below recomputes the query contract from collected raw
@@ -12,7 +12,7 @@ import graft.queries.PipelineOps20
   * called), so a defect in the engine-side single-copy helpers cannot
   * self-certify.
   */
-class PipelineOps20Spec extends AnyFunSuite {
+class RankingEvalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -76,7 +76,7 @@ class PipelineOps20Spec extends AnyFunSuite {
     for (p <- pos; n <- neg)
       u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
     val aucPermille = 1000 * u2 / (2L * pos.length * neg.length)
-    val r = PipelineOps20.q243(spark, aucDir).collect()
+    val r = EvalOps.q243(spark, aucDir).collect()
     assert(r.length == 1)
     assert(r(0).getLong(0) == pos.length.toLong)
     assert(r(0).getLong(1) == neg.length.toLong)
@@ -130,7 +130,7 @@ class PipelineOps20Spec extends AnyFunSuite {
       (lang, n, xs.map(_._3).sum, xs.map(_._4).sum, xs.map(_._5).sum,
         1000 * xs.map(_._5).sum / n)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps20.q244(spark, sfDir).collect().map(r =>
+    val got = EvalOps.q244(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect)
@@ -159,7 +159,7 @@ class PipelineOps20Spec extends AnyFunSuite {
       (lang, ds.length.toLong, tot, target, cut, selD, selT,
         1000 * (selT - target) / target)
     }.sortBy(_._1)
-    val got = PipelineOps20.q245(spark, sfDir).collect().map(r =>
+    val got = EvalOps.q245(spark, sfDir).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
     assert(got == expect)
@@ -221,7 +221,7 @@ class PipelineOps20Spec extends AnyFunSuite {
     } yield d2(va, vb)
     val meanPos = posD2.sum / posD2.length
     val meanBase = baseD2.sum / baseD2.length
-    val r = PipelineOps20.q246(spark, sfDir).collect()
+    val r = EvalOps.q246(spark, sfDir).collect()
     assert(r.length == 1)
     assert(r(0).getLong(0) == posD2.length.toLong)
     assert(r(0).getLong(1) == meanPos)
@@ -244,7 +244,7 @@ class PipelineOps20Spec extends AnyFunSuite {
       (c, docs.length.toLong, nTokens, seqs, padded,
         1000 * (padded - nTokens) / padded)
     }
-    val got = PipelineOps20.q247(spark, sfDir).collect().map(r =>
+    val got = EvalOps.q247(spark, sfDir).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect)

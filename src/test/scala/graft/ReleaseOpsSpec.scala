@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps8, PipelineOps9 => P9}
+import graft.queries.{PipelineOps8, ReleaseOps => P9}
 
 /** Pins the release-hygiene invariants behind q114-q116: split
   * assignment is exhaustive/deterministic and its per-mille audit adds
@@ -12,7 +12,7 @@ import graft.queries.{PipelineOps8, PipelineOps9 => P9}
   * independently-computed content membership, and the OOV audit's
   * vocabulary is the exact top-k with consistent token accounting.
   */
-class PipelineOps9Spec extends AnyFunSuite {
+class ReleaseOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps8, PipelineOps9}
+import graft.queries.{PipelineOps8, ReleaseOps}
 import graft.streaming.StreamingDriftMonitor
 
 /** Stream-fed drift must equal batch q117 exactly once the release has
@@ -62,7 +62,7 @@ class StreamingDriftMonitorSpec extends AnyFunSuite {
 
       val streamed = StreamingDriftMonitor.drift(spark, aHist, "drift_live")
         .collect().map(_.toString).toSeq
-      val batch = PipelineOps9.q117(spark, sfDir).collect()
+      val batch = ReleaseOps.q117(spark, sfDir).collect()
         .map(_.toString).toSeq
       assert(streamed == batch,
         "fully-landed streaming drift must equal batch q117 row-for-row")

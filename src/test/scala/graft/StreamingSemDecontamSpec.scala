@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps16
+import graft.queries.EvalOps
 import graft.streaming.StreamingSemDecontam
 
 /** Streaming semantic decontamination: per-batch verdicts against the
@@ -59,8 +59,8 @@ class StreamingSemDecontamSpec extends AnyFunSuite {
     val panelQ = panelRows.map(p => q(p._3))
     val expNear = panelQ.map(p => d2(q(near._3), p)).min
     val expFar = panelQ.map(p => d2(q(far._3), p)).min
-    assert(expNear <= PipelineOps16.SemLeakD2Max)
-    assert(expFar > PipelineOps16.SemLeakD2Max)
+    assert(expNear <= EvalOps.SemLeakD2Max)
+    assert(expFar > EvalOps.SemLeakD2Max)
 
     val input = MemoryStream[(Long, Long, Array[Float])]
     val got = mutable.Map[Long, (Long, Long, Boolean)]()
