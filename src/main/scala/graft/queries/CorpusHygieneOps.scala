@@ -133,11 +133,64 @@ object CorpusHygieneOps {
       |                     AS BIGINT), 0) AS c1_star_milli
       |FROM cnts GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+
+  /** How many docs the uniqueness screen reports. */
+  val UniqTopK = 25
+
+  /** Shingle-uniqueness score: per document, the per-mille of its
+    * distinct 5-token shingles that occur in NO other document —
+    * near 0 flags boilerplate/templated text a dedup pass should
+    * inspect, near 1000 flags novel content worth keeping. The
+    * uniqueness twin of q121's release-novelty score (which compares
+    * two snapshots; this ranks docs within one corpus). Reported as
+    * the [[UniqTopK]] LEAST-unique docs (ascending): the fully-unique
+    * end saturates at 1000‰ on any healthy corpus, while the
+    * boilerplate end is where a curation pass acts — and where the
+    * scores actually discriminate (pinned by ArchetypePack2Spec).
+    *
+    * Scale shape: per-doc-distinct shingles hashed to 8-byte keys by
+    * the native expression BEFORE the one shuffle-on-h, where the
+    * document frequency rides as a window count
+    * ([[Shingles.hashesWithDf]] — no groupBy+join-back second corpus
+    * pass); the per-doc rollup then shuffles only (doc_id, df-class)
+    * partial counts. Uniqueness is hash-exact in both engines (both
+    * classify the same 60-bit keys), so no collision contract is
+    * needed in the oracle.
+    */
+  def q142(spark: SparkSession, dir: String): DataFrame =
+    Shingles.hashesWithDf(table(spark, dir, "documents"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(1000 * n_unique) div n_shingles").as("uniq_permille"))
+      .orderBy(col("uniq_permille"), col("doc_id"))
+      .limit(UniqTopK)
+
+  val q142Oracle: String =
+    "WITH " + Shingles.rareCteSql + ",\n" +
+      s"""dfd AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY hh) AS df FROM hs),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_shingles,
+         |         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_unique
+         |  FROM dfd GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_unique,
+         |       CAST((1000 * n_unique) // n_shingles AS BIGINT)
+         |         AS uniq_permille
+         |FROM sc
+         |ORDER BY uniq_permille, doc_id
+         |LIMIT $UniqTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_crosslang_mirror" -> (q254 _),
-    "q255_good_turing" -> (q255 _))
+    "q255_good_turing" -> (q255 _),
+    "q142_shingle_uniqueness" -> (q142 _))
 
   val oracles: Map[String, String] = Map(
     "q254_crosslang_mirror" -> q254Oracle,
-    "q255_good_turing" -> q255Oracle)
+    "q255_good_turing" -> q255Oracle,
+    "q142_shingle_uniqueness" -> q142Oracle)
 }

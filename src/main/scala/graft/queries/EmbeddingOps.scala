@@ -272,13 +272,94 @@ object EmbeddingOps {
        |       (1000 * c) // n AS purity_permille
        |FROM top WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+
+  /** One-hop label propagation over the q42 sign-LSH graph, evaluated:
+    * vectors with vec_id % 5 == 3 act as the UNLABELED set (their true
+    * label is held out as ground truth); every other vector votes its
+    * label into each band bucket it shares with an unlabeled vector.
+    * Prediction = majority vote, ties to the smaller label — integer
+    * counts and an integer tie-break, so both engines elect the same
+    * label. Output: one row per unlabeled vector that has labeled
+    * neighbors, with vote counts and a correctness flag — the
+    * measurement a curation pipeline needs before trusting propagated
+    * labels at scale.
+    *
+    * Scale shape: band signatures are the same narrow projection q42
+    * and q103 use ([[Similarity2.signBands]] — third consumer, same
+    * single copy); the labeled→unlabeled vote join is bucketed (never
+    * all-pairs); votes aggregate per (vec, label) with the majority
+    * pick under WindowGroupLimit (rank 1 of ≤ 10 label rows); the
+    * ground-truth join is by vec_id, co-partitioned with the votes.
+    */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+    val bands = Similarity2.signBands(emb.select(col("vec_id"), col("embedding")))
+    val labeled = bands.join(
+      emb.filter(col("vec_id") % 5 =!= 3).select(col("vec_id"), col("label")),
+      "vec_id")
+    val unlabeled = bands.filter(col("vec_id") % 5 === 3)
+    // a (labeled, unlabeled) pair sharing several bands votes ONCE —
+    // the shared bucketPairs dedup; the voter's label rides through it
+    val votes = Similarity2.bucketPairs(unlabeled, labeled)
+      .select(col("va").as("u_id"), col("label"))
+      .groupBy(col("u_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = votes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("u_id"))
+          .orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("u_id").as("vec_id"), col("label").as("pred_label"),
+        col("n_votes"))
+    pred
+      .join(emb.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+      .select(col("vec_id"), col("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q110Oracle: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |${Similarity2.bandsCtesSql},
+       |lab AS (
+       |  SELECT b.vec_id AS l_id, b.band_idx, b.bv,
+       |         CAST(e.label AS BIGINT) AS label
+       |  FROM bands b JOIN embeddings e ON b.vec_id = e.vec_id
+       |  WHERE b.vec_id % 5 <> 3),
+       |unl AS (
+       |  SELECT vec_id AS u_id, band_idx, bv
+       |  FROM bands WHERE vec_id % 5 = 3),
+       |votes AS (
+       |  SELECT u_id, label, count(*) AS n_votes FROM (
+       |    SELECT DISTINCT u.u_id, l.l_id, l.label
+       |    FROM unl u JOIN lab l
+       |      ON u.band_idx = l.band_idx AND u.bv = l.bv) v
+       |  GROUP BY u_id, label),
+       |pred AS (
+       |  SELECT u_id, label, n_votes,
+       |         row_number() OVER (PARTITION BY u_id
+       |                            ORDER BY n_votes DESC, label) AS rk
+       |  FROM votes)
+       |SELECT p.u_id AS vec_id, p.label AS pred_label,
+       |       CAST(p.n_votes AS BIGINT) AS n_votes,
+       |       CAST(e.label AS BIGINT) AS true_label,
+       |       p.label = CAST(e.label AS BIGINT) AS correct
+       |FROM pred p JOIN embeddings e ON p.u_id = e.vec_id
+       |WHERE p.rk = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_jl_projection" -> (q237 _),
     "q238_hard_negatives" -> (q238 _),
-    "q239_cluster_purity" -> (q239 _))
+    "q239_cluster_purity" -> (q239 _),
+    "q110_label_prop" -> (q110 _))
 
   val oracles: Map[String, String] = Map(
     "q237_jl_projection" -> q237Oracle,
     "q238_hard_negatives" -> q238Oracle,
-    "q239_cluster_purity" -> q239Oracle)
+    "q239_cluster_purity" -> q239Oracle,
+    "q110_label_prop" -> q110Oracle)
 }

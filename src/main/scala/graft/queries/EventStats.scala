@@ -548,6 +548,316 @@ object EventStats {
       |FROM pw LEFT JOIN ch ON ch.week = pw.week
       |ORDER BY pw.week""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+
+  /** Half-life for the q135 decay, in days. The events corpus spans ~30
+    * days, so a weekly half-life exercises shifts 0..4 at every SF.
+    */
+  val DecayHalfLifeDays = 7
+
+  /** Recency-decayed engagement score per event type. The classic
+    * formulation `value · exp(−λ·age)` is float and engine-divergent;
+    * the integer form used here is `score >> (age_days div halfLife)`
+    * — exact halving per elapsed half-life, deterministic on every
+    * engine and JVM. Scores are exact 2-decimal unscaled integers
+    * ([[Exact]]'s quantization; values are non-negative by corpus
+    * contract, and the arithmetic shift keeps non-negatives
+    * non-negative so no sign pin is needed).
+    *
+    * TRAP pinned here: Java's `>>` (and thus Spark's `shiftright`)
+    * masks the shift count to its low 6 bits, so `x >> 64 == x`, NOT
+    * 0 — an unbounded age would silently UNDO the decay on ancient
+    * rows. The shift is clamped to 62 on both engines (past 62 every
+    * positive BIGINT score is already 0).
+    *
+    * Scale shape: the reference date is a 1-row aggregate broadcast
+    * back (no window over the corpus); the decay itself is a narrow
+    * codegen'd projection; one map-side-partial aggregate on the tiny
+    * event_type domain.
+    */
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    val scored = table(spark, dir, "events")
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("score_u2"))
+    val ref = scored.agg(max(col("d")).as("ref_d"))
+    scored.crossJoin(broadcast(ref))
+      .withColumn("decayed", expr(
+        s"shiftright(score_u2, CAST(least(datediff(ref_d, d) div " +
+          s"$DecayHalfLifeDays, 62) AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("score_u2")).as("raw_sum"),
+        sum(col("decayed")).as("decayed_sum"),
+        max(col("decayed")).as("decayed_max"))
+      .orderBy(col("event_type"))
+  }
+
+  val q135Oracle: String =
+    s"""WITH scored AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS score_u2
+       |  FROM events),
+       |ref AS (SELECT max(d) AS ref_d FROM scored)
+       |SELECT event_type,
+       |       count(*) AS n_events,
+       |       CAST(sum(score_u2) AS BIGINT) AS raw_sum,
+       |       CAST(sum(score_u2 >> CAST(least(
+       |              date_diff('day', d, r.ref_d) // $DecayHalfLifeDays,
+       |              62) AS BIGINT)) AS BIGINT) AS decayed_sum,
+       |       CAST(max(score_u2 >> CAST(least(
+       |              date_diff('day', d, r.ref_d) // $DecayHalfLifeDays,
+       |              62) AS BIGINT)) AS BIGINT) AS decayed_max
+       |FROM scored CROSS JOIN ref r
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q136
+
+  /** Attribution window for each funnel step, in epoch-microseconds:
+    * the next stage must land within 48 hours of the previous stage's
+    * anchor (every user in this always-on corpus eventually emits every
+    * event type, so an unbounded funnel converts everyone — the
+    * deadline is what makes conversion a measurement).
+    */
+  val AttributionWindowUs: Long = 48L * 3600 * 1000000
+
+  /** Ordered conversion funnel: users who viewed, then clicked strictly
+    * AFTER their first view but within [[AttributionWindowUs]], then
+    * purchased strictly after that click within the same window — the
+    * sequential-temporal-dependency archetype (distinct from q100's
+    * per-doc stage funnel, which has no ordering constraint between
+    * stages). Stage k's anchor is the EARLIEST qualifying event, so the
+    * funnel is greedy-minimal and uniquely determined; all comparisons
+    * happen in BIGINT epoch-microseconds, the precision both engines
+    * share for this corpus (the Spark loader floor-divides the parquet
+    * nanos to micros, and DuckDB truncates the same way — pinned by the
+    * q20/q31 precedent).
+    *
+    * Scale shape: each stage filters its event type BEFORE the
+    * per-user aggregate (pushed predicate), and each join keys on
+    * user_id — co-partitioned shuffles whose right side shrinks
+    * monotonically stage over stage. The final three counts are 1-row
+    * frames; conversion ratios are integer per-mille off the stage-1
+    * count (broadcast).
+    */
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("us") > col("t1") &&
+        col("us") <= col("t1") + lit(AttributionWindowUs))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("us") > col("t2") &&
+        col("us") <= col("t2") + lit(AttributionWindowUs))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    def cnt(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).cast("long").as("stage_ord"),
+          lit(name).as("stage"), col("n_users"))
+    val base = s1.agg(count(lit(1)).as("n1"))
+    cnt(s1, 1, "view").unionAll(cnt(s2, 2, "click_after_view"))
+      .unionAll(cnt(s3, 3, "purchase_after_click"))
+      .crossJoin(broadcast(base))
+      .select(col("stage_ord"), col("stage"), col("n_users"),
+        expr("(1000 * n_users) div n1").as("conv_permille"))
+      .orderBy(col("stage_ord"))
+  }
+
+  val q136Oracle: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(us) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.us) AS t2 FROM ev e
+      |  JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.us > s1.t1
+      |    AND e.us <= s1.t1 + $AttributionWindowUs
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.us) AS t3 FROM ev e
+      |  JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+      |    AND e.us <= s2.t2 + $AttributionWindowUs
+      |  GROUP BY e.user_id),
+      |counts AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'view' AS stage,
+      |         count(*) AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click_after_view', count(*) FROM s2
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase_after_click', count(*)
+      |  FROM s3)
+      |SELECT c.stage_ord, c.stage, c.n_users,
+      |       CAST((1000 * c.n_users) // b.n1 AS BIGINT) AS conv_permille
+      |FROM counts c CROSS JOIN (SELECT count(*) AS n1 FROM s1) b
+      |ORDER BY c.stage_ord""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+
+  /** Trailing window width in hours, and the minimum observed prior
+    * buckets for a verdict — a burst against a near-empty baseline is
+    * noise, not signal.
+    */
+  val BurstTrailingHours = 24
+  val BurstMinPrior = 12
+
+  /** Per-type hourly burst detection: an hour is a burst when its event
+    * count exceeds 1.5× the mean of the trailing [[BurstTrailingHours]]
+    * observed hour buckets (strictly — `2·cnt·n_prior > 3·sum_prior`,
+    * integer cross-multiplication) with at least [[BurstMinPrior]]
+    * prior buckets in range. The trailing window is a RANGE frame over
+    * the integer hour index, so calendar gaps shrink the baseline
+    * instead of silently stretching it across days (a ROWS frame
+    * would). The multiplier is deliberately modest: per-bucket counts
+    * grow with corpus rate while relative fluctuation shrinks as
+    * 1/√n, so a 2× screen that fires on a sparse corpus goes silent
+    * on a dense one (measured: 189 hits at sf0.01, ZERO at sf0.1; the
+    * 1.5× screen fires at every SF). At very high rates the right
+    * screen is a z-score — this query pins the integer-exact ratio
+    * form.
+    *
+    * Scale shape: the corpus collapses to (type, hour) counts in one
+    * map-side-partial aggregate; the range-frame window runs on that
+    * compressed frame, partitioned by the event-type domain. Nothing
+    * downstream of the first aggregate ever touches a raw event.
+    */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-BurstTrailingHours, -1)
+    hourly
+      .withColumn("sum_prior", sum(col("cnt")).over(w))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .filter(col("n_prior") >= BurstMinPrior &&
+        lit(2L) * col("cnt") * col("n_prior") > lit(3L) * col("sum_prior"))
+      .select(col("event_type"), col("hr"), col("cnt"), col("n_prior"),
+        col("sum_prior"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val q140Oracle: String =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY event_type, hr),
+       |w AS (
+       |  SELECT event_type, hr, cnt,
+       |         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY hr
+       |                RANGE BETWEEN $BurstTrailingHours PRECEDING
+       |                          AND 1 PRECEDING) AS BIGINT) AS sum_prior,
+       |         count(*) OVER (PARTITION BY event_type ORDER BY hr
+       |                RANGE BETWEEN $BurstTrailingHours PRECEDING
+       |                          AND 1 PRECEDING) AS n_prior
+       |  FROM h)
+       |SELECT event_type, hr, cnt, n_prior, sum_prior
+       |FROM w
+       |WHERE n_prior >= $BurstMinPrior AND 2 * cnt * n_prior > 3 * sum_prior
+       |ORDER BY event_type, hr""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+
+  /** Behavioral transition matrix: counts of consecutive event-type
+    * pairs within each user's timeline (ordered by ts with event_id as
+    * the unique tie-break), with each transition's share of the total
+    * in integer per-mille — the first-order Markov summary of the
+    * event stream, and the batch twin of what a session-state monitor
+    * accumulates incrementally.
+    *
+    * Scale shape: one shuffle on user_id for the lead() window; the
+    * transition aggregate collapses to at most |types|² rows, and the
+    * global total is a window over THAT frame (the q114 lesson — a
+    * single-partition window over ≤25 rows, not a second corpus pass).
+    */
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000 * n) div total").as("share_permille"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q141Oracle: String =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM t WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |       CAST((1000 * n) // (sum(n) OVER ()) AS BIGINT)
+      |         AS share_permille
+      |FROM c
+      |ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+
+  /** Inter-arrival gap histogram: per-user event gaps (seconds between
+    * consecutive events, ts-ordered with event_id tie-break) bucketed
+    * by bit length — bucket k holds gaps in [2^(k-1), 2^k), the
+    * doubling histogram that shows burst/idle structure across five
+    * orders of magnitude in ~17 rows. Bit length is `length(bin(x))`:
+    * the binary-string length both engines produce identically for
+    * non-negative BIGINTs — no float log2 anywhere.
+    *
+    * Scale shape: one shuffle on user_id for the lag() window, then a
+    * map-side-partial aggregate onto the ≤64-row bucket domain.
+    */
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .withColumn("gap_s", expr("(ms - prev_ms) div 1000"))
+      .groupBy(length(bin(col("gap_s"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("bucket"))
+  }
+
+  val q143Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events),
+      |f AS (
+      |  SELECT ms, lag(ms, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS prev_ms
+      |  FROM e),
+      |g AS (
+      |  SELECT (ms - prev_ms) // 1000 AS gap_s
+      |  FROM f WHERE prev_ms IS NOT NULL)
+      |SELECT CAST(length(bin(gap_s)) AS BIGINT) AS bucket,
+      |       count(*) AS n_gaps,
+      |       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+      |       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+      |FROM g GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_behavior_entropy" -> (q196 _),
     "q197_growth_accounting" -> (q197 _),
@@ -558,7 +868,12 @@ object EventStats {
     "q188_activity_streaks" -> (q188 _),
     "q193_rolling_actives" -> (q193 _),
     "q194_ab_test" -> (q194 _),
-    "q195_linear_attribution" -> (q195 _))
+    "q195_linear_attribution" -> (q195 _),
+    "q135_decay_score" -> (q135 _),
+    "q136_funnel_ordered" -> (q136 _),
+    "q140_burst_hours" -> (q140 _),
+    "q141_event_transitions" -> (q141 _),
+    "q143_gap_histogram" -> (q143 _))
 
   val oracles: Map[String, String] = Map(
     "q196_behavior_entropy" -> q196Oracle,
@@ -570,5 +885,10 @@ object EventStats {
     "q188_activity_streaks" -> q188Oracle,
     "q193_rolling_actives" -> q193Oracle,
     "q194_ab_test" -> q194Oracle,
-    "q195_linear_attribution" -> q195Oracle)
+    "q195_linear_attribution" -> q195Oracle,
+    "q135_decay_score" -> q135Oracle,
+    "q136_funnel_ordered" -> q136Oracle,
+    "q140_burst_hours" -> q140Oracle,
+    "q141_event_transitions" -> q141Oracle,
+    "q143_gap_histogram" -> q143Oracle)
 }

@@ -826,7 +826,7 @@ object MonitoringOps {
   // ---------------------------------------------------------------- q209
 
   /** The derived release's documents as a DuckDB CTE — the exact
-    * spelling q121's oracle uses for [[PipelineOps8.snapshotBDocs]].
+    * spelling q121's oracle uses for [[ReleaseOps.snapshotBDocs]].
     */
   private val BdocsCte: String =
     """bdocs AS (
@@ -858,7 +858,7 @@ object MonitoringOps {
     val a = table(spark, dir, "documents")
       .select(length(col("text")).cast("long").as("v"),
         lit(1L).as("ia"), lit(0L).as("ib"))
-    val b = PipelineOps8.snapshotBDocs(spark, dir)
+    val b = ReleaseOps.snapshotBDocs(spark, dir)
       .select(length(col("text")).cast("long").as("v"),
         lit(0L).as("ia"), lit(1L).as("ib"))
     val counts = a.unionAll(b).groupBy(col("v"))
@@ -906,6 +906,122 @@ object MonitoringOps {
        |         AS at_value
        |FROM tot t CROSS JOIN best b""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+
+  /** MAD multiplier: a value is an outlier when
+    * |x − median| > [[MadK]] · MAD.
+    */
+  val MadK = 3
+
+  /** Robust per-event-type value-outlier detection: exact median and
+    * median-absolute-deviation of the (2-decimal quantized) event
+    * value, and the count of events beyond [[MadK]]·MAD — the robust
+    * replacement for the mean/stddev screen (which outliers themselves
+    * corrupt; this corpus's value column is heavy-tailed, so ~12% of
+    * events sit past 3·MAD while a 3σ screen would move with them).
+    * "Median" is the LOWER median (the ascending element at rank
+    * `(n+1) div 2`), so it is an actual corpus value and needs no
+    * cross-engine interpolation contract.
+    *
+    * Scale shape — the reason this query exists: both medians are
+    * computed on the (type, cents) FREQUENCY table, never on the
+    * corpus. One narrow scan compresses ~anything to ≤ |types|·|value
+    * domain| rows (the 2-decimal domain is closed and bounded); the
+    * cumulative-count windows, the deviation re-agg, and the outlier
+    * count all run on that compressed frame — the deviation histogram
+    * is derived FROM the value histogram, so Spark's exchange-reuse
+    * serves all three passes from ONE corpus scan (pinned by
+    * ArchetypePackSpec), unlike the q33 two-pass selection which must
+    * re-visit candidate bins because doubles don't compress.
+    */
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    // bounded by distinct (type, cents) — the q33 histogram class, far
+    // below corpus scale; checkpointed because FOUR consumers (median
+    // windows, deviation table, outlier count, final join) would
+    // otherwise each replay the events scan + aggregate
+    val freq = table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("x"))
+      .groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val wn = Window.partitionBy(col("event_type"))
+    val wcum = wn.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = freq
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type"))
+      .agg(min(col("x")).as("med_x"), max(col("n")).as("n_events"))
+    val dev = freq.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("x") - col("med_x")).as("d"),
+        col("cnt"), col("n_events"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cnt")).as("dcnt"), max(col("n_events")).as("n_events"))
+    val wdcum = wn.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev
+      .withColumn("cum", sum(col("dcnt")).over(wdcum))
+      .filter(col("cum") >= expr("(n_events + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("d")).as("mad"))
+    val out = freq.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .filter(abs(col("x") - col("med_x")) > lit(MadK) * col("mad"))
+      .groupBy(col("event_type")).agg(sum(col("cnt")).as("n_outliers"))
+    med.join(broadcast(mad), "event_type")
+      .join(out, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"), col("med_x"), col("mad"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+        expr("(1000 * coalesce(n_outliers, 0)) div n_events")
+          .as("outlier_permille"))
+      .orderBy(col("event_type"))
+  }
+
+  val q137Oracle: String =
+    s"""WITH freq AS (
+       |  SELECT event_type,
+       |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY event_type, x),
+       |cums AS (
+       |  SELECT event_type, x, cnt,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS n,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY x
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM freq),
+       |med AS (
+       |  SELECT event_type, min(x) AS med_x,
+       |         CAST(max(n) AS BIGINT) AS n_events
+       |  FROM cums WHERE cum >= (n + 1) // 2 GROUP BY event_type),
+       |dev AS (
+       |  SELECT f.event_type, abs(f.x - m.med_x) AS d,
+       |         sum(f.cnt) AS dcnt, max(m.n_events) AS n_events
+       |  FROM freq f JOIN med m ON m.event_type = f.event_type
+       |  GROUP BY f.event_type, abs(f.x - m.med_x)),
+       |dcums AS (
+       |  SELECT event_type, d, dcnt, n_events,
+       |         sum(dcnt) OVER (PARTITION BY event_type ORDER BY d
+       |                         ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM dev),
+       |mad AS (
+       |  SELECT event_type, min(d) AS mad FROM dcums
+       |  WHERE cum >= (n_events + 1) // 2 GROUP BY event_type),
+       |outl AS (
+       |  SELECT f.event_type, CAST(sum(f.cnt) AS BIGINT) AS n_outliers
+       |  FROM freq f
+       |  JOIN med m ON m.event_type = f.event_type
+       |  JOIN mad a ON a.event_type = f.event_type
+       |  WHERE abs(f.x - m.med_x) > $MadK * a.mad
+       |  GROUP BY f.event_type)
+       |SELECT m.event_type, m.n_events, m.med_x, a.mad,
+       |       CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers,
+       |       CAST((1000 * coalesce(o.n_outliers, 0)) // m.n_events
+       |            AS BIGINT) AS outlier_permille
+       |FROM med m
+       |JOIN mad a ON a.event_type = m.event_type
+       |LEFT JOIN outl o ON o.event_type = m.event_type
+       |ORDER BY m.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_benford_digits" -> (q202 _),
     "q203_cusum_changepoint" -> (q203 _),
@@ -916,7 +1032,8 @@ object MonitoringOps {
     "q240_langid_reliability" -> (q240 _),
     "q241_quantile_norm" -> (q241 _),
     "q242_hourly_acf" -> (q242 _),
-    "q209_ks_drift" -> (q209 _))
+    "q209_ks_drift" -> (q209 _),
+    "q137_robust_outliers" -> (q137 _))
 
   val oracles: Map[String, String] = Map(
     "q202_benford_digits" -> q202Oracle,
@@ -928,5 +1045,6 @@ object MonitoringOps {
     "q240_langid_reliability" -> q240Oracle,
     "q241_quantile_norm" -> q241Oracle,
     "q242_hourly_acf" -> q242Oracle,
-    "q209_ks_drift" -> q209Oracle)
+    "q209_ks_drift" -> q209Oracle,
+    "q137_robust_outliers" -> q137Oracle)
 }

@@ -96,7 +96,7 @@ object ReleaseOps {
 
   /** Incremental exact dedup of a new release against the shipped
     * corpus — "don't re-ingest what you already have", decided by
-    * CONTENT, not id. Each snapshot-B doc ([[PipelineOps8.snapshotB]] —
+    * CONTENT, not id. Each snapshot-B doc ([[ReleaseOps.snapshotB]] —
     * the same derived release q113 diffs) is classified against
     * snapshot A's fingerprint index:
     *
@@ -115,8 +115,8 @@ object ReleaseOps {
     * traffic before the shuffle. Statuses partition B by construction.
     */
   def q115(spark: SparkSession, dir: String): DataFrame = {
-    val a = PipelineOps8.snapshotA(spark, dir)
-    val b = PipelineOps8.snapshotB(spark, dir)
+    val a = ReleaseOps.snapshotA(spark, dir)
+    val b = ReleaseOps.snapshotB(spark, dir)
     val withSame = b.join(a, Seq("doc_id"), "left")
       .select(col("doc_id"), col("fp_b"),
         (col("fp_a").isNotNull && col("fp_a") === col("fp_b")).as("same_id"))
@@ -240,7 +240,7 @@ object ReleaseOps {
     * sum(drift)/2 — the spec pins that identity; the per-bin rows are
     * the actionable output (WHICH length band moved).
     *
-    * B's lengths come from [[PipelineOps8.snapshotBDocs]] — the single
+    * B's lengths come from [[ReleaseOps.snapshotBDocs]] — the single
     * copy of the release derivation — as narrow length projections of
     * the one corpus scan.
     *
@@ -254,7 +254,7 @@ object ReleaseOps {
     def binOf(len: org.apache.spark.sql.Column) = driftBin(len)
     val a = base.select(binOf(length(col("text"))).as("bin"),
       lit("a").as("side"))
-    val b = PipelineOps8.snapshotBDocs(spark, dir)
+    val b = ReleaseOps.snapshotBDocs(spark, dir)
       .select(binOf(length(col("text"))).as("bin"), lit("b").as("side"))
     a.unionAll(b)
       .groupBy(col("bin"))
@@ -318,7 +318,7 @@ object ReleaseOps {
     val a = base.select(col("lang"),
       graft.functions.CrossHash.h60(col("text")).as("fp")).distinct()
       .withColumn("in_a", lit(1L))
-    val b = PipelineOps8.snapshotBDocs(spark, dir)
+    val b = ReleaseOps.snapshotBDocs(spark, dir)
       .select(col("lang"), graft.functions.CrossHash.h60(col("text")).as("fp"))
       .distinct()
       .withColumn("in_b", lit(1L))
@@ -560,7 +560,7 @@ object ReleaseOps {
           .as("h"): _*)
     val aSet = shingles(base, Seq.empty).select(col("h")).distinct()
       .withColumn("seen", lit(true))
-    shingles(PipelineOps8.snapshotBDocs(spark, dir), Seq("lang"))
+    shingles(ReleaseOps.snapshotBDocs(spark, dir), Seq("lang"))
       .join(aSet, Seq("h"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -819,6 +819,99 @@ object ReleaseOps {
        |         AS max_dist_sq
        |FROM shifts GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+
+  /** Corpus snapshot diff — the CDC audit every dataset release runs:
+    * compare snapshot A (the documents table) against snapshot B (a
+    * deterministically derived next release: docs with id % 13 == 0
+    * deleted, id % 7 == 0 re-edited, and a batch of new ids appended)
+    * by content fingerprint, and report per-status row counts. The
+    * fingerprint is the 60-bit content hash, so "changed" means the
+    * TEXT changed, not that a row moved or was rewritten in place —
+    * the property that makes the diff storage-layout-independent.
+    *
+    * Scale shape: both sides are narrow scan→project (id, fp); the
+    * diff is ONE full-outer join co-partitioned on doc_id (the CDC
+    * shape — at 100 TB both snapshots bucket by id and the join is
+    * storage-partitioned with no extra shuffle); the report is a
+    * partial+final aggregate on a 4-value status domain.
+    */
+  /** Snapshot A's fingerprint index: (doc_id, fp_a). Shared with the
+    * streaming twin ([[graft.streaming.SnapshotDiffStream]]) so both
+    * diffs compare the exact same derivation.
+    */
+  def snapshotA(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), CrossHash.h60(col("text")).as("fp_a"))
+
+  /** The deterministically derived next release as full document rows
+    * (doc_id, lang, text) — THE single copy of the derivation rule
+    * (%13 delete, %7 ' v2' re-edit, %17 'new:' re-add under a negated
+    * id). Every consumer projects from here: [[snapshotB]] (fps, q113/
+    * q115), q117 (lengths), q118 (lang+fp), q121 (lang+text) — so the
+    * rule can never fork across the release-hygiene family.
+    *
+    * New ids are negated (-(id)-1) so they can NEVER collide with a
+    * real doc_id (ids are non-negative at every scale — an additive
+    * offset would collide once the corpus id span exceeds it).
+    */
+  def snapshotBDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+    base
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(base.filter(col("doc_id") % 17 === 0)
+        .select((-col("doc_id") - 1L).as("doc_id"), col("lang"),
+          concat(lit("new:"), col("text")).as("text")))
+  }
+
+  /** Snapshot B's fingerprint index: (doc_id, fp_b). Shared with the
+    * streaming twin.
+    */
+  def snapshotB(spark: SparkSession, dir: String): DataFrame =
+    snapshotBDocs(spark, dir)
+      .select(col("doc_id"), CrossHash.h60(col("text")).as("fp_b"))
+
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val a = snapshotA(spark, dir)
+    val b = snapshotB(spark, dir)
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
+  val q113Oracle: String = {
+    val fpA = graft.functions.CrossHash.h60Sql("text")
+    val fpB = graft.functions.CrossHash.h60Sql(
+      "CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")
+    val fpNew = graft.functions.CrossHash.h60Sql("'new:' || text")
+    s"""WITH a AS (
+       |  SELECT doc_id, $fpA AS fp_a FROM documents),
+       |b AS (
+       |  SELECT doc_id, $fpB AS fp_b FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id, $fpNew AS fp_b
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |d AS (
+       |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |         CASE WHEN a.fp_a IS NULL THEN 'added'
+       |              WHEN b.fp_b IS NULL THEN 'removed'
+       |              WHEN a.fp_a <> b.fp_b THEN 'changed'
+       |              ELSE 'unchanged' END AS status
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT status, count(*) AS n_docs,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM d GROUP BY status ORDER BY status""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_split_assign" -> (q114 _),
     "q115_incremental_dedup" -> (q115 _),
@@ -830,7 +923,8 @@ object ReleaseOps {
     "q121_shingle_novelty" -> (q121 _),
     "q128_embedding_outliers" -> (q128 _),
     "q130_embedding_diff" -> (q130 _),
-    "q162_bloom_leakage" -> (q162 _))
+    "q162_bloom_leakage" -> (q162 _),
+    "q113_snapshot_diff" -> (q113 _))
 
   val oracles: Map[String, String] = Map(
     "q114_split_assign" -> q114Oracle,
@@ -843,5 +937,6 @@ object ReleaseOps {
     "q121_shingle_novelty" -> q121Oracle,
     "q128_embedding_outliers" -> q128Oracle,
     "q130_embedding_diff" -> q130Oracle,
-    "q162_bloom_leakage" -> q162Oracle)
+    "q162_bloom_leakage" -> q162Oracle,
+    "q113_snapshot_diff" -> q113Oracle)
 }

@@ -419,6 +419,61 @@ object TextAnalysis {
       |           '\+[0-9][0-9-]{6,}', '<PHONE>', 'g')) AS redacted_md5
       |FROM aug ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+
+  /** Keyword-in-context (KWIC) span extraction: for every occurrence of
+    * [[KwicNeedle]] (first [[KwicPerDoc]] per document), emit the
+    * 0-based token position and a ±[[KwicCtx]]-token context window —
+    * the audit view a curation team pulls before shipping a filter or
+    * redaction rule. Spans, not whole documents: the output is what a
+    * reviewer reads.
+    *
+    * Scale shape: posexplode is a narrow generate; the needle filter
+    * prunes to matching tokens BEFORE any shuffle; the per-doc cap is a
+    * literal row_number bound (WindowGroupLimit); context slicing is a
+    * pure projection on the already-carried token array.
+    */
+  val KwicNeedle = "data"
+  val KwicCtx = 3
+  val KwicPerDoc = 2
+
+  def q111(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("tok") === KwicNeedle)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("rk") <= KwicPerDoc)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        array_join(expr(
+          s"slice(toks, greatest(1, pos + 1 - $KwicCtx), " +
+            s"least(size(toks), pos + 1 + $KwicCtx) - greatest(1, pos + 1 - $KwicCtx) + 1)"),
+          " ").as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val q111Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, toks,
+       |         unnest(toks) AS tok,
+       |         generate_subscripts(toks, 1) AS pos1
+       |  FROM t),
+       |hits AS (
+       |  SELECT doc_id, toks, pos1,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos1) AS rk
+       |  FROM p WHERE tok = '$KwicNeedle')
+       |SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos,
+       |       array_to_string(
+       |         list_slice(toks, greatest(1, pos1 - $KwicCtx),
+       |                    least(len(toks), pos1 + $KwicCtx)), ' ') AS context
+       |FROM hits WHERE rk <= $KwicPerDoc ORDER BY doc_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_tokens" -> (q18 _),
     "q25_langid_markers" -> (q25 _),
@@ -427,7 +482,8 @@ object TextAnalysis {
     "q28_fingerprint" -> (q28 _),
     "q172_gopher_rules" -> (q172 _),
     "q72_repetition_ratio" -> (q72 _),
-    "q73_pii_redact" -> (q73 _))
+    "q73_pii_redact" -> (q73 _),
+    "q111_kwic_spans" -> (q111 _))
 
   val oracles: Map[String, String] = Map(
     "q18_text_tokens" -> q18Oracle,
@@ -437,5 +493,6 @@ object TextAnalysis {
     "q28_fingerprint" -> q28Oracle,
     "q172_gopher_rules" -> q172Oracle,
     "q72_repetition_ratio" -> q72Oracle,
-    "q73_pii_redact" -> q73Oracle)
+    "q73_pii_redact" -> q73Oracle,
+    "q111_kwic_spans" -> q111Oracle)
 }

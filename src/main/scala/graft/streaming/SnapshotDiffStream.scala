@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming twin of the q113 snapshot diff
-  * ([[graft.queries.PipelineOps8.q113]]): snapshot B arrives as a
+  * ([[graft.queries.ReleaseOps.q113]]): snapshot B arrives as a
   * STREAM of (doc_id, fp_b) fingerprint rows instead of a complete
   * relation, and the diff accrues incrementally — the CDC-ingest shape,
   * where the next release lands file-by-file over hours and the release

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps11, Relational11}
+import graft.queries.{CorpusHygieneOps, EventStats, Relational11}
 
 /** q138-q143: first-principles Scala recomputation of the per-group
   * threshold archetypes (Q17 decorrelation, dominant supplier) and the
@@ -112,16 +112,16 @@ class ArchetypePack2Spec extends AnyFunSuite {
     val counts = hours.groupBy(identity).view.mapValues(_.length.toLong)
       .toMap
     val expected = counts.keys.toSeq.sorted.flatMap { case (t, hr) =>
-      val prior = ((hr - PipelineOps11.BurstTrailingHours) until hr)
+      val prior = ((hr - EventStats.BurstTrailingHours) until hr)
         .flatMap(h => counts.get((t, h)))
       val cnt = counts((t, hr))
-      if (prior.length >= PipelineOps11.BurstMinPrior &&
+      if (prior.length >= EventStats.BurstMinPrior &&
         2L * cnt * prior.length > 3L * prior.sum)
         Some((t, hr, cnt, prior.length.toLong, prior.sum))
       else None
     }
 
-    val got = PipelineOps11.q140(spark, sfDir).collect()
+    val got = EventStats.q140(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == expected)
@@ -139,7 +139,7 @@ class ArchetypePack2Spec extends AnyFunSuite {
     val expected = counts.toSeq.sortBy(_._1)
       .map { case ((a, b), n) => (a, b, n, 1000L * n / total) }
 
-    val got = PipelineOps11.q141(spark, sfDir).collect()
+    val got = EventStats.q141(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expected)
@@ -162,9 +162,9 @@ class ArchetypePack2Spec extends AnyFunSuite {
       val uniq = hs.count(df(_) == 1).toLong
       (id, hs.size.toLong, uniq, 1000L * uniq / hs.size)
     }.sortBy { case (id, _, _, p) => (p, id) }
-      .take(PipelineOps11.UniqTopK).toSeq
+      .take(CorpusHygieneOps.UniqTopK).toSeq
 
-    val got = PipelineOps11.q142(spark, sfDir).collect()
+    val got = CorpusHygieneOps.q142(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expected)
@@ -183,7 +183,7 @@ class ArchetypePack2Spec extends AnyFunSuite {
       .toSeq.sortBy(_._1)
       .map { case (b, g) => (b.toLong, g.length.toLong, g.min, g.max) }
 
-    val got = PipelineOps11.q143(spark, sfDir).collect()
+    val got = EventStats.q143(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expected)

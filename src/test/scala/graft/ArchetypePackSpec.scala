@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps10, Relational10}
+import graft.queries.{EventStats, MonitoringOps, Relational10}
 
 /** q132-q137: first-principles Scala recomputation of the decision-
   * support archetypes (Q22/Q11/Q15 shapes) and the pipeline trio
@@ -150,7 +150,7 @@ class ArchetypePackSpec extends AnyFunSuite {
     val rows = ev.map { case (ty, ts, v) =>
       val score = cents2(v)
       val age = refD.toEpochDay - day(ts).toEpochDay
-      val shift = math.min(age / PipelineOps10.DecayHalfLifeDays, 62L).toInt
+      val shift = math.min(age / EventStats.DecayHalfLifeDays, 62L).toInt
       (ty, score, score >> shift)
     }
     val expected = rows.groupBy(_._1).view.mapValues { g =>
@@ -158,7 +158,7 @@ class ArchetypePackSpec extends AnyFunSuite {
     }.toSeq.sortBy(_._1)
       .map { case (ty, (n, rs, ds, dm)) => (ty, n, rs, ds, dm) }
 
-    val got = PipelineOps10.q135(spark, sfDir).collect()
+    val got = EventStats.q135(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(got == expected)
@@ -175,7 +175,7 @@ class ArchetypePackSpec extends AnyFunSuite {
       .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
       .as[(Long, String, Long)].collect()
 
-    val W = PipelineOps10.AttributionWindowUs
+    val W = EventStats.AttributionWindowUs
     val byUser = ev.groupBy(_._1)
     def firstIn(g: Array[(Long, String, Long)], ty: String,
         lo: Long, hi: Long): Option[Long] = {
@@ -199,7 +199,7 @@ class ArchetypePackSpec extends AnyFunSuite {
       (2L, "click_after_view", t2.size.toLong, 1000L * t2.size / n1),
       (3L, "purchase_after_click", t3.size.toLong, 1000L * t3.size / n1))
 
-    val got = PipelineOps10.q136(spark, sfDir).collect()
+    val got = EventStats.q136(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expected)
@@ -221,13 +221,13 @@ class ArchetypePackSpec extends AnyFunSuite {
       val xs = g.map(_._2).toSeq
       val med = lowerMedian(xs)
       val mad = lowerMedian(xs.map(x => math.abs(x - med)))
-      val out = xs.count(x => math.abs(x - med) > PipelineOps10.MadK * mad)
+      val out = xs.count(x => math.abs(x - med) > MonitoringOps.MadK * mad)
         .toLong
       (xs.length.toLong, med, mad, out, 1000L * out / xs.length)
     }.toSeq.sortBy(_._1)
       .map { case (ty, (n, med, mad, o, pm)) => (ty, n, med, mad, o, pm) }
 
-    val got = PipelineOps10.q137(spark, sfDir).collect()
+    val got = MonitoringOps.q137(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expected)
@@ -236,7 +236,7 @@ class ArchetypePackSpec extends AnyFunSuite {
   }
 
   test("q137's median passes reuse the frequency-table exchange") {
-    val df = PipelineOps10.q137(spark, sfDir)
+    val df = MonitoringOps.q137(spark, sfDir)
     df.collect() // AQE resolves exchange reuse at runtime: inspect final
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") || plan.contains("StageReuse") ||

@@ -121,7 +121,7 @@ class FingerprintOpsSpec extends AnyFunSuite {
   test("q209 equals a first-principles exact KS statistic over collected lengths") {
     val aLens = graft.Tables.table(spark, sfDir, "documents")
       .select("text").collect().map(_.getString(0).length.toLong)
-    val bLens = graft.queries.PipelineOps8.snapshotBDocs(spark, sfDir)
+    val bLens = graft.queries.ReleaseOps.snapshotBDocs(spark, sfDir)
       .select("text").collect().map(_.getString(0).length.toLong)
     val (na, nb) = (aLens.length.toLong, bLens.length.toLong)
     val domain = (aLens ++ bLens).distinct.sorted

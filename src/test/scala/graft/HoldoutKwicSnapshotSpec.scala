@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps8 => P8}
+import graft.queries.{EmbeddingOps, ReleaseOps, TextAnalysis}
 
 /** Semantic assertions for the q110-q111 pack: vote/holdout hygiene for
   * label propagation and span alignment for KWIC extraction.
   */
-class PipelineOps8Spec extends AnyFunSuite {
+class HoldoutKwicSnapshotSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -21,7 +21,7 @@ class PipelineOps8Spec extends AnyFunSuite {
   private val sfDir01 = "/root/testdata/sf0.01"
 
   test("q110: predictions cover only the held-out set, with valid votes") {
-    val rows = P8.q110(spark, sfDir01).collect()
+    val rows = EmbeddingOps.q110(spark, sfDir01).collect()
     assert(rows.nonEmpty, "the LSH graph must connect some held-out vectors")
     val labelDomain = graft.Tables.table(spark, sfDir01, "embeddings")
       .select(col("label").cast("long")).distinct()
@@ -35,7 +35,7 @@ class PipelineOps8Spec extends AnyFunSuite {
         (r.getAs[Long]("pred_label") == r.getAs[Long]("true_label")))
     }
     // the vote is a pure function of the corpus — reruns agree
-    val again = P8.q110(spark, sfDir01).collect()
+    val again = EmbeddingOps.q110(spark, sfDir01).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
@@ -47,7 +47,7 @@ class PipelineOps8Spec extends AnyFunSuite {
       "removed" -> ids.count(_ % 13 == 0).toLong,
       "changed" -> ids.count(i => i % 13 != 0 && i % 7 == 0).toLong,
       "unchanged" -> ids.count(i => i % 13 != 0 && i % 7 != 0).toLong)
-    val got = graft.queries.PipelineOps8.q113(spark, sfDir01).collect()
+    val got = graft.queries.ReleaseOps.q113(spark, sfDir01).collect()
       .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
     assert(got == expected.filter(_._2 > 0),
       s"diff must classify every id exactly once: got $got expected $expected")
@@ -55,7 +55,7 @@ class PipelineOps8Spec extends AnyFunSuite {
 
   test("q111: every span is anchored on the needle with a tight context") {
     import spark.implicits._
-    val rows = P8.q111(spark, sfDir01).collect()
+    val rows = TextAnalysis.q111(spark, sfDir01).collect()
     assert(rows.nonEmpty)
     val toksByDoc = graft.Tables.table(spark, sfDir01, "documents")
       .select(col("doc_id"),
@@ -63,19 +63,19 @@ class PipelineOps8Spec extends AnyFunSuite {
       .as[(Long, Seq[String])].collect().toMap
     val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
     perDoc.foreach { case (_, rs) =>
-      assert(rs.length <= P8.KwicPerDoc, "per-doc cap")
+      assert(rs.length <= TextAnalysis.KwicPerDoc, "per-doc cap")
     }
     rows.foreach { r =>
       val (doc, pos, ctx) = (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
         r.getAs[String]("context"))
       val toks = toksByDoc(doc)
-      assert(toks(pos.toInt) == P8.KwicNeedle, s"pos must point at the needle in doc $doc")
+      assert(toks(pos.toInt) == TextAnalysis.KwicNeedle, s"pos must point at the needle in doc $doc")
       val ctxToks = ctx.split(" ").toSeq
-      assert(ctxToks.length <= 2 * P8.KwicCtx + 1)
-      assert(ctxToks.contains(P8.KwicNeedle))
+      assert(ctxToks.length <= 2 * TextAnalysis.KwicCtx + 1)
+      assert(ctxToks.contains(TextAnalysis.KwicNeedle))
       // the context is exactly the corpus tokens around pos
-      val s = math.max(0, pos.toInt - P8.KwicCtx)
-      val e = math.min(toks.length - 1, pos.toInt + P8.KwicCtx)
+      val s = math.max(0, pos.toInt - TextAnalysis.KwicCtx)
+      val e = math.min(toks.length - 1, pos.toInt + TextAnalysis.KwicCtx)
       assert(ctxToks == toks.slice(s, e + 1), s"context window mismatch in doc $doc@$pos")
     }
   }

@@ -51,14 +51,11 @@ class QuerySmokeSpec extends AnyFunSuite {
       "PipelineOps5" -> graft.queries.PipelineOps5.queries.keys,
       "PipelineOps6" -> graft.queries.PipelineOps6.queries.keys,
       "MixtureOps" -> graft.queries.MixtureOps.queries.keys,
-      "PipelineOps8" -> graft.queries.PipelineOps8.queries.keys,
       "ReleaseOps" -> graft.queries.ReleaseOps.queries.keys,
       "GraphRank" -> graft.queries.GraphRank.queries.keys,
       "TokenizerOps" -> graft.queries.TokenizerOps.queries.keys,
       "Relational10" -> graft.queries.Relational10.queries.keys,
-      "PipelineOps10" -> graft.queries.PipelineOps10.queries.keys,
       "Relational11" -> graft.queries.Relational11.queries.keys,
-      "PipelineOps11" -> graft.queries.PipelineOps11.queries.keys,
       "Relational12" -> graft.queries.Relational12.queries.keys,
       "Relational13" -> graft.queries.Relational13.queries.keys,
       "Relational14" -> graft.queries.Relational14.queries.keys,

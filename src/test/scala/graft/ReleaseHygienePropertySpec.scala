@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps8 => P8, ReleaseOps => P9}
+import graft.queries.{ReleaseOps => P8, ReleaseOps => P9}
 
 /** Adversarial-corpus property tests for the release-hygiene family
   * (q113 snapshot diff, q115 incremental dedup, q117 drift histogram,

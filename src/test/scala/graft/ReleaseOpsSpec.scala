@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps8, ReleaseOps => P9}
+import graft.queries.{ReleaseOps, ReleaseOps => P9}
 
 /** Pins the release-hygiene invariants behind q114-q116: split
   * assignment is exhaustive/deterministic and its per-mille audit adds
@@ -71,8 +71,8 @@ class ReleaseOpsSpec extends AnyFunSuite {
     val rows = P9.q115(spark, sfDir01).collect()
     val got = rows.map(r => r.getAs[String]("status") ->
       r.getAs[Long]("n_docs")).toMap
-    val a = PipelineOps8.snapshotA(spark, sfDir01)
-    val b = PipelineOps8.snapshotB(spark, sfDir01)
+    val a = ReleaseOps.snapshotA(spark, sfDir01)
+    val b = ReleaseOps.snapshotB(spark, sfDir01)
     assert(got.values.sum == b.count(), "statuses must partition B")
     // independent recomputation from the snapshot frames themselves
     val sameId = b.join(a, b("doc_id") === a("doc_id") &&
@@ -93,7 +93,7 @@ class ReleaseOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val corpus = graft.Tables.table(spark, sfDir01, "documents")
     val nA = corpus.count()
-    val nB = PipelineOps8.snapshotB(spark, sfDir01).count()
+    val nB = ReleaseOps.snapshotB(spark, sfDir01).count()
     assert(rows.map(_.getAs[Long]("n_a")).sum == nA,
       "A histogram must partition snapshot A")
     assert(rows.map(_.getAs[Long]("n_b")).sum == nB,
@@ -116,7 +116,7 @@ class ReleaseOpsSpec extends AnyFunSuite {
     val rows = P9.q118(spark, sfDir01).collect()
     assert(rows.nonEmpty)
     // independent recomputation of one lang's overlap from raw fp sets
-    val a = PipelineOps8.snapshotA(spark, sfDir01)
+    val a = ReleaseOps.snapshotA(spark, sfDir01)
     val docsLang = graft.Tables.table(spark, sfDir01, "documents")
       .select(col("doc_id"), col("lang"))
     val aSets = a.join(docsLang, "doc_id")
@@ -124,7 +124,7 @@ class ReleaseOpsSpec extends AnyFunSuite {
       .groupBy(_.getString(0)).view
       .mapValues(_.map(_.getLong(1)).toSet).toMap
     // snapshot B keeps the base doc's lang; new ids are -id-1 of a %17 base doc
-    val bSets = PipelineOps8.snapshotB(spark, sfDir01)
+    val bSets = ReleaseOps.snapshotB(spark, sfDir01)
       .withColumn("base_id",
         when(col("doc_id") < 0, -col("doc_id") - 1).otherwise(col("doc_id")))
       .join(docsLang.withColumnRenamed("doc_id", "base_id"), "base_id")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps8
+import graft.queries.ReleaseOps
 import graft.streaming.SnapshotDiffStream
 
 /** The q113 streaming twin's contract: feeding snapshot B through the
@@ -28,7 +28,7 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
     .getOrCreate()
 
   private def collectReport(target: String): Seq[(String, Long, Long)] =
-    SnapshotDiffStream.report(spark, PipelineOps8.snapshotA(spark, sfDir), target)
+    SnapshotDiffStream.report(spark, ReleaseOps.snapshotA(spark, sfDir), target)
       .collect()
       .map(r => (r.getAs[String]("status"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("id_sum"))).toSeq
@@ -38,13 +38,13 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val target = Files.createTempDirectory("snapdiff-ledger").toString
 
-    val expected = PipelineOps8.q113(spark, sfDir).collect()
+    val expected = ReleaseOps.q113(spark, sfDir).collect()
       .map(r => (r.getAs[String]("status"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("id_sum"))).toSeq
 
     // snapshot B as a stream: three uneven chunks, order scrambled by
     // hashing — the diff must not care how the release lands
-    val bRows = PipelineOps8.snapshotB(spark, sfDir).collect()
+    val bRows = ReleaseOps.snapshotB(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy { case (id, _) => (id * 2654435761L) % 97 }
     val chunks = Seq(
@@ -53,7 +53,7 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
       bRows.drop(2 * bRows.length / 3))
     assert(chunks.forall(_.nonEmpty), "fixture must fill three chunks")
 
-    val aFp = PipelineOps8.snapshotA(spark, sfDir)
+    val aFp = ReleaseOps.snapshotA(spark, sfDir)
     val input = MemoryStream[(Long, Long)]
     val q = input.toDF().toDF("doc_id", "fp_b")
       .writeStream
@@ -73,8 +73,8 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
   test("replaying a micro-batch leaves the finalized diff unchanged") {
     import spark.implicits._
     val target = Files.createTempDirectory("snapdiff-ledger2").toString
-    val aFp = PipelineOps8.snapshotA(spark, sfDir)
-    val b = PipelineOps8.snapshotB(spark, sfDir)
+    val aFp = ReleaseOps.snapshotA(spark, sfDir)
+    val b = ReleaseOps.snapshotB(spark, sfDir)
 
     // drive the sink directly with two batches, then REPLAY batch 1
     // (the crash-between-write-and-commit case foreachBatch must absorb)
@@ -87,7 +87,7 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
     assert(collectReport(target) == before, "replay must be a no-op")
 
     // and the split-by-parity run still matches the batch q113
-    val expected = PipelineOps8.q113(spark, sfDir).collect()
+    val expected = ReleaseOps.q113(spark, sfDir).collect()
       .map(r => (r.getAs[String]("status"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("id_sum"))).toSeq
     assert(before == expected)
@@ -97,8 +97,8 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
     // at-least-once SOURCES can redeliver a doc under a new batchId —
     // the partition overwrite can't help there; report() must dedupe
     val target = Files.createTempDirectory("snapdiff-ledger3").toString
-    val aFp = PipelineOps8.snapshotA(spark, sfDir)
-    val b = PipelineOps8.snapshotB(spark, sfDir)
+    val aFp = ReleaseOps.snapshotA(spark, sfDir)
+    val b = ReleaseOps.snapshotB(spark, sfDir)
     SnapshotDiffStream.diffSink(aFp, target)(b, 0L)
     val clean = collectReport(target)
     // redeliver a slice of B as a later batch (overlapping doc_ids)
@@ -106,7 +106,7 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
       b.filter(pmod(col("doc_id"), lit(3)) === 0), 5L)
     assert(collectReport(target) == clean,
       "cross-batch redelivery must not change the finalized diff")
-    val expected = PipelineOps8.q113(spark, sfDir).collect()
+    val expected = ReleaseOps.q113(spark, sfDir).collect()
       .map(r => (r.getAs[String]("status"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("id_sum"))).toSeq
     assert(clean == expected)

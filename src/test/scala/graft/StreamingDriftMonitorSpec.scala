@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps8, ReleaseOps}
+import graft.queries.ReleaseOps
 import graft.streaming.StreamingDriftMonitor
 
 /** Stream-fed drift must equal batch q117 exactly once the release has
