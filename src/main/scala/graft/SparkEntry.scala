@@ -26,7 +26,7 @@ object SparkEntry {
     "q77_nearest_anchor" -> (GridQueries.q77 _),
   ) ++ Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
     Similarity.queries ++ Events.queries ++ MultimodalQueries.queries ++
-    IntervalQueries.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ JsonQueries.queries ++ Similarity2.queries ++ Relational5.queries ++ Advanced.queries ++ Relational6.queries ++ PipelineOps.queries ++ PipelineOps2.queries ++ Relational7.queries ++ Relational8.queries ++ Relational9.queries ++ SourceSink.queries ++ PipelineOps4.queries ++ PipelineOps5.queries ++ PipelineOps6.queries ++ MixtureOps.queries ++ ReleaseOps.queries ++ GraphRank.queries ++ TokenizerOps.queries ++ Relational10.queries ++ Relational11.queries ++ Relational12.queries ++ Relational13.queries ++ Relational14.queries ++ Similarity3.queries ++ PipelineOps12.queries ++ Similarity4.queries ++ SetSimJoin.queries ++ Relational15.queries ++ CorpusStats.queries ++ LexicalStats.queries ++ EventStats.queries ++ Relational16.queries ++ ImportanceOps.queries ++ MonitoringOps.queries ++ FingerprintOps.queries ++ PipelineOps15.queries ++ PipelineOps17.queries ++ EmbeddingOps.queries ++ RetrievalOps.queries ++ EvalOps.queries ++ CorpusHygieneOps.queries ++ DedupAuditOps.queries
+    IntervalQueries.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ JsonQueries.queries ++ Similarity2.queries ++ Relational5.queries ++ Advanced.queries ++ Relational6.queries ++ Relational7.queries ++ Relational8.queries ++ Relational9.queries ++ SourceSink.queries ++ MixtureOps.queries ++ ReleaseOps.queries ++ GraphRank.queries ++ TokenizerOps.queries ++ Relational10.queries ++ Relational11.queries ++ Relational12.queries ++ Relational13.queries ++ Relational14.queries ++ Similarity3.queries ++ Similarity4.queries ++ SetSimJoin.queries ++ Relational15.queries ++ CorpusStats.queries ++ LexicalStats.queries ++ EventStats.queries ++ Relational16.queries ++ ImportanceOps.queries ++ MonitoringOps.queries ++ FingerprintOps.queries ++ EmbeddingOps.queries ++ RetrievalOps.queries ++ EvalOps.queries ++ CorpusHygieneOps.queries ++ DedupAuditOps.queries
 
   def oracleSql: Map[String, String] = Map(
     "q14_grid_explode" -> GridQueries.q14Oracle,
@@ -36,5 +36,5 @@ object SparkEntry {
     "q77_nearest_anchor" -> GridQueries.q77Oracle,
   ) ++ Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
     Similarity.oracles ++ Events.oracles ++ MultimodalQueries.oracles ++
-    IntervalQueries.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ JsonQueries.oracles ++ Similarity2.oracles ++ Relational5.oracles ++ Advanced.oracles ++ Relational6.oracles ++ PipelineOps.oracles ++ PipelineOps2.oracles ++ Relational7.oracles ++ Relational8.oracles ++ Relational9.oracles ++ SourceSink.oracles ++ PipelineOps4.oracles ++ PipelineOps5.oracles ++ PipelineOps6.oracles ++ MixtureOps.oracles ++ ReleaseOps.oracles ++ GraphRank.oracles ++ TokenizerOps.oracles ++ Relational10.oracles ++ Relational11.oracles ++ Relational12.oracles ++ Relational13.oracles ++ Relational14.oracles ++ Similarity3.oracles ++ PipelineOps12.oracles ++ Similarity4.oracles ++ SetSimJoin.oracles ++ Relational15.oracles ++ CorpusStats.oracles ++ LexicalStats.oracles ++ EventStats.oracles ++ Relational16.oracles ++ ImportanceOps.oracles ++ MonitoringOps.oracles ++ FingerprintOps.oracles ++ PipelineOps15.oracles ++ PipelineOps17.oracles ++ EmbeddingOps.oracles ++ RetrievalOps.oracles ++ EvalOps.oracles ++ CorpusHygieneOps.oracles ++ DedupAuditOps.oracles
+    IntervalQueries.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ JsonQueries.oracles ++ Similarity2.oracles ++ Relational5.oracles ++ Advanced.oracles ++ Relational6.oracles ++ Relational7.oracles ++ Relational8.oracles ++ Relational9.oracles ++ SourceSink.oracles ++ MixtureOps.oracles ++ ReleaseOps.oracles ++ GraphRank.oracles ++ TokenizerOps.oracles ++ Relational10.oracles ++ Relational11.oracles ++ Relational12.oracles ++ Relational13.oracles ++ Relational14.oracles ++ Similarity3.oracles ++ Similarity4.oracles ++ SetSimJoin.oracles ++ Relational15.oracles ++ CorpusStats.oracles ++ LexicalStats.oracles ++ EventStats.oracles ++ Relational16.oracles ++ ImportanceOps.oracles ++ MonitoringOps.oracles ++ FingerprintOps.oracles ++ EmbeddingOps.oracles ++ RetrievalOps.oracles ++ EvalOps.oracles ++ CorpusHygieneOps.oracles ++ DedupAuditOps.oracles
 }

@@ -148,13 +148,223 @@ object Advanced {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+
+  /** q215: DYNAMIC partition pruning under the gate — the third member
+    * of the physical-layout family (q47 salting, q90 z-order, q214
+    * bucketing): customer is written `partitionBy(c_nationkey)` (the
+    * Hive-style serving layout), then joined to nation filtered by
+    * region. The nation filter is NOT a literal predicate on the fact
+    * table, so static partition pruning can't help; Spark's
+    * PartitionPruning rule instead feeds the broadcast dim's key set
+    * into the fact scan at RUNTIME (`PartitionFilters:
+    * [dynamicpruning#...]` — ScaleOpsSpec pins the marker in the
+    * executed plan), so only the ~1/5 of partition directories whose
+    * nationkey survives the region filter are read at all. At 100 TB
+    * with date- or tenant-partitioned facts this is the dominant scan
+    * eliminator: the query reads the partitions the dim filter selects,
+    * never the whole table. The oracle runs the PLAIN join over the
+    * original parquet — identical output certifies the partitioned
+    * layout + DPP as a pure physical choice, exactly the q47/q214
+    * contract. The serving copy lands at a stable per-process scratch
+    * path + overwrite (the ADVICE-r3 rule — a fresh createTempDirectory
+    * per invocation leaks one /tmp copy of customer per run).
+    */
+  def q215(spark: SparkSession, dir: String): DataFrame = {
+    val base = SourceSink.scratchDir("q215_dpp")
+    table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      .write.partitionBy("c_nationkey").mode("overwrite").parquet(base)
+    val fact = spark.read.parquet(base)
+    val dim = table(spark, dir, "nation")
+      .filter(col("n_regionkey") === 1)
+    fact
+      .join(dim, fact("c_nationkey") === dim("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q215Oracle: String =
+    """SELECT n_name, count(*) AS n_custs,
+      |       round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey = 1
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q222
+
+  /** q222: the RANGE-PARTITIONED serving layout under the gate — the
+    * fifth and last member of the physical-layout family (q47 salting,
+    * q90 z-order, q214 bucketing, q215 dynamic partition pruning):
+    * lineitem is rewritten `repartitionByRange(l_shipdate) +
+    * sortWithinPartitions` ([[graft.ops.ScaleOps.writeRangePartitioned]]),
+    * so every output file covers a DISJOINT date range and is internally
+    * sorted — parquet row-group min/max stats line up with range
+    * predicates and a date filter touches only the files whose range
+    * intersects (ScaleProofSpec proves disjointness + pushdown on the
+    * layout itself). The query then runs a one-year monthly rollup over
+    * the rewritten layout; the oracle runs it over the ORIGINAL parquet
+    * — identical output certifies the layout as a pure physical choice,
+    * the q47/q214/q215 contract. At 100 TB a time-range scan over this
+    * layout reads ~1/84 of the files instead of all of them. Scratch
+    * path is per-process stable + overwrite (ADVICE-r3 rule).
+    */
+  def q222(spark: SparkSession, dir: String): DataFrame = {
+    val base = SourceSink.scratchDir("q222_range")
+    graft.ops.ScaleOps.writeRangePartitioned(
+      table(spark, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice")),
+      "l_shipdate", 16, base)
+    spark.read.parquet(base)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("ym"))
+  }
+
+  val q222Oracle: String =
+    """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+      |       count(*) AS n_items,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY ym""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+
+  /** Morton (z-order) key distribution over lineitem's
+    * (partkey, suppkey) plane: z-encode each row, then histogram the
+    * 256 top-level z-cells. The interleave is pure built-in bitwise
+    * arithmetic ([[graft.functions.ZOrder]]) — one narrow codegen'd
+    * projection feeding a partial+final hash agg on a 256-value key.
+    * The layout payoff (file skipping for 2-D box predicates when the
+    * table is range-written on z) is proven in ZOrderLayoutSpec; this
+    * query gates the encoding itself cross-engine.
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.functions.ZOrder.interleave16(
+      col("l_partkey") % 4096, col("l_suppkey") % 4096)
+    table(spark, dir, "lineitem")
+      .select(z.as("z"))
+      .groupBy(shiftrightunsigned(col("z"), 16).as("z_cell"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+      .orderBy(col("z_cell"))
+  }
+
+  val q90Oracle: String = {
+    val z = graft.functions.ZOrder.interleave16Sql(
+      "CAST(l_partkey % 4096 AS BIGINT)", "CAST(l_suppkey % 4096 AS BIGINT)")
+    s"""WITH zt AS (SELECT $z AS z FROM lineitem)
+       |SELECT z >> 16 AS z_cell, count(*) AS n, min(z) AS z_min,
+       |       max(z) AS z_max
+       |FROM zt GROUP BY z >> 16 ORDER BY z_cell""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q91
+
+  /** Bloom-prefiltered semi-join under the oracle gate: lineitems of
+    * high-value orders via [[graft.ops.ScaleOps.bloomSemiJoin]] — the
+    * bloom drops non-matching rows inside the probe side's scan stage
+    * before any shuffle, the exact semi-join then removes the bloom's
+    * false positives, so the oracle is the PLAIN `IN (subquery)`
+    * formulation. Aggregate output is all-integer (count / distinct
+    * counts), bit-equal cross-engine.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val hot = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+    // auto-sized overload: the bloom is sized from the build side's
+    // measured count at WHATEVER scale factor runs (a fixed literal
+    // saturates at larger sfs and stops filtering; the oversized 1M
+    // default measured 3.9 s vs 1.6 s at sf0.1 — sizing matters both
+    // directions)
+    graft.ops.ScaleOps.bloomSemiJoin(
+      table(spark, dir, "lineitem"), hot, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q91Oracle: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_totalprice > 150000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+
+  /** Pure interval-overlap join (NO equi key) via
+    * [[graft.ops.IntervalJoin.overlapJoin]]: overlap degree of
+    * high-value orders' fulfillment windows [orderdate, orderdate +
+    * orderkey%30 days]. Without the bucket reformulation Spark plans
+    * this as BroadcastNestedLoopJoin — IntervalJoinSpec pins the plan
+    * to the equi-join shape. The oracle runs DuckDB's native
+    * inequality join over the same windows.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000)
+    def windows(keyName: String, sName: String, eName: String) = base.select(
+      col("o_orderkey").as(keyName),
+      unix_date(col("o_orderdate").cast("date")).cast("long").as(sName),
+      (unix_date(col("o_orderdate").cast("date")) + col("o_orderkey") % 30)
+        .cast("long").as(eName))
+    // auto-sized overload: bucketWidth ≈ the measured p50 window length
+    // (a hard-coded width breaks silently when interval scale changes —
+    // 1000× wider intervals would explode 1000× more bucket rows)
+    graft.ops.IntervalJoin.overlapJoin(
+        windows("a_orderkey", "a_s", "a_e"),
+        windows("b_orderkey", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e")
+      .filter(col("a_orderkey") =!= col("b_orderkey"))
+      .groupBy(col("a_orderkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("a_orderkey"))
+  }
+
+  val q92Oracle: String =
+    """WITH hi AS (
+      |  SELECT o_orderkey,
+      |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+      |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |           + o_orderkey % 30 AS e
+      |  FROM orders WHERE o_totalprice > 450000)
+      |SELECT a.o_orderkey AS a_orderkey, count(*) AS n_overlaps
+      |FROM hi a JOIN hi b
+      |  ON a.o_orderkey <> b.o_orderkey AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY a.o_orderkey ORDER BY a_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_udaf" -> (q46 _),
     "q47_salted_join" -> (q47 _),
-    "q214_bucketed_join" -> (q214 _))
+    "q214_bucketed_join" -> (q214 _),
+    "q215_dynamic_pruning" -> (q215 _),
+    "q222_range_layout" -> (q222 _),
+    "q90_zorder" -> (q90 _),
+    "q91_bloom_semijoin" -> (q91 _),
+    "q92_interval_overlap" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
     "q46_minhash_udaf" -> q46Oracle,
     "q47_salted_join" -> q47Oracle,
-    "q214_bucketed_join" -> q214Oracle)
+    "q214_bucketed_join" -> q214Oracle,
+    "q215_dynamic_pruning" -> q215Oracle,
+    "q222_range_layout" -> q222Oracle,
+    "q90_zorder" -> q90Oracle,
+    "q91_bloom_semijoin" -> q91Oracle,
+    "q92_interval_overlap" -> q92Oracle)
 }

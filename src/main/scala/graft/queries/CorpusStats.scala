@@ -106,11 +106,146 @@ object CorpusStats {
        |            // (count(*) * sum(n)) AS BIGINT) AS gini_permille
        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+
+  /** q168: exact length quantiles per language (P50/P90/P99 token
+    * counts) WITHOUT sorting the corpus — the ordinal statistic is
+    * recovered from a cumulative sum over the (lang, dl) COUNT table,
+    * whose domain is |langs| × |distinct lengths| (thousands of rows at
+    * any corpus size, because dl is a bounded integer). That is the
+    * 100 TB design: one partial-aggregated pass builds the histogram,
+    * the quantile walk runs on the tiny frame; a sort-based
+    * `percentile_disc` over the corpus would instead pay a full
+    * range-partitioned sort per language.
+    *
+    * percentile_disc semantics, integer-exact: P(p) = min dl whose
+    * cumulative count reaches ceil(p·n), with ceil(a/b) spelled
+    * `(a + b − 1) DIV b` in both engines.
+    */
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    val hist = table(spark, dir, "documents")
+      .select(col("lang"),
+        expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)")
+          .as("dl"))
+      .filter(col("dl") > 0)
+      .groupBy(col("lang"), col("dl")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("dl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    def pick(num: Int, den: Int, name: String) =
+      cum.filter(col("cum") >= expr(s"($num * n + $den - 1) DIV $den"))
+        .groupBy(col("lang")).agg(min(col("dl")).as(name))
+    pick(1, 2, "p50")
+      .join(pick(9, 10, "p90"), "lang")
+      .join(pick(99, 100, "p99"), "lang")
+      .join(cum.groupBy(col("lang")).agg(max(col("n")).as("n_docs")), "lang")
+      .select(col("lang"), col("n_docs"), col("p50"), col("p90"), col("p99"))
+      .orderBy(col("lang"))
+  }
+
+  val q168Oracle: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |           AS BIGINT) AS dl
+       |  FROM documents),
+       |h AS (
+       |  SELECT lang, dl, count(*) AS c FROM d WHERE dl > 0
+       |  GROUP BY lang, dl),
+       |cum AS (
+       |  SELECT lang, dl,
+       |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY dl
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM h),
+       |p50 AS (SELECT lang, min(dl) AS p50 FROM cum
+       |        WHERE cum >= (1 * n + 1) // 2 GROUP BY lang),
+       |p90 AS (SELECT lang, min(dl) AS p90 FROM cum
+       |        WHERE cum >= (9 * n + 9) // 10 GROUP BY lang),
+       |p99 AS (SELECT lang, min(dl) AS p99 FROM cum
+       |        WHERE cum >= (99 * n + 99) // 100 GROUP BY lang),
+       |nd AS (SELECT lang, max(n) AS n_docs FROM cum GROUP BY lang)
+       |SELECT lang, n_docs, p50, p90, p99
+       |FROM p50 JOIN p90 USING (lang) JOIN p99 USING (lang)
+       |  JOIN nd USING (lang)
+       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+
+  /** Global top-20 word bigrams with counts — the corpus-statistics
+    * primitive behind boilerplate detection and stop-phrase lists.
+    * Scale shape: the bigram explode is a narrow projection; the count
+    * is a partial (map-side) + final hash aggregate keyed on the bigram
+    * string, and the top-k is TakeOrderedAndProject — per-partition
+    * heaps, only 20 rows per partition reach the driver-side merge; no
+    * global sort ever materializes. Tie-break is total (count desc,
+    * bigram asc) so the cut is deterministic cross-engine.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
+  val q88Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok, pos FROM (
+      |    SELECT doc_id,
+      |           unnest(string_split(text, ' ')) AS tok,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents) t
+      |  WHERE tok <> ''),
+      |big AS (
+      |  SELECT tok || ' ' || lead(tok, 1) OVER w AS bigram
+      |  FROM toks
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |SELECT bigram, count(*) AS cnt
+      |FROM big WHERE bigram IS NOT NULL
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+
+  /** Heavy-hitter tokens via the Space-Saving sketch
+    * ([[graft.functions.SpaceSaving]]) — the bounded-memory twin of an
+    * exact token count: each partition ships at most `capacity`
+    * (item, count, err) triples regardless of vocabulary size.
+    * Approximate and partitioning-dependent within its error bound, so
+    * it is in the declared oracle-free set (driver rows-only check,
+    * same policy as q38's sketches); the bounds themselves are asserted
+    * in SpaceSavingSpec, and at sf0.01 the capacity comfortably exceeds
+    * the heavy vocabulary so counts are exact.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val ss = udaf(new graft.functions.SpaceSaving(256))
+    table(spark, dir, "documents")
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("tok"))
+      .agg(ss(col("tok")).as("hits"))
+      .select(explode(col("hits")).as("h"))
+      .select(col("h.item").as("token"), col("h.count").as("est_count"),
+        col("h.err").as("err"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_simpson_concentration" -> (q175 _),
-    "q176_token_gini" -> (q176 _))
+    "q176_token_gini" -> (q176 _),
+    "q168_length_quantiles" -> (q168 _),
+    "q88_ngram_topk" -> (q88 _),
+    "q93_heavy_hitters" -> (q93 _))
 
   val oracles: Map[String, String] = Map(
     "q175_simpson_concentration" -> q175Oracle,
-    "q176_token_gini" -> q176Oracle)
+    "q176_token_gini" -> q176Oracle,
+    "q168_length_quantiles" -> q168Oracle,
+    "q88_ngram_topk" -> q88Oracle)
 }

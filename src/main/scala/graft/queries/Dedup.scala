@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -1254,6 +1255,207 @@ object Dedup {
        |FROM deg d LEFT JOIN intra i ON i.lang = d.lang
        |ORDER BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q234
+
+  /** Sorted-neighborhood window: each doc pairs with the next
+    * `SnmWindow − 1` docs in its block's (n_chars, doc_id) order. */
+  val SnmWindow = 4
+
+  /** Char-length band width of the sort blocks: the window runs inside
+    * (lang, n_chars div width) cells, so no single task ever owns a
+    * whole language (the q61 blocking discipline). */
+  val SnmBandWidth = 64L
+
+  /** Candidate pairs at or above this token-set Jaccard permille are
+    * reported as near-dup matches. */
+  val SnmMinJac = 600L
+
+  /** Matches reported (total-order tie-break, rerun-stable). */
+  val SnmTop = 20
+
+  /** q234: SORTED-NEIGHBORHOOD dedup blocking (Hernández/Stolfo 1995,
+    * the SNM "merge/purge" method) — the third blocking paradigm beside
+    * hash banding (q21 MinHash, q42 SimHash) and prefix filtering
+    * (q173 PPJoin): sort the corpus on a cheap proxy key (language,
+    * then char length — near-dups rarely differ much in length), slide
+    * a fixed window of [[SnmWindow]], and verify ONLY in-window pairs
+    * by exact distinct-token-set Jaccard. Reports the top
+    * [[SnmTop]] matched pairs at ≥ [[SnmMinJac]]‰.
+    *
+    * The scale argument is the OPPOSITE trade to LSH: candidate volume
+    * is at most n·(w−1) — fixed per document BY CONSTRUCTION, immune to
+    * hot buckets and threshold tuning (the failure modes candidatePairs
+    * needs its df cap for). The sort is blocked: the window runs inside
+    * (lang, [[SnmBandWidth]]-char length band) cells — near-dups rarely
+    * differ much in length, so they share a band — which keeps every
+    * sort task bounded instead of funnelling a whole language through
+    * one window task (the q61 blocking discipline; a lang-wide window
+    * would be the straggler the q114 lesson warns about). Recall is
+    * heuristic twice over (a pair > w apart in the order, or straddling
+    * a band edge, is missed) — that trade is the documented SNM
+    * contract, and the multi-pass fix is a second run with an offset
+    * band or a different sort key. One window pass computes all w−1
+    * neighbor columns; the pair frame is an explode of those columns,
+    * not a re-run of the sort per neighbor offset.
+    */
+  def q234(spark: SparkSession, dir: String): DataFrame = {
+    val f = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("array_distinct(filter(split(text, ' '), t -> t <> ''))")
+          .as("toks"))
+      .withColumn("band", expr(s"n_chars div $SnmBandWidth"))
+    val win = Window.partitionBy(col("lang"), col("band"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val w = (1 until SnmWindow).foldLeft(f) { (df, j) =>
+      df.withColumn(s"b_id_$j", lead(col("doc_id"), j).over(win))
+        .withColumn(s"b_toks_$j", lead(col("toks"), j).over(win))
+    }
+    val pairs = w
+      .select(col("lang"), col("doc_id").as("a_id"), col("toks"),
+        explode(array((1 until SnmWindow).map { j =>
+          struct(col(s"b_id_$j").as("b_id"), col(s"b_toks_$j").as("btoks"))
+        }: _*)).as("nb"))
+      .select(col("lang"), col("a_id"), col("nb.b_id").as("b_id"),
+        col("toks"), col("nb.btoks").as("btoks"))
+      .filter(col("b_id").isNotNull)
+    pairs
+      .withColumn("inter",
+        size(array_intersect(col("toks"), col("btoks"))).cast("long"))
+      .withColumn("uni",
+        size(col("toks")).cast("long") + size(col("btoks")).cast("long")
+          - col("inter"))
+      .withColumn("jac_permille",
+        expr("coalesce((1000 * inter) div nullif(uni, 0), 0)"))
+      .filter(col("jac_permille") >= SnmMinJac)
+      .select(col("lang"), col("a_id"), col("b_id"), col("jac_permille"))
+      .orderBy(col("jac_permille").desc, col("a_id"), col("b_id"))
+      .limit(SnmTop)
+  }
+
+  val q234Oracle: String = {
+    val leads = (1 until SnmWindow).map { j =>
+      s"lead(doc_id, $j) OVER win AS b_id_$j, lead(toks, $j) OVER win AS b_toks_$j"
+    }.mkString(",\n         ")
+    val branches = (1 until SnmWindow).map { j =>
+      s"""  SELECT lang, doc_id AS a_id, b_id_$j AS b_id, toks,
+         |         b_toks_$j AS btoks
+         |  FROM w WHERE b_id_$j IS NOT NULL""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, length(text) AS n_chars,
+       |         length(text) // $SnmBandWidth AS band,
+       |         list_distinct(list_filter(string_split(text, ' '),
+       |                                   t -> t <> '')) AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT lang, doc_id, toks,
+       |         $leads
+       |  FROM f
+       |  WINDOW win AS (PARTITION BY lang, band ORDER BY n_chars, doc_id)),
+       |pairs AS (
+       |$branches),
+       |j AS (
+       |  SELECT lang, a_id, b_id,
+       |         CAST(len(list_filter(toks, x -> list_contains(btoks, x)))
+       |              AS BIGINT) AS inter,
+       |         CAST(len(toks) + len(btoks) AS BIGINT) AS szsum
+       |  FROM pairs),
+       |scored AS (
+       |  SELECT lang, a_id, b_id,
+       |         COALESCE((1000 * inter) // nullif(szsum - inter, 0), 0)
+       |           AS jac_permille
+       |  FROM j)
+       |SELECT lang, a_id, b_id, jac_permille
+       |FROM scored WHERE jac_permille >= $SnmMinJac
+       |ORDER BY jac_permille DESC, a_id, b_id LIMIT $SnmTop""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q52
+
+  /** Per-brand membership cap for q52's blocks — brand COUNT is a
+    * constant of the data model (~25 values), so without a cap each
+    * block grows linearly with the corpus and the levenshtein pass is
+    * quadratic (round 9 measured 7.6× wall at 10× data). The cap
+    * bounds every block's pair fan-out at cap·(cap−1)/2; lowest part
+    * keys keep their seat (deterministic), mirrored verbatim in the
+    * oracle's QUALIFY — the [[Dedup.MaxBucketDocs]] hot-bucket
+    * discipline applied to entity-resolution blocking.
+    */
+  private[graft] val Q52BrandCap = 40
+
+  /** Edit-distance similarity inside brand blocks: levenshtein over
+    * same-brand part-name pairs. Blocking on p_brand keeps the self-join
+    * quadratic only within each block (the standard entity-resolution
+    * trick — at 100 TB you never levenshtein the full cross product);
+    * the key inequality halves the pairs, and block membership is
+    * bounded by [[Q52BrandCap]] so total pair volume is brands × cap² —
+    * constant per brand at any corpus size.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+      .filter(col("p_partkey") % 13 === 0)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))))
+      .filter(col("rn") <= Q52BrandCap)
+      .drop("rn")
+    val a = p.toDF("key_a", "brand", "name_a")
+    val b = p.toDF("key_b", "brand_b", "name_b")
+    a.join(b, col("brand") === col("brand_b") && (col("key_a") < col("key_b")))
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("edit_dist") <= 25)
+      .select(col("brand"), col("key_a"), col("key_b"), col("edit_dist"))
+      .orderBy(col("brand"), col("key_a"), col("key_b"))
+  }
+
+  val q52Oracle: String =
+    s"""WITH p AS (
+      |  SELECT p_partkey, p_brand, p_name
+      |  FROM part WHERE p_partkey % 13 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY p_brand
+      |                             ORDER BY p_partkey) <= $Q52BrandCap)
+      |SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+      |FROM p a JOIN p b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 25
+      |ORDER BY brand, key_a, key_b""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+
+  /** Blocklist dedup: drop every document whose exact text fingerprint
+    * appears in a blocklist (here: all of src0/src1), via broadcast LEFT
+    * ANTI join on md5(text). The blocklist is the small side by
+    * construction (fingerprints only, deduplicated), so at 100 TB this is
+    * a map-side anti join — no shuffle of the corpus.
+    */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val block = docs
+      .filter(col("source").isin("src0", "src1"))
+      .select(md5(col("text")).as("bh"))
+      .distinct()
+    docs
+      .join(broadcast(block), md5(col("text")) === col("bh"), "left_anti")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
+  val q57Oracle: String =
+    """WITH block AS (
+      |  SELECT DISTINCT md5(text) AS bh FROM documents
+      |  WHERE source IN ('src0', 'src1'))
+      |SELECT source, count(*) AS n_kept,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM block b WHERE b.bh = md5(d.text))
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q221_lang_modularity" -> (q221 _),
     "q212_group_split" -> (q212 _),
@@ -1269,7 +1471,10 @@ object Dedup {
     "q147_minhash_calibration" -> (q147 _),
     "q156_canonical_keep" -> (q156 _),
     "q157_cluster_profile" -> (q157 _),
-    "q160_triangle_census" -> (q160 _))
+    "q160_triangle_census" -> (q160 _),
+    "q234_snm_blocking" -> (q234 _),
+    "q52_edit_distance" -> (q52 _),
+    "q57_blocklist_antijoin" -> (q57 _))
 
   val oracles: Map[String, String] = Map(
     "q221_lang_modularity" -> q221Oracle,
@@ -1286,5 +1491,8 @@ object Dedup {
     "q147_minhash_calibration" -> q147Oracle,
     "q156_canonical_keep" -> q156Oracle,
     "q157_cluster_profile" -> q157Oracle,
-    "q160_triangle_census" -> q160Oracle)
+    "q160_triangle_census" -> q160Oracle,
+    "q234_snm_blocking" -> q234Oracle,
+    "q52_edit_distance" -> q52Oracle,
+    "q57_blocklist_antijoin" -> q57Oracle)
 }

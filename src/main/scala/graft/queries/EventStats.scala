@@ -858,6 +858,47 @@ object EventStats {
       |FROM g GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+
+  /** Time-weighted average of a sensor-style value per user: each
+    * reading is weighted by how long it was current (millis to the next
+    * event, exact integer deltas from lag/lead), last reading dropped.
+    * One shuffle on user_id serves both the window and the aggregate.
+    */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .filter(col("user_id") % 5 === 0)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("dt", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("span_ms"),
+        // numerator exact-summed, unrounded (see Exact's scaladoc): a
+        // TWA is a fine-grid rational, so rounding boundaries can be
+        // hit exactly. Group sums of value·dt stay < 2^53/100 (dt is
+        // bounded by the corpus time span), so the long→double
+        // conversion is exact and the quotient bit-identical.
+        (Exact.sumFixed(col("value") * col("dt"), 2) / sum(col("dt")))
+          .as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  val q58Oracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, value, epoch_ms(ts) AS ms,
+      |         lead(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+      |                                     ORDER BY ts, event_id) AS next_ms
+      |  FROM events WHERE user_id % 5 = 0)
+      |SELECT user_id, count(*) AS n_intervals,
+      |       CAST(sum(next_ms - ms) AS BIGINT) AS span_ms,
+      |       ${Exact.sumFixedSql("value * (next_ms - ms)", 2)}
+      |         / sum(next_ms - ms) AS twa
+      |FROM e WHERE next_ms IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_behavior_entropy" -> (q196 _),
     "q197_growth_accounting" -> (q197 _),
@@ -873,7 +914,8 @@ object EventStats {
     "q136_funnel_ordered" -> (q136 _),
     "q140_burst_hours" -> (q140 _),
     "q141_event_transitions" -> (q141 _),
-    "q143_gap_histogram" -> (q143 _))
+    "q143_gap_histogram" -> (q143 _),
+    "q58_time_weighted_avg" -> (q58 _))
 
   val oracles: Map[String, String] = Map(
     "q196_behavior_entropy" -> q196Oracle,
@@ -890,5 +932,6 @@ object EventStats {
     "q136_funnel_ordered" -> q136Oracle,
     "q140_burst_hours" -> q140Oracle,
     "q141_event_transitions" -> q141Oracle,
-    "q143_gap_histogram" -> q143Oracle)
+    "q143_gap_histogram" -> q143Oracle,
+    "q58_time_weighted_avg" -> q58Oracle)
 }

@@ -559,17 +559,118 @@ object GraphRank {
        |ORDER BY common_neighbors DESC, src_a, src_b
        |LIMIT $LinkPredTop""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+
+  /** q235: DEGREE ASSORTATIVITY of the syndication graph (Newman 2002)
+    * — do high-degree sources syndicate with other high-degree sources
+    * (mirror farms copying each other, r > 0) or with the long tail
+    * (aggregators scraping everyone, r < 0)? The one-number structural
+    * summary of the graph whose per-node views q123 (rank), q206
+    * (hubs/authorities) and q216 (link prediction) already report —
+    * the SOURCE-graph member of the statistic q189 computes on the
+    * doc-level LSH candidate graph (different graph, different
+    * question: q189 audits the dedup pair structure, this audits the
+    * syndication topology; this one also reduces to the canonical
+    * UNDIRECTED edge set first and emits the exact sxy moment).
+    *
+    * r is the Pearson correlation of endpoint degrees over the
+    * UNDIRECTED edge list, each edge contributing both orientations
+    * (the handshake symmetrization — so Σx = Σy by construction, which
+    * the spec pins). Degrees are tiny integers, so every moment is
+    * int64-exact; only the final combination runs in DOUBLE (identical
+    * single IEEE ops, the q189 discipline), with the exact `sxy`
+    * emitted so the gate pins the integer moment. Degenerate variance
+    * (a degree-regular graph) reports NULL on both engines via nullif.
+    *
+    * Scale shape: the corpus-scale work is the memoized
+    * [[GraphRank.syndicationEdges]] frame (shared with q123/q161/q169/
+    * q206/q216); everything here joins domain-sized frames with the
+    * degree table broadcast.
+    */
+  def q235(spark: SparkSession, dir: String): DataFrame = {
+    val ue = GraphRank.syndicationEdges(spark, dir)
+      .select(least(col("src_from"), col("src_to")).as("u"),
+        greatest(col("src_from"), col("src_to")).as("v"))
+      .distinct()
+    val deg = ue.select(col("u").as("s"))
+      .unionAll(ue.select(col("v").as("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val joined = ue
+      .join(broadcast(deg.select(col("s").as("u"), col("deg").as("du"))),
+        Seq("u"))
+      .join(broadcast(deg.select(col("s").as("v"), col("deg").as("dv"))),
+        Seq("v"))
+    val sym = joined.select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(joined.select(col("dv").as("x"), col("du").as("y")))
+    val mo = sym.agg(
+      count(lit(1)).as("m2"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nn = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    val ne = broadcast(ue.agg(count(lit(1)).as("n_edges")))
+    mo.crossJoin(nn).crossJoin(ne)
+      .select(col("n_nodes"), col("n_edges"), col("sxy"),
+        expr("round((cast(m2 as double) * sxy - cast(sx as double) * sy) /" +
+          " nullif(sqrt(greatest(cast(m2 as double) * sxx -" +
+          " cast(sx as double) * sx, 0)) *" +
+          " sqrt(greatest(cast(m2 as double) * syy -" +
+          " cast(sy as double) * sy, 0)), 0), 6)").as("assort_r"))
+      .orderBy(col("n_nodes"))
+  }
+
+  // edgesCtePrefix is concatenated AFTER stripMargin: its `||` concat
+  // operators would lose a pipe inside a stripMargin region (the
+  // recorded round-7 trap)
+  val q235Oracle: String =
+    s"WITH ${GraphRank.edgesCtePrefix},\n" +
+    s"""ue AS (
+       |  SELECT DISTINCT least(src_from, src_to) AS u,
+       |                  greatest(src_from, src_to) AS v
+       |  FROM edges),
+       |deg AS (
+       |  SELECT s, count(*) AS deg FROM (
+       |    SELECT u AS s FROM ue UNION ALL SELECT v AS s FROM ue) t
+       |  GROUP BY s),
+       |jn AS (
+       |  SELECT d1.deg AS du, d2.deg AS dv
+       |  FROM ue JOIN deg d1 ON d1.s = ue.u JOIN deg d2 ON d2.s = ue.v),
+       |sam AS (
+       |  SELECT du AS x, dv AS y FROM jn
+       |  UNION ALL
+       |  SELECT dv AS x, du AS y FROM jn),
+       |mo AS (
+       |  SELECT count(*) AS m2,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM sam),
+       |nn AS (SELECT count(*) AS n_nodes FROM deg),
+       |ne AS (SELECT count(*) AS n_edges FROM ue)
+       |SELECT n_nodes, n_edges, sxy,
+       |       round((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+       |             nullif(sqrt(greatest(CAST(m2 AS DOUBLE) * sxx -
+       |                         CAST(sx AS DOUBLE) * sx, 0)) *
+       |                    sqrt(greatest(CAST(m2 AS DOUBLE) * syy -
+       |                         CAST(sy AS DOUBLE) * sy, 0)), 0), 6)
+       |         AS assort_r
+       |FROM mo, nn, ne ORDER BY n_nodes""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_source_pagerank" -> (q123 _),
     "q161_bfs_hops" -> (q161 _),
     "q169_source_dup_matrix" -> (q169 _),
     "q206_hits_scores" -> (q206 _),
-    "q216_link_prediction" -> (q216 _))
+    "q216_link_prediction" -> (q216 _),
+    "q235_assortativity" -> (q235 _))
 
   val oracles: Map[String, String] = Map(
     "q123_source_pagerank" -> q123Oracle,
     "q161_bfs_hops" -> q161Oracle,
     "q169_source_dup_matrix" -> q169Oracle,
     "q206_hits_scores" -> q206Oracle,
-    "q216_link_prediction" -> q216Oracle)
+    "q216_link_prediction" -> q216Oracle,
+    "q235_assortativity" -> q235Oracle)
 }

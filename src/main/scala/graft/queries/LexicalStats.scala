@@ -188,15 +188,163 @@ object LexicalStats {
       |       CAST(count(*) AS BIGINT) AS n_docs
       |FROM r GROUP BY source, decile ORDER BY source, decile""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+
+  /** Per-document characteristic terms by TF-IDF, top 3 for every 10th
+    * doc (document frequencies always computed over the FULL corpus).
+    * The idf is integer-quantized — idf_q = (10^6 · N) div df — so the
+    * score tf·idf_q is a BIGINT and both engines rank identically;
+    * ties break on the term string. Monotone in the real tf·ln(N/df)
+    * up to quantization, which is the point: reproducible curation
+    * beats a 15th decimal of idf.
+    *
+    * Scale shape: tf is one partial+final aggregate on (doc_id, term);
+    * df reuses tf's output keyed on term (second small shuffle); N is
+    * a 1-row broadcast, never a driver value; the ranking window runs
+    * only over the sampled docs. Overflow headroom: score ≤
+    * tf · 10^6 · N ≤ 2^62 while tf·N ≤ 4.6 × 10^12 — at 10^8 docs
+    * that allows tf 46k, far beyond any real document; breach raises
+    * via the same guard style as q84.
+    */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    val tf = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = table(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    // the guard lives INSIDE the score expression (q84's pattern) — a
+    // standalone guard column would be dead code under column pruning.
+    // Bound: score <= tf·10⁶·N must stay < 2⁶², so tf·N < 2⁶²/10⁶
+    val scored = tf.filter(col("doc_id") % 10 === 0)
+      .join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        when(col("tf") * col("n_docs") > 4611686018427L,
+          raise_error(lit("q97: tf*N breaches the 2^62 score budget"))
+            .cast("long"))
+          .otherwise(expr("tf * ((1000000 * n_docs) DIV df)")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val q97Oracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) t
+      |  WHERE tok <> '' GROUP BY doc_id, tok),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         tf.tf * ((1000000 * n.n_docs) // df.df) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id % 10 = 0),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, term) AS rn
+      |  FROM scored)
+      |SELECT doc_id, rn, term, tf, df, score
+      |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+
+  /** PMI collocation mining: top-20 word bigrams by pointwise mutual
+    * information, min count 5. Because the corpus totals U (unigrams)
+    * and T (bigrams) are CONSTANT across candidates, ranking by
+    * pmi = ln(c_ab·U²/(c_a·c_b·T)) is exactly ranking by
+    * c_ab/(c_a·c_b) — computed as the integer
+    * ratio_q = (10^9 · c_ab) div (c_a · c_b), so the rank order is
+    * bit-identical cross-engine and no float ever decides the cut.
+    * Ties break (c_ab desc, bigram asc).
+    *
+    * Scale shape: unigram and bigram counts are partial+final
+    * aggregates; the two enrichment joins key on single tokens (the
+    * unigram side is vocabulary-sized — Zipf-small relative to the
+    * corpus, and AQE broadcasts it when it fits); top-20 is
+    * TakeOrderedAndProject. Overflow: 10^9·c_ab stays under 2^62
+    * while c_ab ≤ 4.6 × 10^9 — a single bigram occurring 4.6 billion
+    * times; c_a·c_b ≤ U² overflows only past U = 3 × 10^9 distinct
+    * token OCCURRENCES of the same unigram pair, both far beyond the
+    * design envelope and guarded in the spec's headroom note.
+    */
+  val PmiMinCount = 5
+
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+    val uni = toks
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val big = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS ta, toks[i+1] AS tb))"))
+        .as("bg"))
+      .select(col("bg.ta"), col("bg.tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinCount)
+    big
+      .join(uni.withColumnRenamed("tok", "ta").withColumnRenamed("c", "c_a"), "ta")
+      .join(uni.withColumnRenamed("tok", "tb").withColumnRenamed("c", "c_b"), "tb")
+      .withColumn("ratio_q",
+        expr("(1000000000 * c_ab) DIV (c_a * c_b)"))
+      .select(col("ta"), col("tb"), col("c_ab"), col("c_a"), col("c_b"),
+        col("ratio_q"))
+      .orderBy(col("ratio_q").desc, col("c_ab").desc, col("ta"), col("tb"))
+      .limit(20)
+  }
+
+  val q98Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t
+       |  WHERE tok <> ''),
+       |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |pairs AS (
+       |  SELECT tok AS ta, lead(tok, 1) OVER w AS tb
+       |  FROM toks
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |big AS (
+       |  SELECT ta, tb, count(*) AS c_ab FROM pairs
+       |  WHERE tb IS NOT NULL GROUP BY ta, tb
+       |  HAVING count(*) >= $PmiMinCount)
+       |SELECT big.ta, big.tb, big.c_ab,
+       |       ua.c AS c_a, ub.c AS c_b,
+       |       (1000000000 * big.c_ab) // (ua.c * ub.c) AS ratio_q
+       |FROM big
+       |JOIN uni ua ON big.ta = ua.tok
+       |JOIN uni ub ON big.tb = ub.tok
+       |ORDER BY ratio_q DESC, c_ab DESC, ta, tb LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_zipf_slope" -> (q177 _),
     "q178_lexical_diversity" -> (q178 _),
     "q179_kl_divergence" -> (q179 _),
-    "q186_quantile_normalize" -> (q186 _))
+    "q186_quantile_normalize" -> (q186 _),
+    "q97_tfidf_topk" -> (q97 _),
+    "q98_pmi_bigrams" -> (q98 _))
 
   val oracles: Map[String, String] = Map(
     "q177_zipf_slope" -> q177Oracle,
     "q178_lexical_diversity" -> q178Oracle,
     "q179_kl_divergence" -> q179Oracle,
-    "q186_quantile_normalize" -> q186Oracle)
+    "q186_quantile_normalize" -> q186Oracle,
+    "q97_tfidf_topk" -> q97Oracle,
+    "q98_pmi_bigrams" -> q98Oracle)
 }

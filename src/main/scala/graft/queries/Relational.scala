@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.table
+import graft.Tables.{sqlWithViews, table}
 
 /** q01-q13: the relational surface the reference delegates to Athena SQL
   * (SURVEY.md §2.2/§2.4), expressed as declarative DataFrame programs so
@@ -412,6 +412,46 @@ object Relational {
       |WHERE o_orderkey % 100 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+
+  /** Positional window functions q07/q08 don't cover: first_value,
+    * last_value and nth_value — last/nth over the FULL frame (the
+    * default running frame makes last_value just the current row, the
+    * classic trap). Values are picked, not computed, so they stay raw.
+    */
+  def q62(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, dir, "orders" -> "orders_v62")(
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS last_price,
+        |       nth_value(o_totalprice, 2) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS second_price
+        |FROM orders_v62
+        |WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  val q62Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |       first_value(o_totalprice) OVER w AS first_price,
+      |       last_value(o_totalprice) OVER
+      |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |         AS last_price,
+      |       nth_value(o_totalprice, 2) OVER
+      |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |         AS second_price
+      |FROM orders
+      |WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01 _),
     "q02_agg_group" -> (q02 _),
@@ -425,7 +465,8 @@ object Relational {
     "q10_set_ops" -> (q10 _),
     "q11_distinct_count" -> (q11 _),
     "q12_rollup" -> (q12 _),
-    "q13_scalar_gauntlet" -> (q13 _))
+    "q13_scalar_gauntlet" -> (q13 _),
+    "q62_window_positional" -> (q62 _))
 
   val oracles: Map[String, String] = Map(
     "q01_scan_filter_project" -> q01Oracle,
@@ -440,5 +481,6 @@ object Relational {
     "q10_set_ops" -> q10Oracle,
     "q11_distinct_count" -> q11Oracle,
     "q12_rollup" -> q12Oracle,
-    "q13_scalar_gauntlet" -> q13Oracle)
+    "q13_scalar_gauntlet" -> q13Oracle,
+    "q62_window_positional" -> q62Oracle)
 }

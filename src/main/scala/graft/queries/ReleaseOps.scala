@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 import graft.functions.CrossHash
+import graft.functions.CrossHash.h60Sql
 
 /** q114-q116: round-7 widening — release-hygiene ops a training-data
   * pipeline runs between corpus snapshots: deterministic train/val/test
@@ -912,6 +913,252 @@ object ReleaseOps {
        |FROM d GROUP BY status ORDER BY status""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q236
+
+  /** q236: lang×split CHI-SQUARE independence audit — is the q114
+    * hash split independent of language, or did the salt accidentally
+    * correlate with a stratum? q114 reports the shares; this query
+    * reports the TEST: per-cell observed count, expected count (margin
+    * product, exact integer milli), and the cell's X² contribution
+    * (n·o − rt·ct)² / (n·rt·ct). The per-cell terms are emitted as RAW
+    * doubles computed by the identical single-IEEE-op chain on
+    * int64-exact inputs (bit-identical cross-engine; a cross-cell sum
+    * would instead pin a float summation ORDER neither engine
+    * guarantees — the spec does the summing and the df-based
+    * significance call). Int64 budget: n·o and rt·ct exact while
+    * n < 3·10⁹ docs; 1000·rt·ct needs n < 9.6·10⁷ (the q231
+    * documentation discipline — permille-quantize margins beyond).
+    *
+    * Scale shape: one corpus scan into the ≤ |langs|×3 cell frame
+    * (q114's aggregate); margins are windows OVER that tiny frame
+    * (never a corpus re-scan — the q114 lesson); the test itself costs
+    * nothing at any corpus size.
+    */
+  def q236(spark: SparkSession, dir: String): DataFrame = {
+    val cells = table(spark, dir, "documents")
+      .select(col("lang"), ReleaseOps.splitOf(col("doc_id")).as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("lang"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("split"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .select(col("lang"), col("split"), col("o"),
+        expr("(1000 * rt * ct) div n").as("exp_milli"),
+        expr("(cast(n * o - rt * ct as double) * cast(n * o - rt * ct as double))" +
+          " / (cast(n as double) * cast(rt as double) * cast(ct as double))")
+          .as("contrib"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q236Oracle: String = {
+    val h = graft.functions.CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH assigned AS (
+       |  SELECT lang,
+       |         CASE WHEN $h % 1000 < ${ReleaseOps.SplitTrainUpto} THEN 'train'
+       |              WHEN $h % 1000 < ${ReleaseOps.SplitValUpto} THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |cells AS (
+       |  SELECT lang, split, count(*) AS o
+       |  FROM assigned GROUP BY lang, split),
+       |m AS (
+       |  SELECT lang, split, o,
+       |         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS rt,
+       |         CAST(sum(o) OVER (PARTITION BY split) AS BIGINT) AS ct,
+       |         CAST(sum(o) OVER () AS BIGINT) AS n
+       |  FROM cells)
+       |SELECT lang, split, o,
+       |       (1000 * rt * ct) // n AS exp_milli,
+       |       (CAST(n * o - rt * ct AS DOUBLE) * CAST(n * o - rt * ct AS DOUBLE))
+       |         / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+       |         AS contrib
+       |FROM m ORDER BY lang, split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q166
+
+  /** Decontamination n-gram width (the GPT-3/PaLM 13-gram standard) and
+    * the flag threshold: a test doc is contaminated when more than
+    * [[DecontamMax]]‰ of its DISTINCT 13-grams appear anywhere in the
+    * train split.
+    */
+  val DecontamN = 13
+  val DecontamMax = 500L
+
+  /** q166: eval-set decontamination by partial n-gram overlap — the
+    * standard published decontamination rule (13-gram collision against
+    * the train set), which catches PARTIAL containment that q120/q162's
+    * whole-document fingerprints cannot: a test doc quoting half a
+    * train doc fingerprints differently but floods 13-gram overlap.
+    *
+    * Per test doc (≥ 13 tokens): overlap_permille = 1000·|G(d) ∩ T|
+    * DIV |G(d)| over the doc's distinct gram set, T = the train
+    * split's distinct gram-hash set. Rolled up per language.
+    *
+    * Scale shape: grams travel as 60-bit integer hashes from the
+    * moment they leave the row ([[CrossHash.h60]] — 8-byte shuffle
+    * keys, the q121 discipline); the train set is distinct-reduced
+    * before the join and the test side joins left to count matches —
+    * both exchanges carry gram hashes, never text. At 100 TB the train
+    * gram set is the big side; the join is shuffle-on-8-byte-key with
+    * AQE skew handling, and a bloom prefilter (q162's device) slots in
+    * front unchanged if the test side needs thinning first.
+    */
+  /** DISTINCT n-gram 60-bit hashes of each doc's `text`, one output row
+    * per (keep-columns, gh). THE single gram construction — q166 and
+    * [[graft.streaming.StreamingDecontam]] both route through it so the
+    * batch scan and the streaming probe can never disagree on what a
+    * gram is. Docs shorter than `n` tokens produce no rows.
+    */
+  private[graft] def explodedGramHashes(docs: DataFrame, n: Int,
+      keep: Seq[String]): DataFrame = {
+    import graft.functions.CrossHash
+    docs
+      .select(keep.map(col) :+
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"): _*)
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .filter(col("dl") >= n)
+      .select(keep.map(col) :+
+        explode(expr(s"array_distinct(transform(sequence(1, dl - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, CAST(i AS INT), $n))))"))
+          .as("gram"): _*)
+      .select(keep.map(col) :+ CrossHash.h60(col("gram")).as("gh"): _*)
+  }
+
+  /** Memoized DISTINCT train-split 13-gram hash set per (session, dir)
+    * — the expensive side of q166 (full-corpus tokenize + gram explode
+    * + distinct), shared across bench reruns like
+    * [[ReleaseOps.trainFpSet]]. The set is gram-hash-only (8-byte
+    * rows), so the checkpoint is small relative to the corpus.
+    */
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[queries] def trainGramSet(
+      spark: SparkSession, dir: String): DataFrame =
+    gramCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
+      explodedGramHashes(
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            ReleaseOps.splitOf(col("doc_id")).as("split"), col("text"))
+          .filter(col("split") === "train"),
+        DecontamN, Seq("doc_id"))
+        .select(col("gh")).distinct().localCheckpoint())
+
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    val docs = explodedGramHashes(
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          ReleaseOps.splitOf(col("doc_id")).as("split"), col("text")),
+      DecontamN, Seq("doc_id", "lang", "split"))
+    val trainGrams = trainGramSet(spark, dir).withColumn("hit", lit(true))
+    docs.filter(col("split") === "test")
+      .join(trainGrams, Seq("gh"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("hit"), 1)).as("n_hit"))
+      .select(col("doc_id"), col("lang"),
+        expr("1000 * n_hit DIV n_grams").as("overlap_permille"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("overlap_permille") > DecontamMax, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        max(col("overlap_permille")).as("max_overlap_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q166Oracle: String = {
+    import graft.functions.CrossHash
+    val h = CrossHash.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN $h % 1000 < ${ReleaseOps.SplitTrainUpto} THEN 'train'
+       |              WHEN $h % 1000 < ${ReleaseOps.SplitValUpto} THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, split,
+       |         unnest(list_distinct(list_transform(
+       |           range(1, len(toks) - ${DecontamN - 2}),
+       |           i -> array_to_string(toks[i:i + ${DecontamN - 1}], ' ')))) AS gram
+       |  FROM d WHERE len(toks) >= $DecontamN),
+       |gh AS (SELECT doc_id, lang, split, ${CrossHash.h60Sql("gram")} AS gh FROM g),
+       |t AS (SELECT DISTINCT gh FROM gh WHERE split = 'train'),
+       |per_doc AS (
+       |  SELECT s.doc_id, s.lang,
+       |         1000 * count(t.gh) // count(*) AS overlap_permille
+       |  FROM gh s LEFT JOIN t ON s.gh = t.gh
+       |  WHERE s.split = 'test'
+       |  GROUP BY s.doc_id, s.lang)
+       |SELECT lang, count(*) AS n_test,
+       |       CAST(sum(CASE WHEN overlap_permille > $DecontamMax
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |       CAST(max(overlap_permille) AS BIGINT) AS max_overlap_permille
+       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q89
+
+  /** Train/test contamination check: which held-out docs (doc_id % 10
+    * = 7) share at least one 5-word shingle with the training split?
+    * The canonical eval-integrity scan before an LLM training run.
+    *
+    * Scale shape: shingles are hashed to 60 bits BEFORE the join, so
+    * the shuffle key is 8 bytes, never the shingle text; the train side
+    * is collapsed to distinct hashes (map-side combine) and the inner
+    * join on the hash is the semi-join — both sides hash-partitioned on
+    * the same key, one shuffle each. A false positive needs a 60-bit
+    * collision, and both engines compute the identical hash, so the
+    * result is still deterministic cross-engine. At 100 TB the train
+    * side's distinct-hash set can also seed a bloom filter pushed into
+    * the test-side scan as a prefilter.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        // round 6: shingle construction + hashing fused in the native
+        // WordShingles60 (no per-window concat_ws lambda, no shingle
+        // strings); array_distinct now dedups the 8-byte hashes
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.WordShingles60.wordShingles60(col("toks"), 5)))
+          .as("h"))
+    val docs = table(spark, dir, "documents")
+    val trainH = shingleHashes(docs.filter(col("doc_id") % 10 =!= 7))
+      .select(col("h")).distinct()
+    shingleHashes(docs.filter(col("doc_id") % 10 === 7))
+      .join(trainH, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t
+       |  WHERE tok <> ''),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+       |               || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+       |    FROM toks
+       |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+       |  WHERE shingle IS NOT NULL),
+       |hs AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM sh),
+       |train AS (SELECT DISTINCT h FROM hs WHERE doc_id % 10 <> 7),
+       |test AS (SELECT doc_id, h FROM hs WHERE doc_id % 10 = 7)
+       |SELECT t.doc_id, count(DISTINCT t.h) AS n_shared
+       |FROM test t JOIN train tr ON t.h = tr.h
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_split_assign" -> (q114 _),
     "q115_incremental_dedup" -> (q115 _),
@@ -924,7 +1171,10 @@ object ReleaseOps {
     "q128_embedding_outliers" -> (q128 _),
     "q130_embedding_diff" -> (q130 _),
     "q162_bloom_leakage" -> (q162 _),
-    "q113_snapshot_diff" -> (q113 _))
+    "q113_snapshot_diff" -> (q113 _),
+    "q236_split_chisq" -> (q236 _),
+    "q166_ngram_decontam" -> (q166 _),
+    "q89_contamination" -> (q89 _))
 
   val oracles: Map[String, String] = Map(
     "q114_split_assign" -> q114Oracle,
@@ -938,5 +1188,8 @@ object ReleaseOps {
     "q128_embedding_outliers" -> q128Oracle,
     "q130_embedding_diff" -> q130Oracle,
     "q162_bloom_leakage" -> q162Oracle,
-    "q113_snapshot_diff" -> q113Oracle)
+    "q113_snapshot_diff" -> q113Oracle,
+    "q236_split_chisq" -> q236Oracle,
+    "q166_ngram_decontam" -> q166Oracle,
+    "q89_contamination" -> q89Oracle)
 }

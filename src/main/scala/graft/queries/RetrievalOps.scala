@@ -543,15 +543,346 @@ object RetrievalOps {
        |            AS BIGINT) AS n_suspect
        |FROM per GROUP BY plabel ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q163
+
+  /** RRF constant (the standard k = 60 from the Cormack/Clarke/Buettcher
+    * fusion formula) and the scaled-reciprocal numerator: the fused score
+    * is Σ 10⁶ DIV (60 + rank) — a BIGINT both engines compute
+    * bit-identically, monotone in the real 1/(60+r).
+    */
+  val RrfK = 60
+  val RrfScale = 1000000L
+
+  /** Probe vector id for the dense side and its top-list size. */
+  val RrfProbeId = 0L
+  val RrfSemK = 10
+
+  /** Rows returned by the fused ranking. */
+  val RrfTop = 15
+
+  /** q163: hybrid lexical+dense retrieval via reciprocal-rank fusion.
+    * The lexical list is EXACTLY q105's top-[[RetrievalOps.BmK]] BM25
+    * result (reused, not re-derived — one implementation, two
+    * consumers); the dense list is the cosine top-[[RrfSemK]] around
+    * probe [[RrfProbeId]] ranked on `floor(sim·10⁶)` with vec_id
+    * tie-break (q19's cross-engine ranking discipline, floor-quantized
+    * per the round-6 rule). A full-outer join on the doc id fuses the
+    * two lists: each side contributes 10⁶ DIV (60 + rank), a missing
+    * side contributes 0.
+    *
+    * Scale shape: both inputs are top-k lists (≤ 10 rows each) — the
+    * fusion join, window ranks, and final sort all run on broadcast-
+    * sized frames. The corpus-scale work is exactly q105's one
+    * posting-pruned pass plus q19's one narrow cosine pass; fusion
+    * adds nothing data-sized. At 100 TB the two retrieval legs run as
+    * independent index scans and the RRF join stays a driver-trivial
+    * merge of two k-row lists.
+    */
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    val lex = RetrievalOps.q105(spark, dir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+
+    val emb = table(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === RrfProbeId)
+      .select(col("embedding").as("pe"))
+    val sem = emb.filter(col("vec_id") =!= RrfProbeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        floor(VectorOps.cosineNative(col("pe"), col("embedding")) * lit(1000000d))
+          .cast("long").as("qsim"))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("qsim").desc, col("vec_id"))).cast("long"))
+      .filter(col("sem_rank") <= RrfSemK)
+      .select(col("vec_id").as("id"), col("sem_rank"))
+
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"$RrfScale DIV ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + sem_rank)"), lit(0L)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(RrfTop)
+  }
+
+  /** The lexical leg nests [[RetrievalOps.q105Oracle]] verbatim as a
+    * derived table (DuckDB allows a WITH inside a FROM subquery), so
+    * the BM25 semantics cannot drift between q105 and q163.
+    */
+  lazy val q163Oracle: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id AS id,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |  FROM (${RetrievalOps.q105Oracle.replace("\n", "\n       ")}) q105),
+       |pairs AS (
+       |  SELECT p.vec_id AS pid, c.vec_id AS nid,
+       |         p.embedding AS pe, c.embedding AS ne
+       |  FROM embeddings p, embeddings c
+       |  WHERE p.vec_id = $RrfProbeId AND c.vec_id <> $RrfProbeId),
+       |un AS (
+       |  SELECT pid, nid, CAST(unnest(pe) AS DOUBLE) AS x,
+       |         CAST(unnest(ne) AS DOUBLE) AS y
+       |  FROM pairs),
+       |sims AS (
+       |  SELECT nid,
+       |         CAST(floor(1000000 * sum(x * y) /
+       |           (sqrt(sum(x * x)) * sqrt(sum(y * y)))) AS BIGINT) AS qsim
+       |  FROM un GROUP BY nid),
+       |sem AS (
+       |  SELECT nid AS id, sem_rank FROM (
+       |    SELECT nid, row_number() OVER (ORDER BY qsim DESC, nid) AS sem_rank
+       |    FROM sims) r
+       |  WHERE sem_rank <= $RrfSemK)
+       |SELECT coalesce(lex.id, sem.id) AS id,
+       |       lex.lex_rank, sem.sem_rank,
+       |       coalesce($RrfScale // ($RrfK + lex.lex_rank), 0) +
+       |         coalesce($RrfScale // ($RrfK + sem.sem_rank), 0) AS rrf_score
+       |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+       |ORDER BY rrf_score DESC, id LIMIT $RrfTop""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+
+  /** Capped inverted-index construction: for every term with document
+    * frequency ≥ [[IdxMinDf]], emit (term, df, first [[IdxPostCap]]
+    * doc_ids ascending). The posting cap is the point — a retrieval
+    * index ships bounded postings per shard, and an uncapped
+    * collect_list over a Zipf head term is the classic executor OOM.
+    *
+    * Scale shape: per-document term dedup happens map-side
+    * (array_distinct before explode — no (doc, term) distinct shuffle);
+    * df is one partial+final aggregate; the posting rank is a
+    * row_number ≤ cap, so WindowGroupLimit forwards at most `cap` rows
+    * per term per map partition to the exchange and the collect_list
+    * state is ≤ cap entries per term BY CONSTRUCTION.
+    */
+  val IdxMinDf = 25
+  val IdxPostCap = 8
+
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(
+          "array_distinct(filter(split(text, ' '), t -> t <> ''))"))
+          .as("term"))
+    val dfreq = pairs.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= IdxMinDf)
+    val postings = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= IdxPostCap)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postingArr"))
+    // The posting list is emitted as a space-joined string, not a raw
+    // array column: the output contract is scalar-only columns so any
+    // row-set comparator (hash, sort, pandas) can digest it. The
+    // array-form semantics (sorted, capped, distinct) are pinned by
+    // PipelineOps6Spec against the split of this string.
+    dfreq.join(postings, "term")
+      .select(col("term"), col("df"),
+        array_join(col("postingArr"), " ").as("posting"))
+      .orderBy(col("term"))
+  }
+
+  val q104Oracle: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT doc_id, tok AS term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) t
+       |  WHERE tok <> ''),
+       |df AS (
+       |  SELECT term, count(*) AS df FROM pairs
+       |  GROUP BY term HAVING count(*) >= $IdxMinDf),
+       |rk AS (
+       |  SELECT term, doc_id,
+       |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |  FROM pairs),
+       |pl AS (
+       |  SELECT term,
+       |         array_to_string(list(doc_id ORDER BY doc_id), ' ') AS posting
+       |  FROM rk WHERE rn <= $IdxPostCap GROUP BY term)
+       |SELECT df.term, df.df, pl.posting
+       |FROM df JOIN pl USING (term) ORDER BY df.term""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+
+  /** Integer-quantized BM25 retrieval: top-[[BmK]] documents for a
+    * fixed conjunctive-OR term query. With k1 = 1.2, b = 0.75 the
+    * per-term score tf·(k1+1)·idf / (tf + k1·(1−b+b·dl/avgdl)) clears
+    * to the integer rational
+    *
+    *   s_q = (22 · tf · avgdl · idf_q) DIV (10·avgdl·tf + 3·avgdl + 9·dl)
+    *
+    * with idf_q = (10⁴·N) DIV df (q97's quantized-idf discipline —
+    * monotone in the real idf, reproducible everywhere), so the ranking
+    * key sum(s_q) is a BIGINT both engines compute bit-identically.
+    * Overflow is guarded in-expression (q84/q97 pattern): the numerator
+    * must stay < 2⁶², i.e. tf·idf_q < 2⁶²/(22·avgdl) — breach raises,
+    * never wraps.
+    *
+    * Scale shape: the term filter prunes the explode to the query
+    * vocabulary BEFORE the (doc, term) aggregate, so no shuffle ever
+    * carries more than the matching postings; df (≤ |query| rows) and
+    * the corpus stats (1 row) broadcast; top-k is
+    * TakeOrderedAndProject. The plan reads the corpus once for tf and
+    * once each for the df/avgdl statistics — self-contained here so the
+    * oracle gates the whole computation; a production deployment serves
+    * (N, avgdl, df) from index metadata (one precomputed aggregate,
+    * reused by every query), making the per-query cost a single scan.
+    */
+  val BmTerms: Seq[String] = Seq("data", "join", "stream", "filter")
+  val BmK = 10
+
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tok_sum"))
+      .select(col("n_docs"), expr("tok_sum DIV n_docs").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(BmTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q", expr("(10000 * n_docs) DIV df"))
+      // guard arithmetic must itself be overflow-free in ANY mode: the
+      // threshold is a pure integer-division chain (never multiplies
+      // user-scaled values), conservative by one floor step — it can
+      // raise a hair early, never late, and never wraps
+      .withColumn("s_q",
+        when(col("tf") >
+            expr("4611686018427387904 DIV (22 * avgdl) DIV idf_q"),
+          raise_error(lit("q105: tf*idf_q breaches the 2^62 score budget"))
+            .cast("long"))
+          .otherwise(expr(
+            "(22 * tf * avgdl * idf_q) DIV (10 * avgdl * tf + 3 * avgdl + 9 * dl)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_q")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmK)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  val q105Oracle: String = {
+    val termList = BmTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |dd AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+       |  FROM d WHERE len(toks) > 0),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) // count(*) AS avgdl
+       |  FROM dd),
+       |tf AS (
+       |  SELECT doc_id, dl, tok AS term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS tok FROM dd) t
+       |  WHERE tok IN ($termList) GROUP BY doc_id, dl, tok),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         (22 * tf.tf * s.avgdl * ((10000 * s.n_docs) // df.df))
+       |           // (10 * s.avgdl * tf.tf + 3 * s.avgdl + 9 * tf.dl) AS s_q
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats s)
+       |SELECT doc_id, count(*) AS n_terms, CAST(sum(s_q) AS BIGINT) AS score
+       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $BmK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q126
+
+  /** Docs returned by the phrase search. */
+  val PhraseTop = 50
+
+  /** Positional phrase search — the retrieval primitive q104's postings
+    * and q105's ranking both lack: CONSECUTIVE-position matching. The
+    * query phrase is derived from the corpus itself (its most frequent
+    * bigram under the total order count DESC, w1, w2 — so the query is
+    * deterministic and always has hits at every SF), then every
+    * occurrence is located and docs are ranked by occurrence count.
+    *
+    * Scale shape: adjacent pairs come from an index-HOF over the token
+    * array (`transform(sequence(...))` — NARROW, no per-doc window
+    * shuffle; the bigram sits next to its 1-based position before any
+    * explode). Pass 1 aggregates bigram counts (the stats a real
+    * positional index precomputes); pass 2 re-derives pairs and prunes
+    * to the broadcast 1-row phrase IMMEDIATELY after the narrow
+    * explode, so the only shuffle carries matching occurrences. Top
+    * docs via TakeOrderedAndProject.
+    */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    def pairs(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(cast(i as bigint) as pos," +
+          " toks[i-1] as w1, toks[i] as w2))")).as("p"))
+      .select(col("doc_id"), col("p.pos"), col("p.w1"), col("p.w2"))
+    val docs = table(spark, dir, "documents")
+    val phrase = pairs(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+      .select(col("w1"), col("w2"))
+    pairs(docs)
+      .join(broadcast(phrase), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(PhraseTop)
+  }
+
+  val q126Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) t WHERE tok <> ''),
+       |seq AS (
+       |  SELECT doc_id, tok,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+       |  FROM toks),
+       |bp AS (
+       |  SELECT doc_id, pos, tok AS w1, lead(tok) OVER w AS w2
+       |  FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |bg AS (SELECT * FROM bp WHERE w2 IS NOT NULL),
+       |top1 AS (
+       |  SELECT w1, w2 FROM (
+       |    SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2)
+       |  ORDER BY c DESC, w1, w2 LIMIT 1)
+       |SELECT doc_id, count(*) AS n_occ,
+       |       CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM bg JOIN top1 USING (w1, w2)
+       |GROUP BY doc_id
+       |ORDER BY n_occ DESC, doc_id LIMIT $PhraseTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q248_rocchio_prf" -> (q248 _),
     "q249_negative_sampling" -> (q249 _),
     "q250_mmr_rerank" -> (q250 _),
-    "q251_label_noise" -> (q251 _))
+    "q251_label_noise" -> (q251 _),
+    "q163_rrf_fusion" -> (q163 _),
+    "q104_inverted_index" -> (q104 _),
+    "q105_bm25" -> (q105 _),
+    "q126_phrase_search" -> (q126 _))
 
   val oracles: Map[String, String] = Map(
     "q248_rocchio_prf" -> q248Oracle,
     "q249_negative_sampling" -> q249Oracle,
     "q250_mmr_rerank" -> q250Oracle,
-    "q251_label_noise" -> q251Oracle)
+    "q251_label_noise" -> q251Oracle,
+    "q163_rrf_fusion" -> q163Oracle,
+    "q104_inverted_index" -> q104Oracle,
+    "q105_bm25" -> q105Oracle,
+    "q126_phrase_search" -> q126Oracle)
 }

@@ -244,17 +244,102 @@ object SourceSink {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+
+  /** ORC round-trip under the oracle gate, with a PARTITIONED sink:
+    * project lossless columns of `orders`, write ORC partitioned by
+    * o_orderstatus, read the tree back (partition-column recovery from
+    * directory names included), and aggregate. The oracle runs the
+    * same aggregate over the original parquet — equality certifies the
+    * ORC sink/source pair AND the hive-style partition layout end to
+    * end. Floats deliberately excluded (q85's CSV rationale).
+    *
+    * Scale shape: the write is a narrow scan fanned out by partition
+    * value (one directory per status — low cardinality, no shuffle
+    * added); the read-back prunes nothing here but would prune on any
+    * status predicate; the aggregate is partial+final on a 15-key
+    * domain.
+    */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("orc_rt")
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  val q95Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+
+  /** XML round-trip under the oracle gate (Spark 4's built-in XML
+    * source): project lossless customer columns — including '#'- and
+    * ','-bearing names that exercise element escaping — write with an
+    * explicit rowTag, read back with an explicit schema, aggregate by
+    * nation. The oracle aggregates the original parquet; equality
+    * certifies the XML sink/source pair end to end. Same float
+    * exclusion as q85/q95.
+    */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("xml_rt")
+    table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_nationkey"))
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .save(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_nationkey", LongType)))
+    spark.read.format("xml").option("rowTag", "customer").schema(schema)
+      .load(out)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("key_sum"),
+        sum(length(col("c_name"))).cast("bigint").as("name_chars"),
+        countDistinct(col("c_mktsegment")).as("n_segs"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q99Oracle: String =
+    """SELECT c_nationkey, count(*) AS n,
+      |       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |       CAST(sum(length(c_name)) AS BIGINT) AS name_chars,
+      |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segs
+      |FROM customer
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_string_gauntlet" -> (q82 _),
     "q83_conditional_gauntlet" -> (q83 _),
     "q84_argmax" -> (q84 _),
     "q85_csv_roundtrip" -> (q85 _),
-    "q86_json_roundtrip" -> (q86 _))
+    "q86_json_roundtrip" -> (q86 _),
+    "q95_orc_roundtrip" -> (q95 _),
+    "q99_xml_roundtrip" -> (q99 _))
 
   val oracles: Map[String, String] = Map(
     "q82_string_gauntlet" -> q82Oracle,
     "q83_conditional_gauntlet" -> q83Oracle,
     "q84_argmax" -> q84Oracle,
     "q85_csv_roundtrip" -> q85Oracle,
-    "q86_json_roundtrip" -> q86Oracle)
+    "q86_json_roundtrip" -> q86Oracle,
+    "q95_orc_roundtrip" -> q95Oracle,
+    "q99_xml_roundtrip" -> q99Oracle)
 }

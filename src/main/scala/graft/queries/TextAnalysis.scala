@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{sqlWithViews, table}
+import graft.functions.CrossHash
 import graft.functions.CrossHash.h60Sql
 
 /** Text-analysis operators for LLM-data pipelines (SURVEY.md §2.3 E4):
@@ -474,6 +475,448 @@ object TextAnalysis {
        |                    least(len(toks), pos1 + $KwicCtx)), ' ') AS context
        |FROM hits WHERE rk <= $KwicPerDoc ORDER BY doc_id, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+
+  /** q217: FORCAST readability per language — the readability formula
+    * built for text WITHOUT sentence structure (technical material;
+    * Caylor & Sticht 1973), which is exactly this corpus's shape (no
+    * sentence punctuation, so Flesch/Kincaid's words-per-sentence term
+    * is undefined). Grade = 20 − N/10 where N = monosyllabic words per
+    * 150-word sample; in integer milli-grades over a whole doc:
+    * `20000 − (15000·mono) DIV words`. Syllables are vowel-group runs
+    * (`[aeiouy]+`) — the standard dictionary-free approximation — so
+    * the whole score is EXACT integer arithmetic over two counts and
+    * the hash gate certifies the scoring itself, not a float proxy.
+    *
+    * Scale shape: one narrow pass (split → per-token vowel-run count
+    * via regexp_extract_all, all inside whole-stage codegen), a per-doc
+    * aggregate on the doc_id partitioning the explode already has, and
+    * a final rollup landing on the language domain. Zero joins; at
+    * 100 TB this runs at scan speed.
+    */
+  def q217(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        size(expr("regexp_extract_all(tok, '[aeiouy]+', 0)"))
+          .cast("long").as("sylls"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("words"),
+        sum(col("sylls")).as("sylls"),
+        sum(when(col("sylls") === 1L, 1L).otherwise(0L)).as("mono"))
+      .withColumn("grade_milli",
+        lit(20000L) - expr("(15000 * mono) DIV words"))
+    perDoc
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("words")).as("n_words"),
+        sum(col("sylls")).as("n_syllables"),
+        sum(col("mono")).as("n_monosyllabic"),
+        expr("(1000 * sum(mono)) DIV sum(words)").as("mono_permille"),
+        expr("sum(grade_milli) DIV count(1)").as("avg_grade_milli"))
+      .orderBy(col("lang"))
+  }
+
+  val q217Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      |  FROM documents),
+      |sy AS (
+      |  SELECT doc_id, lang,
+      |         len(regexp_extract_all(tok, '[aeiouy]+')) AS sylls
+      |  FROM toks),
+      |perdoc AS (
+      |  SELECT doc_id, lang,
+      |         count(*) AS words,
+      |         CAST(sum(sylls) AS BIGINT) AS sylls,
+      |         CAST(sum(CASE WHEN sylls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mono
+      |  FROM sy GROUP BY doc_id, lang),
+      |graded AS (
+      |  SELECT lang, words, sylls, mono,
+      |         20000 - (15000 * mono) // words AS grade_milli
+      |  FROM perdoc)
+      |SELECT lang,
+      |       count(*) AS n_docs,
+      |       CAST(sum(words) AS BIGINT) AS n_words,
+      |       CAST(sum(sylls) AS BIGINT) AS n_syllables,
+      |       CAST(sum(mono) AS BIGINT) AS n_monosyllabic,
+      |       CAST((1000 * sum(mono)) // sum(words) AS BIGINT) AS mono_permille,
+      |       CAST(sum(grade_milli) // count(*) AS BIGINT) AS avg_grade_milli
+      |FROM graded GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q223
+
+  /** q223: integer-exact BIGRAM surprisal per language — the
+    * conditional-perplexity quality signal (the CCNet recipe scores
+    * docs with an n-gram LM; q167 is the unigram degenerate case, this
+    * adds the Markov conditioning that separates "rare words" from
+    * "rare SEQUENCES of common words" — scrambled/boilerplate text has
+    * ordinary unigrams but surprising bigrams). A bigram instance's
+    * surprisal is floor(log2 c(prev)) − floor(log2 c(prev,cur)) ≥ 0
+    * via the bit-length identity (`length(bin(x)) − 1`, the q167/q219
+    * trick), where both counts come from the corpus itself
+    * (train = score, q167's self-scoring contract) — so every score is
+    * a BIGINT no FP rounding can fork, and the hash gate certifies the
+    * LM scoring itself.
+    *
+    * Scale shape: bigram instances are built INSIDE codegen (per-doc
+    * array transform — no self-join, no positional shuffle); the
+    * bigram count table rides one shuffle of the pair key; context
+    * counts reduce from the bigram table (never a second corpus pass);
+    * both join back under AQE. Per-doc and per-lang folds are keyed
+    * aggregates landing on the language domain.
+    */
+  def q223(spark: SparkSession, dir: String): DataFrame = {
+    // tokenization + pairing through the single LM copy (q244/streaming
+    // share it); split is never read here, so don't pay its id-hash
+    val bigr = EvalOps.bigramsOf(
+      table(spark, dir, "documents"), withSplit = false)
+    val bc = bigr.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("bcnt"))
+    val ctx = bc.groupBy(col("prev")).agg(sum(col("bcnt")).as("ccnt"))
+    val perDoc = bigr
+      .join(bc, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .select(col("doc_id"), col("lang"),
+        (length(expr("bin(ccnt)")) - length(expr("bin(bcnt)")))
+          .cast("long").as("surp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nb"), sum(col("surp")).as("ss"))
+      .withColumn("doc_permille", expr("(1000 * ss) DIV nb"))
+    perDoc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bigrams"),
+        expr("(1000 * sum(ss)) DIV sum(nb)").as("corpus_surp_permille"),
+        max(col("doc_permille")).as("max_doc_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q223Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |bigr AS MATERIALIZED (
+      |  SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS cur
+      |  FROM d, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |bc AS MATERIALIZED (
+      |  SELECT prev, cur, count(*) AS bcnt FROM bigr GROUP BY prev, cur),
+      |ctx AS (
+      |  SELECT prev, CAST(sum(bcnt) AS BIGINT) AS ccnt FROM bc GROUP BY prev),
+      |perdoc AS (
+      |  SELECT doc_id, lang, count(*) AS nb,
+      |         CAST(sum(length(bin(ccnt)) - length(bin(bcnt))) AS BIGINT) AS ss
+      |  FROM bigr JOIN bc USING (prev, cur) JOIN ctx USING (prev)
+      |  GROUP BY doc_id, lang),
+      |scored AS (
+      |  SELECT lang, nb, ss, (1000 * ss) // nb AS doc_permille FROM perdoc)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+      |       CAST((1000 * sum(ss)) // sum(nb) AS BIGINT)
+      |         AS corpus_surp_permille,
+      |       CAST(max(doc_permille) AS BIGINT) AS max_doc_permille
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+
+  /** Repetition flags: a doc is repetitive when more than
+    * [[DupTokMax]]‰ of its tokens are repeats of an earlier token, or
+    * more than [[DupBigramMax]]‰ of its bigrams repeat. Thresholds are
+    * literals calibrated on the driver corpus (duplicate-token permille
+    * centers near 490, duplicate-bigram near 30).
+    */
+  val DupTokMax = 600L
+  val DupBigramMax = 80L
+
+  /** q164: Gopher-style repetition quality profile. Per document, the
+    * duplicate-token fraction `(dl − |distinct toks|)·1000 DIV dl` and
+    * the duplicate-bigram fraction over the dl−1 adjacent pairs —
+    * computed entirely with array HOFs on the `toks` array
+    * (`array_distinct`, `transform(sequence(...))`), so the corpus pass
+    * is NARROW: no explode, no (doc, token) shuffle, nothing leaves the
+    * row until the per-language rollup aggregates five groups. That is
+    * the 100 TB shape — a full-corpus quality scan whose only exchange
+    * carries one row per language.
+    *
+    * Integer permilles throughout (floor semantics via DIV, zero-guard
+    * on single-token docs); per-language averages are
+    * truncated-quotient sums, bit-identical cross-engine.
+    */
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    val prof = table(spark, dir, "documents")
+      .select(col("lang"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .filter(col("dl") > 0)
+      .withColumn("dup_tok",
+        expr("(dl - size(array_distinct(toks))) * 1000 DIV dl"))
+      .withColumn("bigrams",
+        expr("CASE WHEN dl >= 2 THEN transform(sequence(1, dl - 1), " +
+          "i -> concat(element_at(toks, CAST(i AS INT)), ' ', " +
+          "element_at(toks, CAST(i AS INT) + 1))) " +
+          "ELSE array() END"))
+      .withColumn("dup_big",
+        expr("CASE WHEN dl >= 2 THEN " +
+          "(dl - 1 - size(array_distinct(bigrams))) * 1000 DIV (dl - 1) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+    prof
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_tok") > DupTokMax or col("dup_big") > DupBigramMax,
+          1L).otherwise(0L)).as("n_flagged"),
+        expr("sum(dup_tok) DIV count(1)").as("avg_dup_tok_permille"),
+        expr("sum(dup_big) DIV count(1)").as("avg_dup_big_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val q164Oracle: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT lang, CAST(len(toks) AS BIGINT) AS dl,
+       |         (CAST(len(toks) AS BIGINT) -
+       |          len(list_distinct(toks))) * 1000
+       |           // CAST(len(toks) AS BIGINT) AS dup_tok,
+       |         CASE WHEN len(toks) >= 2 THEN
+       |           (CAST(len(toks) AS BIGINT) - 1 -
+       |            len(list_distinct(list_transform(range(1, len(toks)),
+       |              i -> toks[i] || ' ' || toks[i + 1])))) * 1000
+       |             // (CAST(len(toks) AS BIGINT) - 1)
+       |         ELSE 0 END AS dup_big
+       |  FROM d WHERE len(toks) > 0)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN dup_tok > $DupTokMax
+       |                       OR dup_big > $DupBigramMax
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       CAST(sum(dup_tok) AS BIGINT) // count(*)
+       |         AS avg_dup_tok_permille,
+       |       CAST(sum(dup_big) AS BIGINT) // count(*)
+       |         AS avg_dup_big_permille
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+
+  /** Docs reported by the surprisal ranking. */
+  val SurprisalTop = 25
+
+  /** q167: integer-exact unigram surprisal scoring — the perplexity
+    * proxy a quality-filtering pass ranks on, with the float log
+    * replaced by the EXACT bit-length identity
+    * `floor(log2 x) = length(bin(x)) − 1` (both engines render bin()
+    * identically, so the score is a BIGINT no FP rounding can fork).
+    * A token's surprisal is floor(log2 N) − floor(log2 cnt) ≥ 0; a
+    * doc's score is the tf-weighted mean in permille. High scores =
+    * rare-token-heavy docs (OOV-ish, noisy, or genuinely novel); low
+    * scores = stopword soup — both tails are curation targets.
+    *
+    * Scale shape: the (doc, token) tf aggregate rides one shuffle of
+    * 8-byte-hashable pairs; the vocabulary count table (Heaps-law
+    * sublinear in the corpus) joins back on the token key under AQE
+    * (broadcast when it fits, skew-split when hot stopwords dominate);
+    * the per-doc fold is a second keyed aggregate; top-k is
+    * TakeOrderedAndProject. No driver-sized state anywhere.
+    */
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    val tf = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("n_total"))
+    tf.join(vocab, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"), col("tf"),
+        (length(expr("bin(n_total)")) - length(expr("bin(cnt)")))
+          .cast("long").as("surp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("dl"),
+        sum(col("tf") * col("surp")).as("surp_sum"))
+      .select(col("doc_id"), col("lang"), col("dl"),
+        expr("1000 * surp_sum DIV dl").as("surp_permille"))
+      .orderBy(col("surp_permille").desc, col("doc_id"))
+      .limit(SurprisalTop)
+  }
+
+  val q167Oracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, lang, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, lang,
+       |           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |    FROM documents) u
+       |  GROUP BY doc_id, lang, tok),
+       |vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.lang, tf.tf,
+       |         CAST(length(bin(t.n_total)) - length(bin(v.cnt)) AS BIGINT) AS surp
+       |  FROM tf JOIN vocab v USING (tok) CROSS JOIN tot t)
+       |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS dl,
+       |       1000 * CAST(sum(tf * surp) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+       |         AS surp_permille
+       |FROM sc GROUP BY doc_id, lang
+       |ORDER BY surp_permille DESC, doc_id LIMIT $SurprisalTop""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+
+  /** Sliding-window document chunking — the RAG/pretraining splitter:
+    * window of [[ChunkW]] whitespace tokens advancing by [[ChunkS]]
+    * (8-token overlap), one output row per chunk with its 60-bit
+    * content hash. The trailing chunk keeps whatever tokens remain
+    * (standard chunker behavior; it is never empty because starts stop
+    * at the last token index).
+    *
+    * Scale shape: pure narrow map — split, sequence, explode, slice,
+    * hash; no shuffle before the final order-by (which the driver's
+    * compare needs, not the operator). Chunk count per doc is
+    * ceil(n/S) ≤ n, so output is O(corpus tokens) with no blowup.
+    */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  def q96(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - 1, $ChunkS)")).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkS).cast("long").as("chunk_id"),
+        expr(s"slice(toks, start + 1, $ChunkW)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        CrossHash.h60(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q96Oracle: String = {
+    val slice = s"list_slice(toks, start + 1, start + $ChunkW)"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(0, len(toks), $ChunkS)) AS start
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id,
+       |       CAST(start / $ChunkS AS BIGINT) AS chunk_id,
+       |       CAST(len($slice) AS BIGINT) AS n_tok,
+       |       ${CrossHash.h60Sql(s"array_to_string($slice, ' ')")} AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q60
+
+  /** Text normalization for dedup/curation: lowercase, collapse
+    * everything but [a-z0-9 ] to spaces, squeeze runs, trim — then
+    * fingerprint the normal form and count its duplicates via a window.
+    * The normalize chain is pure narrow projection (regex semantics
+    * identical across engines for this ASCII character class); only the
+    * dup-count shuffles, on the fingerprint.
+    */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    table(spark, dir, "documents")
+      .withColumn("norm_md5", md5(norm))
+      .withColumn("norm_len", length(norm).cast("long"))
+      .withColumn("n_same_norm",
+        count(lit(1)).over(Window.partitionBy(col("norm_md5"))))
+      .select(col("doc_id"), col("lang"), col("norm_len"),
+        col("norm_md5"), col("n_same_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Oracle: String =
+    """WITH n AS (
+      |  SELECT doc_id, lang,
+      |         trim(regexp_replace(regexp_replace(lower(text),
+      |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |       CAST(length(norm) AS BIGINT) AS norm_len,
+      |       md5(norm) AS norm_md5,
+      |       count(*) OVER (PARTITION BY md5(norm)) AS n_same_norm
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+
+  /** Per-(lang, band) membership cap for q61's pair blocks — the
+    * hot-bucket discipline ([[Dedup.MaxBucketDocs]]'s pattern): the
+    * band count is bounded by the max document length, so WITHOUT a
+    * cap each cell grows linearly with the corpus and the pair pass
+    * is quadratic (round 9 measured 12× wall at 10× data). Capping
+    * membership bounds every cell's pair fan-out at cap·(cap−1)/2;
+    * the rank runs on exactly the join keys, so its exchange IS the
+    * join's exchange. Mirrored verbatim in the oracle's QUALIFY.
+    */
+  private[graft] val Q61CellCap = 32
+
+  /** Token-set algebra between same-language document pairs:
+    * |A ∩ B|, |A ∪ B| and exact Jaccard from array_intersect/array_union
+    * over deduplicated whitespace tokens. Sizes are exact ints; the
+    * Jaccard is one int/int division — bit-equal across engines.
+    *
+    * Pairs are blocked on (lang, 50-char length band): near-dups have
+    * similar lengths, so the band prunes ~10× of the quadratic work AND
+    * multiplies the join-key cardinality — joining on lang alone puts
+    * the whole dominant-language block in ONE reducer task (observed
+    * 5.4 s at sf0.1, single straggler; banded: ~60 cells, 0.6 s).
+    * Cell membership is bounded by [[Q61CellCap]] (lowest doc_ids keep
+    * their seat — deterministic, oracle-mirrored), so total pair volume
+    * is cells × cap², linear in the corpus at any scale.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 50).cast("long").as("band"),
+        array_distinct(split(lower(col("text")), " +")).as("toks"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("band")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= Q61CellCap)
+      .drop("rn")
+    val a = toks.toDF("id_a", "lang", "band", "toks_a")
+    val b = toks.toDF("id_b", "lang_b", "band_b", "toks_b")
+    a.join(b, col("lang") === col("lang_b") &&
+        col("band") === col("band_b") && (col("id_a") < col("id_b")))
+      .select(
+        col("lang"), col("id_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+          .as("n_inter"),
+        size(array_union(col("toks_a"), col("toks_b"))).cast("long")
+          .as("n_union"))
+      .withColumn("jacc", col("n_inter") / col("n_union"))
+      .orderBy(col("lang"), col("id_a"), col("id_b"))
+  }
+
+  val q61Oracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS band,
+      |         list_distinct(string_split_regex(lower(text), ' +')) AS toks
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY lang, band
+      |                             ORDER BY doc_id) <= $Q61CellCap)
+      |SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+      |       CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)
+      |         AS n_union,
+      |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |         len(list_distinct(list_concat(a.toks, b.toks))) AS jacc
+      |FROM t a JOIN t b
+      |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |ORDER BY a.lang, id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_text_tokens" -> (q18 _),
     "q25_langid_markers" -> (q25 _),
@@ -483,7 +926,14 @@ object TextAnalysis {
     "q172_gopher_rules" -> (q172 _),
     "q72_repetition_ratio" -> (q72 _),
     "q73_pii_redact" -> (q73 _),
-    "q111_kwic_spans" -> (q111 _))
+    "q111_kwic_spans" -> (q111 _),
+    "q217_readability" -> (q217 _),
+    "q223_bigram_surprisal" -> (q223 _),
+    "q164_repetition_profile" -> (q164 _),
+    "q167_surprisal_score" -> (q167 _),
+    "q96_doc_chunks" -> (q96 _),
+    "q60_text_normalize" -> (q60 _),
+    "q61_token_setops" -> (q61 _))
 
   val oracles: Map[String, String] = Map(
     "q18_text_tokens" -> q18Oracle,
@@ -494,5 +944,12 @@ object TextAnalysis {
     "q172_gopher_rules" -> q172Oracle,
     "q72_repetition_ratio" -> q72Oracle,
     "q73_pii_redact" -> q73Oracle,
-    "q111_kwic_spans" -> q111Oracle)
+    "q111_kwic_spans" -> q111Oracle,
+    "q217_readability" -> q217Oracle,
+    "q223_bigram_surprisal" -> q223Oracle,
+    "q164_repetition_profile" -> q164Oracle,
+    "q167_surprisal_score" -> q167Oracle,
+    "q96_doc_chunks" -> q96Oracle,
+    "q60_text_normalize" -> q60Oracle,
+    "q61_token_setops" -> q61Oracle)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.queries.PipelineOps12
+import graft.queries.ReleaseOps
 
 /** Streaming eval-set decontamination: q166's 13-gram overlap rule
   * applied to a LIVE document feed — the ingestion-time guard that keeps
@@ -16,7 +16,7 @@ import graft.queries.PipelineOps12
   * output-mode compromise is needed — each micro-batch runs the exact
   * batch semantics via `foreachBatch` (the production pattern for
   * per-batch join+aggregate against static reference data). The train
-  * gram frame is built once by [[PipelineOps12.explodedGramHashes]] —
+  * gram frame is built once by [[ReleaseOps.explodedGramHashes]] —
   * the SAME expression chain q166 scans with, so streaming and batch
   * verdicts are bit-identical by construction (StreamingDecontamSpec
   * pins this) — and should be cached by the caller; Spark broadcasts or
@@ -31,14 +31,14 @@ object StreamingDecontam {
 
   /** Per-doc contamination verdicts for one (micro-)batch of documents
     * `(doc_id, text, ...)`: `(doc_id, n_grams, n_hit, overlap_permille,
-    * contaminated)`. Docs shorter than [[PipelineOps12.DecontamN]]
+    * contaminated)`. Docs shorter than [[ReleaseOps.DecontamN]]
     * tokens carry no grams and yield no verdict row (same as q166's
     * batch scan).
     */
   def flagBatch(batch: DataFrame, trainGrams: DataFrame,
-      thresholdPermille: Long = PipelineOps12.DecontamMax): DataFrame =
-    PipelineOps12
-      .explodedGramHashes(batch, PipelineOps12.DecontamN, Seq("doc_id"))
+      thresholdPermille: Long = ReleaseOps.DecontamMax): DataFrame =
+    ReleaseOps
+      .explodedGramHashes(batch, ReleaseOps.DecontamN, Seq("doc_id"))
       .join(trainGrams.select(col("gh")).distinct()
         .withColumn("hit", lit(true)), Seq("gh"), "left")
       .groupBy(col("doc_id"))
@@ -53,15 +53,15 @@ object StreamingDecontam {
     * re-read every micro-batch.
     */
   def trainGramSet(train: DataFrame): DataFrame =
-    PipelineOps12
-      .explodedGramHashes(train, PipelineOps12.DecontamN, Seq("doc_id"))
+    ReleaseOps
+      .explodedGramHashes(train, ReleaseOps.DecontamN, Seq("doc_id"))
       .select(col("gh")).distinct()
 
   /** Start the stream: every micro-batch of `docs` is flagged against
     * `trainGrams` and the verdict frame is handed to `sink`.
     */
   def start(docs: DataFrame, trainGrams: DataFrame,
-      thresholdPermille: Long = PipelineOps12.DecontamMax)(
+      thresholdPermille: Long = ReleaseOps.DecontamMax)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .outputMode("append")

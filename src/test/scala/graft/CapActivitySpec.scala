@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.Tables.table
-import graft.queries.{PipelineOps, PipelineOps2, Similarity}
+import graft.queries.{Dedup, Similarity, TextAnalysis}
 
 /** The round-10 scale caps are verified by the hash gate in BOTH
   * regimes, and this spec pins that the gate actually exercises both:
@@ -41,15 +41,15 @@ class CapActivitySpec extends AnyFunSuite {
       .agg(max(col("n"))).head.getLong(0)
 
   test("q61 cell cap: inert at sf0.01, active at sf0.1") {
-    assert(q61CellMax("/root/testdata/sf0.01") <= PipelineOps2.Q61CellCap,
+    assert(q61CellMax("/root/testdata/sf0.01") <= TextAnalysis.Q61CellCap,
       "sf0.01 must stay under the cap so its hashes pin cap==uncapped")
-    assert(q61CellMax("/root/testdata/sf0.1") > PipelineOps2.Q61CellCap,
+    assert(q61CellMax("/root/testdata/sf0.1") > TextAnalysis.Q61CellCap,
       "sf0.1 must exceed the cap so its hashes pin the QUALIFY mirror")
   }
 
   test("q52 brand cap: inert at sf0.01, active at sf0.1") {
-    assert(q52BrandMax("/root/testdata/sf0.01") <= PipelineOps.Q52BrandCap)
-    assert(q52BrandMax("/root/testdata/sf0.1") > PipelineOps.Q52BrandCap)
+    assert(q52BrandMax("/root/testdata/sf0.01") <= Dedup.Q52BrandCap)
+    assert(q52BrandMax("/root/testdata/sf0.1") > Dedup.Q52BrandCap)
   }
 
   test("SemDeDup adaptive k: floor regime at sf0.01, adaptive at sf0.1") {

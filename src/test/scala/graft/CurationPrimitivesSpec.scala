@@ -4,13 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineOps, Relational6}
+import graft.queries.{Dedup, EventStats, MixtureOps, Relational6}
 
 /** Invariants for the round-2 pipeline operators beyond the oracle gate:
   * quantization reconstruction bounds, sampling determinism, blocklist
   * completeness, and the physical-plan shapes that make them scale.
   */
-class PipelineOpsSpec extends AnyFunSuite {
+class CurationPrimitivesSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -52,8 +52,8 @@ class PipelineOpsSpec extends AnyFunSuite {
   // ------------------------------------------------------------- q56
 
   test("stratified sample is deterministic and rate-ordered across runs") {
-    val a = PipelineOps.q56(spark, sfDir).collect().toSeq
-    val b = PipelineOps.q56(spark, sfDir).collect().toSeq
+    val a = MixtureOps.q56(spark, sfDir).collect().toSeq
+    val b = MixtureOps.q56(spark, sfDir).collect().toSeq
     assert(a == b, "hash sampling must be bit-stable across runs")
     // en is downsampled at 30%, zh kept at 90%: relative retention must
     // reflect the configured rates on any non-trivial corpus
@@ -88,7 +88,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("q57 compiles to a broadcast left-anti hash join (no corpus shuffle)") {
-    val plan = PipelineOps.q57(spark, sfDir).queryExecution.executedPlan.toString
+    val plan = Dedup.q57(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast left-anti join in:\n$plan")
   }
@@ -112,7 +112,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(col("user_id") % 5 === 0)
     val bounds = ev.groupBy("user_id")
       .agg(min("value").as("lo"), max("value").as("hi"))
-    val bad = PipelineOps.q58(spark, sfDir)
+    val bad = EventStats.q58(spark, sfDir)
       .join(bounds, "user_id")
       // a convex combination of observed values cannot leave their range
       .filter(col("twa") < col("lo") - 1e-9 || col("twa") > col("hi") + 1e-9)

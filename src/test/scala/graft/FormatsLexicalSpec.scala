@@ -4,14 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps5
+import graft.queries.{CorpusHygieneOps, LexicalStats, SourceSink, TextAnalysis}
 
 /** Semantic assertions for the q95-q100 pack — the DuckDB oracle gates
   * value equality; these pin the INVARIANTS that make the operators
   * right by construction (chunk coverage, quantized-score definitions,
   * funnel monotonicity, partition pruning on the ORC tree).
   */
-class PipelineOps5Spec extends AnyFunSuite {
+class FormatsLexicalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -24,7 +24,7 @@ class PipelineOps5Spec extends AnyFunSuite {
 
   test("q96: chunks tile every document — count, stride, and width invariants") {
     import spark.implicits._
-    val chunks = PipelineOps5.q96(spark, sfDir)
+    val chunks = TextAnalysis.q96(spark, sfDir)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("n_tok")).as("tok_sum"),
@@ -38,7 +38,7 @@ class PipelineOps5Spec extends AnyFunSuite {
       val (nChunks, maxId, n) =
         (r.getAs[Long]("n_chunks"), r.getAs[Long]("max_id"), r.getAs[Long]("n"))
       // starts are 0, S, 2S, ... ≤ n-1 → exactly floor((n-1)/S)+1 chunks
-      assert(nChunks == (n - 1) / PipelineOps5.ChunkS + 1,
+      assert(nChunks == (n - 1) / TextAnalysis.ChunkS + 1,
         s"doc ${r.getAs[Long]("doc_id")}: $nChunks chunks for $n tokens")
       assert(maxId == nChunks - 1, "chunk ids are dense from 0")
       // chunk k covers [kS, min(kS+W, n)) → summed widths telescope:
@@ -46,14 +46,14 @@ class PipelineOps5Spec extends AnyFunSuite {
       // W = S + 8 each non-boundary token in a doc with c>1 chunks is
       // double-counted at most once per following window start
       val expected = (0L until nChunks).map { k =>
-        math.min(n - k * PipelineOps5.ChunkS, PipelineOps5.ChunkW.toLong)
+        math.min(n - k * TextAnalysis.ChunkS, TextAnalysis.ChunkW.toLong)
       }.sum
       assert(r.getAs[Long]("tok_sum") == expected, "per-chunk widths")
     }
   }
 
   test("q97: score is exactly tf * ((1e6 * N) div df) and ranks are top-3 per doc") {
-    val out = PipelineOps5.q97(spark, sfDir)
+    val out = LexicalStats.q97(spark, sfDir)
     val n = graft.Tables.table(spark, sfDir, "documents").count()
     val rows = out.collect()
     assert(rows.nonEmpty)
@@ -67,12 +67,12 @@ class PipelineOps5Spec extends AnyFunSuite {
   }
 
   test("q98: every pair meets the support floor and ratio_q is the exact integer ratio") {
-    val rows = PipelineOps5.q98(spark, sfDir).collect()
+    val rows = LexicalStats.q98(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
     rows.foreach { r =>
       val (cab, ca, cb, ratio) = (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"),
         r.getAs[Long]("c_b"), r.getAs[Long]("ratio_q"))
-      assert(cab >= PipelineOps5.PmiMinCount)
+      assert(cab >= LexicalStats.PmiMinCount)
       assert(cab <= math.min(ca, cb), "a bigram can't outnumber its unigrams")
       assert(ratio == (1000000000L * cab) / (ca * cb))
     }
@@ -82,7 +82,7 @@ class PipelineOps5Spec extends AnyFunSuite {
   }
 
   test("q100: the funnel is monotone and stage 0 is the full corpus") {
-    val rows = PipelineOps5.q100(spark, sfDir).collect()
+    val rows = CorpusHygieneOps.q100(spark, sfDir).collect()
     val total = graft.Tables.table(spark, sfDir, "documents").count()
     assert(rows.head.getAs[Long]("stage") == 0L)
     assert(rows.head.getAs[Long]("n_docs") == total, "stage 0 = ingested corpus")
@@ -95,7 +95,7 @@ class PipelineOps5Spec extends AnyFunSuite {
     // q95 writes the partitioned tree as a side effect; build it, then
     // prove a status filter becomes a partition filter (file skipping),
     // not a row filter — the reason to partition the sink at all
-    PipelineOps5.q95(spark, sfDir).collect()
+    SourceSink.q95(spark, sfDir).collect()
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch", "orc_rt").toString
     val pruned = spark.read.orc(out).filter(col("o_orderstatus") === "F")

@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps15
+import graft.queries.{Advanced, EmbeddingOps, MixtureOps, TextAnalysis}
 
 /** q215 dynamic partition pruning (plan marker + plain-join identity)
   * and q217 FORCAST readability (first-principles recompute).
   */
-class PipelineOps15Spec extends AnyFunSuite {
+class LayoutTextPcaSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftSession.local(4)
 
@@ -22,7 +22,7 @@ class PipelineOps15Spec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
     try {
-      val df = PipelineOps15.q215(spark, sfDir)
+      val df = Advanced.q215(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("dynamicpruning"),
         s"expected a dynamicpruning partition filter in:\n$plan")
@@ -62,14 +62,14 @@ class PipelineOps15Spec extends AnyFunSuite {
         1000L * mono / words, rows.map(_._5).sum / n)
     }.toSeq.sortBy(_._1)
 
-    val got = PipelineOps15.q217(spark, sfDir).collect().toSeq
+    val got = TextAnalysis.q217(spark, sfDir).collect().toSeq
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(got == expected)
   }
 
   test("q219 captures the dominant variance direction of the quantized cloud") {
-    val rows = PipelineOps15.q219(spark, sfDir).collect()
+    val rows = EmbeddingOps.q219(spark, sfDir).collect()
     val dims = rows.map(_.getLong(0))
     val v = rows.sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
     assert(dims.sorted.sameElements(dims), "ordered by dim")
@@ -77,9 +77,9 @@ class PipelineOps15Spec extends AnyFunSuite {
       "one row per dimension, 0-based")
     // renorm invariant: the last iteration pins max|component| to the
     // fixed-point scale, and sign canonicalization makes it positive
-    assert(v.map(math.abs).max == PipelineOps15.PcaVScale.toDouble)
+    assert(v.map(math.abs).max == EmbeddingOps.PcaVScale.toDouble)
     assert(v(v.indexWhere(x =>
-      math.abs(x) == PipelineOps15.PcaVScale.toDouble)) > 0)
+      math.abs(x) == EmbeddingOps.PcaVScale.toDouble)) > 0)
 
     // Rayleigh quotient vs a long double-precision power iteration on
     // the exact centered covariance of the same quantized vectors —
@@ -119,7 +119,7 @@ class PipelineOps15Spec extends AnyFunSuite {
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     val total = caps.values.sum
-    val b = PipelineOps15.Q225BudgetNum * total / 10
+    val b = MixtureOps.Q225BudgetNum * total / 10
     // reference water level: largest L with sum(min(c, L)) <= b, found
     // by scanning L from 0 (the domain is small at sf0.001)
     def used(l: Long): Long = caps.values.map(math.min(_, l)).sum
@@ -131,7 +131,7 @@ class PipelineOps15Spec extends AnyFunSuite {
       s -> ((c, alloc, alloc == c, 1000L * alloc / c))
     }
 
-    val got = PipelineOps15.q225(spark, sfDir).collect()
+    val got = MixtureOps.q225(spark, sfDir).collect()
     assert(got.map(_.getString(0)).toSet == expected.keySet)
     got.foreach { r =>
       val (c, alloc, capped, rate) = expected(r.getString(0))
@@ -154,7 +154,7 @@ class PipelineOps15Spec extends AnyFunSuite {
     // cut = 2 (10 and 20 fully taken), level = (618-30)/1 = 588
     val caps = Seq(("small", 10L), ("mid", 20L), ("huge", 1000L))
       .toDF("source", "c")
-    val got = graft.queries.PipelineOps15.waterFill(caps, 6L)
+    val got = graft.queries.MixtureOps.waterFill(caps, 6L)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))))
       .toMap
@@ -164,16 +164,16 @@ class PipelineOps15Spec extends AnyFunSuite {
     // maximality: raising the level by 1 would break the budget
     assert(10 + 20 + 589 > 618)
     // all-capped regime: budget covers everything
-    val full = graft.queries.PipelineOps15.waterFill(caps, 10L)
+    val full = graft.queries.MixtureOps.waterFill(caps, 10L)
       .collect().map(r => (r.getLong(2), r.getBoolean(3)))
     assert(full.forall(_._2) && full.map(_._1).sum == 1030L)
   }
 
   test("q227 manifest is consistent with q225 and tracks the allocation") {
-    val alloc = PipelineOps15.q225(spark, sfDir).collect()
+    val alloc = MixtureOps.q225(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
       .toMap
-    val got = PipelineOps15.q227(spark, sfDir).collect()
+    val got = MixtureOps.q227(spark, sfDir).collect()
     assert(got.map(_.getString(0)).toSet == alloc.keySet)
     got.foreach { r =>
       val (avail, allocated, rate) = alloc(r.getString(0))
@@ -227,7 +227,7 @@ class PipelineOps15Spec extends AnyFunSuite {
         ds.map(d => 1000L * d._3 / d._2).max))
     }
 
-    val got = PipelineOps15.q223(spark, sfDir).collect()
+    val got = TextAnalysis.q223(spark, sfDir).collect()
     assert(got.map(_.getString(0)).toSet == expected.keySet)
     got.foreach { r =>
       val (nd, nb, corpus, mx) = expected(r.getString(0))

@@ -41,15 +41,10 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Relational5" -> graft.queries.Relational5.queries.keys,
       "Advanced" -> graft.queries.Advanced.queries.keys,
       "Relational6" -> graft.queries.Relational6.queries.keys,
-      "PipelineOps" -> graft.queries.PipelineOps.queries.keys,
-      "PipelineOps2" -> graft.queries.PipelineOps2.queries.keys,
       "Relational7" -> graft.queries.Relational7.queries.keys,
       "Relational8" -> graft.queries.Relational8.queries.keys,
       "Relational9" -> graft.queries.Relational9.queries.keys,
       "SourceSink" -> graft.queries.SourceSink.queries.keys,
-      "PipelineOps4" -> graft.queries.PipelineOps4.queries.keys,
-      "PipelineOps5" -> graft.queries.PipelineOps5.queries.keys,
-      "PipelineOps6" -> graft.queries.PipelineOps6.queries.keys,
       "MixtureOps" -> graft.queries.MixtureOps.queries.keys,
       "ReleaseOps" -> graft.queries.ReleaseOps.queries.keys,
       "GraphRank" -> graft.queries.GraphRank.queries.keys,
@@ -60,7 +55,6 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Relational13" -> graft.queries.Relational13.queries.keys,
       "Relational14" -> graft.queries.Relational14.queries.keys,
       "Similarity3" -> graft.queries.Similarity3.queries.keys,
-      "PipelineOps12" -> graft.queries.PipelineOps12.queries.keys,
       "Similarity4" -> graft.queries.Similarity4.queries.keys,
       "SetSimJoin" -> graft.queries.SetSimJoin.queries.keys,
       "Relational15" -> graft.queries.Relational15.queries.keys,
@@ -71,8 +65,6 @@ class QuerySmokeSpec extends AnyFunSuite {
       "ImportanceOps" -> graft.queries.ImportanceOps.queries.keys,
       "MonitoringOps" -> graft.queries.MonitoringOps.queries.keys,
       "FingerprintOps" -> graft.queries.FingerprintOps.queries.keys,
-      "PipelineOps15" -> graft.queries.PipelineOps15.queries.keys,
-      "PipelineOps17" -> graft.queries.PipelineOps17.queries.keys,
       "EmbeddingOps" -> graft.queries.EmbeddingOps.queries.keys,
       "RetrievalOps" -> graft.queries.RetrievalOps.queries.keys,
       "EvalOps" -> graft.queries.EvalOps.queries.keys,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps6
+import graft.queries.{CorpusHygieneOps, EmbeddingOps, MixtureOps, RetrievalOps}
 
 /** Semantic assertions for the q101-q105 pack — the DuckDB oracle gates
   * value equality; these pin the invariants behind each operator: the
@@ -13,7 +13,7 @@ import graft.queries.PipelineOps6
   * (q103), posting-list shape (q104), and the quantized BM25 ranking
   * contract (q105).
   */
-class PipelineOps6Spec extends AnyFunSuite {
+class RetrievalPrimitivesSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -27,7 +27,7 @@ class PipelineOps6Spec extends AnyFunSuite {
 
   test("q101: a misaligned shared run is caught with exactly L-W+1 colliding windows") {
     import spark.implicits._
-    val w = PipelineOps6.RpW
+    val w = CorpusHygieneOps.RpW
     // doc 1 carries a (2W-1)-token run at offset 0; doc 2 embeds the
     // SAME run at offset W-1 — the misalignment that refuted the
     // tiling draft of this query. Stride-1 windows are offset-blind:
@@ -43,7 +43,7 @@ class PipelineOps6Spec extends AnyFunSuite {
       (3L, noise, "en", "srcC", noise.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = PipelineOps6.q101(spark, dir).collect()
+    val out = CorpusHygieneOps.q101(spark, dir).collect()
     assert(out.length == w,
       s"expected exactly $w shared windows, got ${out.length}")
     out.foreach { r =>
@@ -54,7 +54,7 @@ class PipelineOps6Spec extends AnyFunSuite {
   }
 
   test("q101: report is ordered by occurrence and capped at 50") {
-    val rows = PipelineOps6.q101(spark, sfDir01).collect()
+    val rows = CorpusHygieneOps.q101(spark, sfDir01).collect()
     assert(rows.nonEmpty && rows.length <= 50)
     val occ = rows.map(_.getAs[Long]("n_occ")).toSeq
     assert(occ == occ.sorted.reverse, "top passages first")
@@ -62,22 +62,22 @@ class PipelineOps6Spec extends AnyFunSuite {
   }
 
   test("q102: quota semantics — n_kept = min(quota, n_total), deterministic reruns") {
-    val rows = PipelineOps6.q102(spark, sfDir).collect()
+    val rows = MixtureOps.q102(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (total, kept) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
-      assert(kept == math.min(PipelineOps6.MixQuota.toLong, total),
+      assert(kept == math.min(MixtureOps.MixQuota.toLong, total),
         s"source ${r.getAs[String]("source")}: kept $kept of $total")
       assert(r.getAs[Long]("kept_tok_sum") <= r.getAs[Long]("tok_total"))
     }
     // hash-rank selection is a pure function of doc ids — reruns agree
-    val again = PipelineOps6.q102(spark, sfDir).collect()
+    val again = MixtureOps.q102(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
   test("q102/q104: the quota rank plans with WindowGroupLimit pushdown") {
-    for (df <- Seq(PipelineOps6.q102(spark, sfDir),
-        PipelineOps6.q104(spark, sfDir))) {
+    for (df <- Seq(MixtureOps.q102(spark, sfDir),
+        RetrievalOps.q104(spark, sfDir))) {
       val plan = df.queryExecution.sparkPlan.toString
       assert(plan.contains("WindowGroupLimit"),
         s"rank ≤ cap must push a partial group limit below the exchange:\n$plan")
@@ -85,14 +85,14 @@ class PipelineOps6Spec extends AnyFunSuite {
   }
 
   test("q103: recall metrics respect their definitions and find real hits") {
-    val rows = PipelineOps6.q103(spark, sfDir01).collect()
+    val rows = EmbeddingOps.q103(spark, sfDir01).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (cand, hits, pct) = (r.getAs[Long]("n_cand"),
         r.getAs[Long]("n_hits"), r.getAs[Long]("recall_pct"))
       assert(hits <= cand, "a hit is a candidate by definition")
-      assert(hits <= PipelineOps6.RecallK, "hits bounded by k")
-      assert(pct == hits * 100 / PipelineOps6.RecallK)
+      assert(hits <= EmbeddingOps.RecallK, "hits bounded by k")
+      assert(pct == hits * 100 / EmbeddingOps.RecallK)
       assert(r.getAs[Long]("probe_id") % 20 == 0)
     }
     assert(rows.map(_.getAs[Long]("n_hits")).sum > 0,
@@ -100,7 +100,7 @@ class PipelineOps6Spec extends AnyFunSuite {
   }
 
   test("q104: posting lists are sorted prefixes of length min(cap, df)") {
-    val rows = PipelineOps6.q104(spark, sfDir).collect()
+    val rows = RetrievalOps.q104(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getAs[Long]("df")
@@ -109,23 +109,23 @@ class PipelineOps6Spec extends AnyFunSuite {
       // pinned against its split
       val posting =
         r.getAs[String]("posting").split(' ').toSeq.map(_.toLong)
-      assert(df >= PipelineOps6.IdxMinDf)
+      assert(df >= RetrievalOps.IdxMinDf)
       assert(posting.length ==
-        math.min(PipelineOps6.IdxPostCap.toLong, df).toInt)
+        math.min(RetrievalOps.IdxPostCap.toLong, df).toInt)
       assert(posting == posting.sorted, "ascending doc ids")
       assert(posting.distinct.length == posting.length, "no duplicate docs")
     }
   }
 
   test("q105: quantized BM25 — scores rank the cut, every term contributes") {
-    val rows = PipelineOps6.q105(spark, sfDir01).collect()
-    assert(rows.nonEmpty && rows.length <= PipelineOps6.BmK)
+    val rows = RetrievalOps.q105(spark, sfDir01).collect()
+    assert(rows.nonEmpty && rows.length <= RetrievalOps.BmK)
     val scores = rows.map(_.getAs[Long]("score")).toSeq
     assert(scores == scores.sorted.reverse, "descending scores")
     rows.foreach { r =>
       assert(r.getAs[Long]("score") > 0)
       assert(r.getAs[Long]("n_terms") >= 1 &&
-        r.getAs[Long]("n_terms") <= PipelineOps6.BmTerms.size)
+        r.getAs[Long]("n_terms") <= RetrievalOps.BmTerms.size)
     }
   }
 
@@ -133,14 +133,14 @@ class PipelineOps6Spec extends AnyFunSuite {
     // recompute the top doc's score from raw counts with independent
     // arithmetic — pins the cleared-fraction formula itself, not just
     // its cross-engine agreement
-    val top = PipelineOps6.q105(spark, sfDir01).collect().head
+    val top = RetrievalOps.q105(spark, sfDir01).collect().head
     val docs = graft.Tables.table(spark, sfDir01, "documents")
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
       .filter(col("dl") > 0)
     val all = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
-      .filter(col("t").isin(PipelineOps6.BmTerms: _*))
+      .filter(col("t").isin(RetrievalOps.BmTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("t")).count()
       .collect()
     val nDocs = docs.count()
@@ -180,9 +180,9 @@ class PipelineOps6Spec extends AnyFunSuite {
       }
       .filter(_._2 > 0)
       .sortBy { case (id, n, _) => (-n, id) }
-      .take(PipelineOps6.PhraseTop).toSeq
+      .take(RetrievalOps.PhraseTop).toSeq
 
-    val got = PipelineOps6.q126(spark, sfDir).collect()
+    val got = RetrievalOps.q126(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected,
       s"phrase $phrase: engine ${got.take(3)} vs scala ${expected.take(3)}")

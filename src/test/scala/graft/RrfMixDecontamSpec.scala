@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps12
+import graft.queries.{MixtureOps, ReleaseOps, RetrievalOps, TextAnalysis}
 
 /** q163 (RRF fusion), q164 (repetition profile), q165 (temperature
   * mixture): fixtures the oracle gate cannot provide — a doc ranked by
@@ -14,7 +14,7 @@ import graft.queries.PipelineOps12
   * trip both repetition flags, and the α=1/2 reweighting must compress
   * a skewed source distribution toward (but never past) uniform.
   */
-class PipelineOps12Spec extends AnyFunSuite {
+class RrfMixDecontamSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -28,18 +28,18 @@ class PipelineOps12Spec extends AnyFunSuite {
   // ---------------------------------------------------------------- q163
 
   test("q163: fused list is bounded, sorted, and score-bounded") {
-    val rows = PipelineOps12.q163(spark, sfDir).collect()
-    assert(rows.nonEmpty && rows.length <= PipelineOps12.RrfTop)
+    val rows = RetrievalOps.q163(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= RetrievalOps.RrfTop)
     val scores = rows.map(_.getLong(3))
     assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)),
       "rrf_score must be non-increasing")
     // one leg contributes at most 10^6/(60+1); both legs at most double it
-    val maxOne = PipelineOps12.RrfScale / (PipelineOps12.RrfK + 1)
+    val maxOne = RetrievalOps.RrfScale / (RetrievalOps.RrfK + 1)
     assert(scores.head <= 2 * maxOne && scores.last > 0)
   }
 
   test("q163: a doc in BOTH legs outscores same-rank single-leg docs") {
-    val rows = PipelineOps12.q163(spark, sfDir).collect()
+    val rows = RetrievalOps.q163(spark, sfDir).collect()
     val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
     val lexOnly = rows.filter(r => !r.isNullAt(1) && r.isNullAt(2))
     // RRF guarantee: rank (a,b) in both lists beats rank min(a,b) in one
@@ -64,7 +64,7 @@ class PipelineOps12Spec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val byLang = PipelineOps12.q164(spark, dir).collect()
+    val byLang = TextAnalysis.q164(spark, dir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // en: repeater (dup_tok=980, dup_big=1000*(48)/49=979) + clean (0,0)
@@ -77,7 +77,7 @@ class PipelineOps12Spec extends AnyFunSuite {
   }
 
   test("q164: permilles stay in [0, 1000) on the real corpus") {
-    val rows = PipelineOps12.q164(spark, sfDir).collect()
+    val rows = TextAnalysis.q164(spark, sfDir).collect()
     assert(rows.nonEmpty)
     for (r <- rows; i <- 3 to 4)
       assert(r.getLong(i) >= 0 && r.getLong(i) < 1000)
@@ -99,7 +99,7 @@ class PipelineOps12Spec extends AnyFunSuite {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val rows = PipelineOps12.q165(spark, dir).collect()
+    val rows = MixtureOps.q165(spark, dir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
       .toMap
@@ -112,12 +112,12 @@ class PipelineOps12Spec extends AnyFunSuite {
       "low-resource source must carry the higher oversampling factor")
     // quota mass conserves the budget up to truncation
     val totalQuota = rows.values.map(_._4).sum
-    assert(totalQuota <= PipelineOps12.MixBudget &&
-      totalQuota > PipelineOps12.MixBudget - rows.size)
+    assert(totalQuota <= MixtureOps.MixBudget &&
+      totalQuota > MixtureOps.MixBudget - rows.size)
   }
 
   test("q165: weights sum to ~1000 permille on the real corpus") {
-    val rows = PipelineOps12.q165(spark, sfDir).collect()
+    val rows = MixtureOps.q165(spark, sfDir).collect()
     val wSum = rows.map(_.getLong(3)).sum
     assert(wSum <= 1000 && wSum > 1000 - rows.length,
       s"permille mass must be 1000 minus truncation: $wSum")
@@ -159,7 +159,7 @@ class PipelineOps12Spec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val Array(row) = PipelineOps12.q166(spark, dir).collect()
+    val Array(row) = ReleaseOps.q166(spark, dir).collect()
     assert(row.getString(0) == "en" && row.getLong(1) == 2L,
       s"both test docs must be scanned: $row")
     assert(row.getLong(2) == 1L,
@@ -178,14 +178,14 @@ class PipelineOps12Spec extends AnyFunSuite {
     Seq((1L, "a a a a", "en", "s0", 7L), (2L, "a b", "en", "s0", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rows = PipelineOps12.q167(spark, dir).collect()
+    val rows = TextAnalysis.q167(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(rows == Map(1L -> 0L, 2L -> 1000L), s"got $rows")
   }
 
   test("q167: scores are valid permilles of a bounded surprisal") {
-    val rows = PipelineOps12.q167(spark, sfDir).collect()
-    assert(rows.length == PipelineOps12.SurprisalTop)
+    val rows = TextAnalysis.q167(spark, sfDir).collect()
+    assert(rows.length == TextAnalysis.SurprisalTop)
     // max token surprisal is floor(log2 N) <= 63 -> permille < 64000
     for (r <- rows)
       assert(r.getLong(3) >= 0 && r.getLong(3) < 64000)

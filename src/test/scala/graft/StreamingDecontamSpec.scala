@@ -6,7 +6,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps12
 import graft.streaming.StreamingDecontam
 
 /** Streaming 13-gram decontamination: per-batch verdicts against a

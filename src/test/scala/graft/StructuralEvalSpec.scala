@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{GraphRank, PipelineOps17, Similarity}
+import graft.queries.{Dedup, EmbeddingOps, GraphRank, ReleaseOps, Similarity}
 
 /** First-principles re-derivations of the round-10 pack #5 (q233-q236):
   * each model recomputes the query contract from collected raw rows with
@@ -11,7 +11,7 @@ import graft.queries.{GraphRank, PipelineOps17, Similarity}
   * cannot see (q233's assignment-argmin consistency, q235's handshake
   * symmetry, q236's chi-square significance call).
   */
-class PipelineOps17Spec extends AnyFunSuite {
+class StructuralEvalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -31,7 +31,7 @@ class PipelineOps17Spec extends AnyFunSuite {
       .sortBy(_._1)
     val members = Similarity.kmClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-      .filter(_._1 < PipelineOps17.SilPanelMax)
+      .filter(_._1 < EmbeddingOps.SilPanelMax)
     def d2(qv: Array[Long], cq: Array[Long]): Long = {
       var s = 0L; var i = 0
       while (i < qv.length) { val d = qv(i) - cq(i); s += d * d; i += 1 }
@@ -55,7 +55,7 @@ class PipelineOps17Spec extends AnyFunSuite {
       (c, n, xs.map(_._2).sum / n, xs.map(_._2).min,
         xs.map(_._3).sum / n, xs.map(_._4).sum / n)
     }.toSeq.sortBy(_._1)
-    val got = PipelineOps17.q233(spark, sfDir).collect()
+    val got = EmbeddingOps.q233(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect)
@@ -70,13 +70,13 @@ class PipelineOps17Spec extends AnyFunSuite {
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val candidates = docs
-      .groupBy(d => (d._2, d._3.length.toLong / PipelineOps17.SnmBandWidth))
+      .groupBy(d => (d._2, d._3.length.toLong / Dedup.SnmBandWidth))
       .toSeq.flatMap { case ((lang, _), xs) =>
         val sorted = xs.map { case (id, _, text) =>
           (id, text.length.toLong, text.split(" ").filter(_.nonEmpty).toSet)
         }.sortBy(t => (t._2, t._1))
         sorted.indices.flatMap { i =>
-          (1 until PipelineOps17.SnmWindow).flatMap { j =>
+          (1 until Dedup.SnmWindow).flatMap { j =>
             if (i + j < sorted.length) {
               val (aId, _, aT) = sorted(i)
               val (bId, _, bT) = sorted(i + j)
@@ -88,19 +88,19 @@ class PipelineOps17Spec extends AnyFunSuite {
           }
         }
       }
-    val expect = candidates.filter(_._4 >= PipelineOps17.SnmMinJac)
+    val expect = candidates.filter(_._4 >= Dedup.SnmMinJac)
       .sortBy { case (_, a, b, j) => (-j, a, b) }
-      .take(PipelineOps17.SnmTop)
-    val got = PipelineOps17.q234(spark, sfDir).collect()
+      .take(Dedup.SnmTop)
+    val got = Dedup.q234(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == expect)
     // the pair budget is exactly n·(w−1) minus the per-block tail
     val nPairs = docs
-      .groupBy(d => (d._2, d._3.length.toLong / PipelineOps17.SnmBandWidth))
+      .groupBy(d => (d._2, d._3.length.toLong / Dedup.SnmBandWidth))
       .map { case (_, xs) =>
         val n = xs.size
-        (1 until PipelineOps17.SnmWindow).map(j => math.max(0, n - j)).sum
+        (1 until Dedup.SnmWindow).map(j => math.max(0, n - j)).sum
       }.sum
     assert(candidates.length == nPairs)
   }
@@ -133,7 +133,7 @@ class PipelineOps17Spec extends AnyFunSuite {
       if (den == 0) None
       else Some(BigDecimal(num / den)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    val row = PipelineOps17.q235(spark, sfDir).collect().head
+    val row = GraphRank.q235(spark, sfDir).collect().head
     assert(row.getLong(0) == deg.size.toLong)
     assert(row.getLong(1) == ue.length.toLong)
     assert(row.getLong(2) == sxy)
@@ -164,7 +164,7 @@ class PipelineOps17Spec extends AnyFunSuite {
       (lang, split, o, 1000 * rt * ct / n,
         dlt * dlt / (n.toDouble * rt.toDouble * ct.toDouble))
     }.sortBy(t => (t._1, t._2))
-    val got = PipelineOps17.q236(spark, sfDir).collect()
+    val got = ReleaseOps.q236(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toSeq
     assert(got == expect)
