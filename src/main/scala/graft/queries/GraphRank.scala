@@ -276,7 +276,7 @@ object GraphRank {
       .stripMargin
 
   /** The non-recursive CTE prefix shared with [[q123Oracle]] (and
-    * PipelineOps17's q235 assortativity oracle) up to the directed
+    * GraphRank's q235 assortativity oracle) up to the directed
     * `edges` relation.
     */
   private[queries] def edgesCtePrefix: String =

@@ -678,7 +678,7 @@ object RetrievalOps {
     // array column: the output contract is scalar-only columns so any
     // row-set comparator (hash, sort, pandas) can digest it. The
     // array-form semantics (sorted, capped, distinct) are pinned by
-    // PipelineOps6Spec against the split of this string.
+    // RetrievalPrimitivesSpec against the split of this string.
     dfreq.join(postings, "term")
       .select(col("term"), col("df"),
         array_join(col("postingArr"), " ").as("posting"))
