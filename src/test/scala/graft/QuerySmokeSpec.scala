@@ -90,6 +90,27 @@ class QuerySmokeSpec extends AnyFunSuite {
       s"unexpected oracle-free queries: $noOracle")
   }
 
+  test("every oracle string is non-null, non-empty, and SELECT-shaped") {
+    // forces every module's oracle vals at once — an object-level val
+    // that nests another val defined LATER in the same object reads
+    // null during object init (the q163/q105Oracle trap found in the
+    // round-11 consolidation); this test makes that class of bug a
+    // build failure instead of a runtime surprise in one spec's JVM
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql == null => s"$name: null"
+      case (name, sql) if sql.trim.isEmpty => s"$name: empty"
+      case (name, sql) if sql.contains("null)") && sql.contains("FROM (null")
+        => s"$name: nested-null"
+      case (name, sql) if !sql.trim.toUpperCase.startsWith("SELECT") &&
+        !sql.trim.toUpperCase.startsWith("WITH") => s"$name: not a query"
+    }
+    assert(bad.isEmpty, s"malformed oracles: $bad")
+    // and no oracle silently swallowed a null nested fragment
+    val nulled = SparkEntry.oracleSql.filter(_._2.contains("null\n"))
+    assert(nulled.isEmpty || nulled.forall(_._2.contains("nullif")),
+      s"oracles embedding a stringified null: ${nulled.keys}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes and returns rows at sf0.001") {
       val df = fn(spark, sfDir)
