@@ -483,6 +483,10 @@ object MonitoringOps {
         when(col("rk") <= col("n_a"), "A").otherwise("B").as("pg"))
       .unionByName(members.select(col("cmp"), lit(0L).as("p"),
         col("vec_id"), col("grp").as("pg")))
+      // (1+perms)×members ≤ 40k rows; consumed TWICE (the va and vb
+      // endpoint joins) — checkpointing stops the h60-rank window and
+      // its shuffle from evaluating once per endpoint
+      .localCheckpoint()
     val stats = pairs
       .join(assign.select(col("cmp"), col("p"), col("vec_id").as("va"),
         col("pg").as("ga")), Seq("cmp", "va"))
