@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses this process's stdout TAIL as JSON.
+// By default sbt pipes the forked app's output through its logger,
+// prefixing every line with "[info] " / "[error] " — which is why every
+// BENCH_r*.json so far reads "parsed": null (the JSON lines were never
+// bare). StdoutOutput inherits the parent streams: app stdout stays
+// unprefixed. showSuccess drops the trailing "[success] Total time..."
+// line so the LAST stdout line is the bench's own summary JSON.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

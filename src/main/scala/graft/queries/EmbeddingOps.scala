@@ -295,7 +295,9 @@ object EmbeddingOps {
   def q110(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label").cast("long"))
-    val bands = Similarity2.signBands(emb.select(col("vec_id"), col("embedding")))
+    val bands = Similarity2.signBands(
+      emb.select(col("vec_id"), col("embedding")),
+      Similarity2.bitsPerBand(spark, dir))
     val labeled = bands.join(
       emb.filter(col("vec_id") % 5 =!= 3).select(col("vec_id"), col("label")),
       "vec_id")
@@ -615,7 +617,8 @@ object EmbeddingOps {
           .orderBy(col("sim_q").desc, col("neighbor_id"))))
       .filter(col("rnk") <= RecallK)
       .select(col("probe_id"), col("neighbor_id"))
-    val bands = Similarity2.signBands(sample)
+    val bands = Similarity2.signBands(sample,
+      Similarity2.bitsPerBand(spark, dir))
     // the probe-side bands are ≤ 4×panel rows (the cap again) —
     // broadcast them so the corpus-side bands never shuffle; pairing
     // goes through the shared Similarity2.bucketPairs predicate

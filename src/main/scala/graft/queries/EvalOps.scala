@@ -1035,7 +1035,8 @@ object EvalOps {
       .select(col("vec_id"), col("embedding"))
     val qs = sample.select(col("vec_id"),
       VectorOps.quantize(col("embedding"), ReleaseOps.EmbQScale).as("qv"))
-    val bands = Similarity2.signBands(sample)
+    val bands = Similarity2.signBands(sample,
+      Similarity2.bitsPerBand(spark, dir))
     val pos = Similarity2.bucketPairs(bands, bands)
       .filter(col("va") < col("vb"))
       .join(qs.select(col("vec_id").as("va"), col("qv").as("qa")), "va")

@@ -188,6 +188,9 @@ object FingerprintOps {
       .join(counts, Seq("source", "tok"), "left")
       .select(col("source"), col("tok"), col("n_tokens"),
         expr("1000 * coalesce(c, 0) DIV n_tokens").as("r"))
+    // int64 budget (engine + oracle m CTE): r is a permille rate in
+    // [0, 1000] so r·r ≤ 10⁶, and the moment sums over SOURCES — up to
+    // ~2⁴³ sources keeps n·10⁶ < 2⁶³; never corpus-scale values
     val moments = rates.groupBy(col("tok"))
       .agg(count(lit(1)).as("n"), sum(col("r")).as("s"),
         sum(col("r") * col("r")).as("sq"))

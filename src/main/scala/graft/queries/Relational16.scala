@@ -255,6 +255,8 @@ object Relational16 {
       .groupBy(col("c")).agg(count(lit(1)).as("n_k"))
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // int64 budget (engine + oracle tot CTE): sum(c·n_k) telescopes to
+    // exactly count(*) of lineitem — a row count, < 2⁶³ by definition
     cc.withColumn("cum", sum(col("n_k")).over(w))
       .crossJoin(broadcast(cc.agg(sum(col("n_k")).as("n_keys"),
         sum(col("c") * col("n_k")).as("n_rows"), max(col("c")).as("max_c"))))

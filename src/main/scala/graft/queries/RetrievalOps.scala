@@ -432,6 +432,8 @@ object RetrievalOps {
        |  SELECT pid, na, nb, CAST(unnest(pe) AS DOUBLE) AS x,
        |         CAST(unnest(ne) AS DOUBLE) AS y
        |  FROM pp),
+       |-- per-vector DOUBLE cosine fold of 64 unit-scale terms — not an
+       |-- int64 moment, no overflow budget applies
        |ps AS MATERIALIZED (
        |  SELECT pid, na, nb,
        |         CAST(floor(sum(x * y) / (sqrt(sum(x * x)) *

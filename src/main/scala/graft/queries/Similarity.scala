@@ -22,7 +22,9 @@ object Similarity {
   /** DuckDB cosine between two list columns in double precision,
     * mirroring [[VectorOps.cosine]] element order. Emits a CTE pair:
     * `<name>_un` (unnested) and `<name>` (per-pair sim).
-    * Input CTE must expose (pid, nid, pe, ne).
+    * Input CTE must expose (pid, nid, pe, ne). The x·y folds are
+    * per-vector DOUBLE sums of 64 unit-scale terms (magnitude ~1e0) —
+    * not an int64 moment, no overflow budget applies.
     */
   private[queries] def cosineCtes(src: String, name: String): String =
     s"""${name}_un AS (

@@ -409,6 +409,9 @@ object TokenizerOps {
     }
     val toks = enc.withColumn("ntok",
       size(split(col("sym"), "·")).cast("long"))
+    // int64 budget: freq·ntok (and freq·len) are bounded by the
+    // corpus CHARACTER count — BPE tokens never outnumber characters —
+    // so the per-lang sums are < total corpus bytes < 2⁶³
     val perLang = toks.groupBy(col("lang")).agg(
       sum(col("freq")).as("n_words"),
       sum(col("freq") * col("ntok")).as("n_tokens"),

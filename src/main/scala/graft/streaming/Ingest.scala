@@ -137,10 +137,12 @@ object Ingest {
 
   /** Per-batch routing: good files → serving table; failed files →
     * re-enqueue (attempt < maxAttempts) or quarantine (attempt ==
-    * maxAttempts). The failure set is collected to the driver — bounded
-    * by the FAILURE volume, never the corpus (the same boundedness
-    * argument as the reference's per-message DLQ), and the re-enqueue
-    * write needs driver-side file creation anyway.
+    * maxAttempts). File TEXT never rides to the driver: retry files are
+    * written EXECUTOR-SIDE (a poisoned batch of large corrupt files
+    * stays distributed — the driver sees only names and error strings),
+    * and the quarantine record is a distributed JSON append. inDir is
+    * executor-visible by construction — the file source's read tasks
+    * already run there.
     */
   private[streaming] def processBatch(
       batch: DataFrame,
@@ -165,21 +167,44 @@ object Ingest {
     try {
       val good = parsed.filter(_._4 == null).flatMap(_._3)
       GridReader.writePartitioned(good, servingDir)
-      val bad = parsed.filter(_._4 != null)
-        .map { case (logical, attempt, _, err, text) => (logical, attempt, err, text) }
-        .collect()
-      val (exhausted, retriable) = bad.partition(_._2 >= maxAttempts)
-      retriable.foreach { case (logical, attempt, _, text) =>
-        Files.write(
-          Paths.get(inDir, s"retry${attempt + 1}__$logical"),
-          text.getBytes(StandardCharsets.UTF_8))
-      }
-      if (exhausted.nonEmpty) {
-        exhausted.toSeq
-          .map { case (logical, attempt, err, _) => (logical, err, attempt.toLong) }
+      parsed.filter(r => r._4 != null && r._2 < maxAttempts)
+        .foreachPartition {
+          (it: Iterator[(String, Int, Seq[RadiationPoint], String, String)]) =>
+            it.foreach { case (logical, attempt, _, _, text) =>
+              reenqueue(inDir, s"retry${attempt + 1}__$logical", text)
+            }
+        }
+      val exhausted = parsed.filter(r => r._4 != null && r._2 >= maxAttempts)
+      if (!exhausted.isEmpty) {
+        exhausted
+          .map { case (logical, attempt, _, err, _) => (logical, err, attempt.toLong) }
           .toDF("file_name", "error", "attempts")
           .write.mode(SaveMode.Append).json(quarantineDir)
       }
     } finally parsed.unpersist()
+  }
+
+  /** Atomically materialize a re-enqueued retry file in `inDir`.
+    *
+    * The always-on [[runProcessingTime]] source lists `inDir` every
+    * ~500 ms; a plain create+write can be LISTED half-written, and with
+    * `wholetext` the torn prefix either parses as silently truncated
+    * data or fails and is re-enqueued with the truncated text as the
+    * new payload — permanently corrupting the retry chain. So: write to
+    * a `.`-prefixed sibling in the same directory (Spark's file sources
+    * filter hidden paths, so the temp can never be listed) and rename
+    * it in with ATOMIC_MOVE — same-directory rename is atomic on POSIX
+    * filesystems and HDFS. An object-store `inDir` (S3A "rename" is
+    * copy+delete, NOT atomic) needs a staging-prefix pattern instead:
+    * stage the bytes under a hidden prefix and commit by a single
+    * PUT-if-absent of the final key.
+    */
+  private[graft] def reenqueue(
+      inDir: String, name: String, text: String): Unit = {
+    val tmp = Paths.get(inDir,
+      s".retrytmp_${java.util.UUID.randomUUID().toString.take(8)}_$name")
+    Files.write(tmp, text.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(inDir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }

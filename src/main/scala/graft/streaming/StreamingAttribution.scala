@@ -53,7 +53,12 @@ object StreamingAttribution {
   case class AttrOut(user_id: Long, purchase_id: Long, click_id: Long,
       gap_us: Long, attributed: Boolean)
 
-  private case class LastClick(click_id: Long, click_us: Long)
+  /** Public (not `private`) so the generated state-encoder projections
+    * can reach it — a private member makes Janino's SafeProjection fail
+    * to compile and Spark silently interprets every state (de)serialize
+    * per row ([[graft.StreamingAttributionSpec]] scrapes the log for the
+    * fallback so this can't regress quietly). */
+  case class LastClick(click_id: Long, click_us: Long)
 
   /** A click's expiry instant on Spark's ms timer clock: the first
     * whole millisecond at-or-after the exact µs deadline (ceil — the

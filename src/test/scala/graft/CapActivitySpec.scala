@@ -59,4 +59,31 @@ class CapActivitySpec extends AnyFunSuite {
     assert(Similarity.kForCorpus(n01) > 8,
       "sf0.1 must exercise the adaptive regime (oracle kpar mirror)")
   }
+
+  test("sign-LSH adaptive band bits: floor regime at both hash gates, " +
+    "wider banding from the 10x rung up") {
+    import graft.queries.Similarity2
+    // the pure rule, against an independent bit-length model: clamp to
+    // [8,16] of bitlen(n) - 4, so 2^bpb tracks n/16..n/32 and expected
+    // random bucket collisions stay ~linear in n
+    def model(n: Long): Int = {
+      val bitlen = if (n == 0) 0 else java.lang.Long.toBinaryString(n).length
+      math.min(16, math.max(8, bitlen - 4))
+    }
+    for (n <- Seq(0L, 1L, 499L, 500L, 2000L, 4095L, 4096L, 20000L,
+        1000000L, Long.MaxValue)) {
+      assert(Similarity2.bitsForCount(n) == model(n), s"n=$n")
+    }
+    // regime pinning (the kForCorpus structure): both DuckDB-gated SFs
+    // sit on the FLOOR (hashes unchanged vs the fixed 4x8 banding, so
+    // the gates keep certifying the banding itself), while the sf1
+    // ScaleUp corpus (~20k vectors) flips engine AND oracle into the
+    // wider banding — which the sf1 gate then hash-verifies
+    val n001 = table(spark, "/root/testdata/sf0.01", "embeddings").count()
+    val n01 = table(spark, "/root/testdata/sf0.1", "embeddings").count()
+    assert(Similarity2.bitsForCount(n001) == 8, "sf0.01 must be floor")
+    assert(Similarity2.bitsForCount(n01) == 8, "sf0.1 must be floor")
+    assert(Similarity2.bitsForCount(n01 * 10) > 8,
+      "the 10x rung must exercise the adaptive regime")
+  }
 }

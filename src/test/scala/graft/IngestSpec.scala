@@ -224,6 +224,55 @@ class IngestSpec extends AnyFunSuite {
     assert(!treeHasRetry4(new java.io.File(in.toString)))
     assert(!treeHasRetry4(new java.io.File(archive)))
   }
+
+  test("reenqueue materializes atomically: exact bytes, no temp leftovers") {
+    val dir = tmp("reenq")
+    val text = "0 1 2 3\n" * 4096 // ~32 KiB, multi-block on most FS
+    Ingest.reenqueue(dir.toString, "retry2__f.txt", text)
+    assert(Files.readString(dir.resolve("retry2__f.txt")) == text)
+    // the staging temp is gone — ATOMIC_MOVE consumed it; a leftover
+    // would mean a torn create+write path is back
+    assert(dir.toFile.list().toSeq == Seq("retry2__f.txt"))
+  }
+
+  test("poisoned batch of oversized corrupt files: redrive semantics " +
+    "unchanged, retry files byte-exact, no torn temps") {
+    val in = tmp("poison-batch-in")
+    // 6 corrupt files × 1 MiB: big enough that collecting their text to
+    // the driver would be the old failure mode; processBatch now moves
+    // only (name, attempt, error) rows driver-side
+    val big = (1 to 16384).map(i => s"not a grid line $i padded " +
+      "x" * 40).mkString("\n")
+    val names = (1 to 6).map(i => s"BIG${i}_radiation_20180101_0100.txt")
+    names.foreach(n => Files.writeString(in.resolve(n), big))
+    val serving = tmp("poison-batch-serving").toString
+    val checkpoint = tmp("poison-batch-chk").toString
+    val archive = tmp("poison-batch-archive").toString
+    val quarantine = tmp("poison-batch-quarantine").toString
+
+    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint,
+      archive, quarantine, maxAttempts = 2)
+    // drain 1 re-enqueued every file once, ATOMICALLY: the retry file
+    // carries the FULL original bytes (a torn write would truncate and
+    // silently corrupt the retry chain) and no hidden staging temp leaks
+    val left = Option(in.toFile.list()).toSeq.flatten
+    assert(!left.exists(_.startsWith(".retrytmp_")), left.toString)
+    names.foreach { n =>
+      assert(Files.readString(in.resolve(s"retry2__$n")) == big,
+        s"retry2__$n is not byte-identical to the original")
+    }
+
+    Ingest.runAvailableNow(spark, in.toString, serving, checkpoint,
+      archive, quarantine, maxAttempts = 2)
+    // drain 2 exhausted all 6 (attempt 2 == maxAttempts): quarantined
+    // with the full attempt history, nothing served, no retry3 enqueued
+    val bad = spark.read.json(quarantine)
+    assert(bad.count() == 6)
+    assert(bad.collect().forall(_.getAs[Long]("attempts") == 2L))
+    val after = Option(in.toFile.list()).toSeq.flatten
+    assert(!after.exists(f => f.startsWith("retry3__") ||
+      f.startsWith(".retrytmp_")), after.toString)
+  }
 }
 
 /** Shared fault-injection counter: a top-level object so the executor-side

@@ -18,18 +18,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Int64BudgetLintSpec extends AnyFunSuite {
 
-  /** sum over a self-product: sum(x * x), sum(a.qv * b.qv),
-    * sum(col("x") * col("x")) — the second factor must repeat the
-    * first (backreference), which is exactly the second-moment shape.
+  /** sum over ANY product of two identifiers: sum(x * x) second
+    * moments AND cross-moments like sum(x * y) / sum(freq * ntok) —
+    * the q163-class covariance/dot shapes carry the identical wrap
+    * risk the self-product rule alone missed (ADVICE r11).
     */
   private val SumSquare =
-    """(?i)sum\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*|col\("[^"]+"\))\s*\*\s*\1\s*\)""".r
+    """(?i)sum\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*|col\("[^"]+"\))\s*\*\s*([A-Za-z_][A-Za-z0-9_.]*|col\("[^"]+"\))\s*\)""".r
 
-  /** Evidence that the site thought about magnitude: a budget/bound
-    * statement or an exact-decimal escape hatch.
+  /** Evidence that the site thought about magnitude: a DIGIT-BEARING
+    * budget (2^NN / 10^NN / superscript powers), an int64/overflow
+    * statement, or an exact-decimal escape hatch. Deliberately NOT
+    * generic words like "bound"/"exact"/"budget" alone — those matched
+    * anywhere in a 150-line window and suppressed real findings
+    * (ADVICE r11).
     */
   private val Marker =
-    """(?i)(int64|2⁵³|2⁶³|2\^53|2\^63|2⁶²|2⁵²|decimal|hugeint|overflow|bound|budget|< *2[⁰¹²³⁴⁵⁶⁷⁸⁹]|exact)""".r.unanchored
+    ("""(?i)(int64|hugeint|decimal|overflow|2\^[0-9]{1,2}|""" +
+      """2[⁰¹²³⁴⁵⁶⁷⁸⁹]{1,2}|10\^[0-9]{1,2}|10[⁰¹²³⁴⁵⁶⁷⁸⁹]{1,2}|·\s*10)""").r.unanchored
 
   /** Lines of context above a match inside which the documentation
     * must appear — generous enough to reach the query's scaladoc,
@@ -55,6 +61,16 @@ class Int64BudgetLintSpec extends AnyFunSuite {
     // Spark Column form is caught too
     val badCol = Vector("""df.agg(sum(col("n_chars") * col("n_chars")))""")
     assert(offenders(badCol) == Seq(1))
+    // cross-moments (covariance/dot shapes) are caught too (ADVICE r11)
+    val badCross = Vector(
+      "  val oracle = \"SELECT sum(x * y) AS sxy FROM pairs\"",
+      """df.agg(sum(col("freq") * col("ntok")))""")
+    assert(offenders(badCross) == Seq(1, 2))
+    // and the generic marker words no longer excuse a site
+    val vague = Vector(
+      "  // the bound is exact by construction (budget honored)",
+      "  val oracle = \"SELECT sum(x * y) AS sxy FROM pairs\"")
+    assert(offenders(vague) == Seq(2))
   }
 
   test("detector accepts a documented or DECIMAL-escaped site") {

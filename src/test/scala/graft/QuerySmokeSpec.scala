@@ -105,10 +105,25 @@ class QuerySmokeSpec extends AnyFunSuite {
         !sql.trim.toUpperCase.startsWith("WITH") => s"$name: not a query"
     }
     assert(bad.isEmpty, s"malformed oracles: $bad")
-    // and no oracle silently swallowed a null nested fragment
-    val nulled = SparkEntry.oracleSql.filter(_._2.contains("null\n"))
-    assert(nulled.isEmpty || nulled.forall(_._2.contains("nullif")),
-      s"oracles embedding a stringified null: ${nulled.keys}")
+    // and no oracle silently swallowed a null nested fragment: a Scala
+    // null interpolates as the exact LOWERCASE token `null`, while
+    // legitimate SQL here spells the literal NULL uppercase and the
+    // functions are single words (nullif/ifnull — no word boundary, so
+    // \bnull\b can't match inside them). Lowercase `is [not] null`
+    // predicates are excused by lookbehind. (ADVICE r11: the previous
+    // guard excused any oracle merely CONTAINING 'nullif' — vacuous.)
+    val nullTok = java.util.regex.Pattern.compile(
+      "(?<!(?i:is) )(?<!(?i:is not) )(?<![\\w$])null(?![\\w$])")
+    val nulled = SparkEntry.oracleSql.flatMap { case (name, sql) =>
+      val m = nullTok.matcher(sql)
+      if (m.find()) {
+        val ctx = sql.substring(math.max(0, m.start - 25),
+          math.min(sql.length, m.end + 15)).replace('\n', ' ')
+        Some(s"$name: ...$ctx...")
+      } else None
+    }
+    assert(nulled.isEmpty,
+      s"oracles embedding a stringified Scala null: $nulled")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
