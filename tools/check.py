@@ -15,6 +15,7 @@ import json
 import sys
 import glob
 import os
+import time
 
 import duckdb
 import pandas as pd
@@ -103,20 +104,41 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     ok, fail = [], []
+    detail = {}  # driver-style per-query record (rows/schema/hash + timing)
     for name in sorted(oracles):
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             fail.append((name, ["no spark result parquet"]))
+            detail[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": "no spark result parquet"}
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        t0 = time.monotonic()
         try:
             duck_df = con.sql(oracles[name]).df()
         except Exception as e:
             fail.append((name, [f"oracle SQL failed: {e}"]))
+            detail[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False,
+                            "err": f"oracle SQL failed: {e}"[:300]}
             continue
+        secs = round(time.monotonic() - t0, 1)
         problems = compare(name, spark_df, duck_df)
         (fail if problems else ok).append((name, problems))
+        # incremental progress (long sf1 sweeps): one line per query as it
+        # lands, flushed — the summary block below stays the artifact
+        print(f"[{'ok' if not problems else 'XX'}] {name} ({secs}s)",
+              flush=True)
+        detail[name] = {
+            "rows_match": not any("row count differs" in p for p in problems),
+            "schema_match": not any("columns differ" in p or "dtype clash" in p
+                                    for p in problems),
+            "hash_match": not problems,
+            "spark_rows": len(spark_df),
+            "oracle_secs": secs,
+            "err": "; ".join(problems)[:300] or None,
+        }
     for name, _ in ok:
         print(f"PASS {name}")
     for name, problems in fail:
@@ -129,11 +151,7 @@ def main():
             "sf_dir": sf_dir,
             "passed": len(ok),
             "failed": len(fail),
-            "queries": {
-                **{name: {"status": "PASS"} for name, _ in ok},
-                **{name: {"status": "FAIL", "problems": probs}
-                   for name, probs in fail},
-            },
+            "queries": detail,
         }
         with open(json_out, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)
