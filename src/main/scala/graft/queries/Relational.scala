@@ -243,6 +243,16 @@ object Relational {
   /** q08: analytic frames — running sum over an explicit ROWS frame plus
     * lag/lead, restricted to one deterministic slice of customers so the
     * output is bounded.
+    *
+    * The running total accumulates in integer CENTS (the standing
+    * `floor(x·100 + 0.5)` quantization), not double: a double window sum
+    * is only bit-stable while both engines associate identically, and
+    * DuckDB's windowed-aggregate segment tree re-chunks as row count
+    * grows — at sf1 (10x rows, identical values) three rows diverged in
+    * the 17th digit. Int64 cents are associativity-free at any scale;
+    * budget: |Σ| < 2⁶³ holds to ~10¹⁴ orders per customer. lag/lead
+    * pass raw doubles through untouched (no accumulation), so they stay
+    * doubles.
     */
   def q08(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -250,23 +260,25 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     table(spark, dir, "orders")
       .filter(col("o_custkey") % 50 === 0)
-      .withColumn("running_total",
-        sum(col("o_totalprice"))
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .withColumn("running_cents",
+        sum(col("cents"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
       .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
       .select(
         col("o_custkey"), col("o_orderkey"),
-        col("running_total"), col("prev_price"), col("next_price"))
+        col("running_cents"), col("prev_price"), col("next_price"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   val q08Oracle: String =
     """SELECT o_custkey, o_orderkey,
-      |       sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |           OVER (PARTITION BY o_custkey
       |           ORDER BY o_orderdate, o_orderkey
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |         AS running_total,
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS running_cents,
       |       lag(o_totalprice, 1) OVER w AS prev_price,
       |       lead(o_totalprice, 1) OVER w AS next_price
       |FROM orders

@@ -83,18 +83,29 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--json"]
+    argv = list(sys.argv[1:])
     json_out = None
-    if "--json" in sys.argv:
-        idx = sys.argv.index("--json")
-        if idx + 1 >= len(sys.argv):
-            sys.exit("usage: check.py <sfDir> <outDir> [--json <artifact.json>]")
-        json_out = sys.argv[idx + 1]
-        args.remove(json_out)
-    if len(args) != 2:
-        sys.exit("usage: check.py <sfDir> <outDir> [--json <artifact.json>]")
-    sf_dir, out_dir = args
+    shard_i, shard_n = 0, 1
+    threads = None
+    if "--json" in argv:
+        idx = argv.index("--json")
+        json_out = argv[idx + 1]
+        del argv[idx:idx + 2]
+    if "--shard" in argv:  # "--shard i/n": process sorted(oracles)[i::n]
+        idx = argv.index("--shard")
+        shard_i, shard_n = map(int, argv[idx + 1].split("/"))
+        del argv[idx:idx + 2]
+    if "--threads" in argv:  # cap DuckDB threads (parallel shard runs)
+        idx = argv.index("--threads")
+        threads = int(argv[idx + 1])
+        del argv[idx:idx + 2]
+    if len(argv) != 2:
+        sys.exit("usage: check.py <sfDir> <outDir> [--json <artifact.json>]"
+                 " [--shard i/n] [--threads k]")
+    sf_dir, out_dir = argv
     con = duckdb.connect()
+    if threads:
+        con.sql(f"SET threads={threads}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written directory layout (ScaleUp sf1)
@@ -105,7 +116,7 @@ def main():
         oracles = json.load(f)
     ok, fail = [], []
     detail = {}  # driver-style per-query record (rows/schema/hash + timing)
-    for name in sorted(oracles):
+    for name in sorted(oracles)[shard_i::shard_n]:
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
