@@ -161,15 +161,21 @@ object KMeans {
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)
 
+    // The min-struct carries ONLY (dist, cent_id): the vector array never
+    // participates in the comparison, and riding it through the n·k-row
+    // aggregation multiplies the agg/shuffle payload by dim (measured at
+    // the sf10 rung: 64-long payloads × 200M candidate rows ≈ 110 GB
+    // through the hash agg — the build took 745 s). Consumers that need
+    // xq (the update pass) join it back from the checkpointed `data` —
+    // an n-row join, not an n·k payload.
     def assign(cents: Array[(Int, Array[Long])]): DataFrame =
       data.crossJoin(broadcast(centDf(cents)))
         .select(col("id"),
           struct(intDist(col("xq"), col("cq")).as("dist"),
-            col("cent_id").as("cent_id"), col("xq").as("xq")).as("dc"))
+            col("cent_id").as("cent_id")).as("dc"))
         .groupBy(col("id"))
         .agg(min(col("dc")).as("best"))
-        .select(col("id"), col("best.xq").as("xq"),
-          col("best.cent_id").as("cluster"))
+        .select(col("id"), col("best.cent_id").as("cluster"))
 
     var cents: Array[(Int, Array[Long])] = data
       .orderBy(col("id")).limit(k).collect()
@@ -187,6 +193,7 @@ object KMeans {
       // non-reproducible codebook (the Spark long sum wraps without
       // error in non-ANSI mode; the DuckDB oracle sums in HUGEINT).
       val upd = assign(cents)
+        .join(data, Seq("id")) // xq back for the update — n rows, not n·k
         .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
@@ -208,6 +215,6 @@ object KMeans {
       cents = cents.map { case (c, old) => (c, next.getOrElse(c, old)) }
       round += 1
     }
-    QResult(assign(cents).select(col("id"), col("cluster")), cents, scale)
+    QResult(assign(cents), cents, scale)
   }
 }
