@@ -12,13 +12,18 @@ import graft.functions.VectorOps
   * Scale shape per iteration:
   *   - assignment: vectors × broadcast(centroids) (k rows — always
   *     broadcastable), nearest centroid via `min(struct(dist, id))`
-  *     partial+final aggregation — NO window, no shuffle of the vector
-  *     column beyond the one groupBy(id) exchange;
+  *     partial+final aggregation — NO window, and the min-struct
+  *     carries ONLY (dist, cent_id): the vector column never rides the
+  *     n·k candidate stream (the dim-multiplied agg payload measured
+  *     at ~110 GB / 745 s on the sf10 rung before this rule), it is
+  *     joined back from the checkpointed input as an n-row join;
   *   - update: posexplode to (cluster, dim, value) and a two-level avg —
   *     after map-side combine the shuffle carries at most
   *     k × dim × partitions partial sums, independent of row count;
   *   - the k × dim codebook (a few KB) is the ONLY thing that ever
   *     reaches the driver, exactly like the CC loop's one-row checksum.
+  *     (For corpus-proportional k use [[fitTwoLevel]] — flat Lloyd
+  *     against an adaptive k = n/c codebook is n²/c per round.)
   *
   * Deterministic end to end: init = the k lowest-id vectors, distance
   * ties break toward the lower centroid id, and the per-dimension avg
@@ -52,18 +57,20 @@ object KMeans {
       cents.toSeq.toDF("cent_id", "cemb")
     }
 
-    // Grouping on `id` alone — the vector rides inside the min-struct
-    // (dist, cent_id) is already a unique total order per group, so the
-    // trailing vec never participates in the comparison) instead of
-    // hashing 64 floats per row as part of the grouping key.
+    // The min-struct carries ONLY (dist, cent_id) — riding the vector
+    // through the n·k-row aggregation multiplies the agg/shuffle payload
+    // by dim (the exact defect fitQuantized's sf10 rung measured at
+    // 745 s). The vector is joined back from the checkpointed `data`
+    // afterwards: an n-row join, not an n·k payload.
     def assign(cents: Array[(Int, Array[Float])]): DataFrame =
       data.crossJoin(broadcast(centDf(cents)))
         .select(col("id"),
           struct(VectorOps.l2Sq(col("vec"), col("cemb")).as("dist"),
-            col("cent_id").as("cent_id"), col("vec").as("vec")).as("dc"))
+            col("cent_id").as("cent_id")).as("dc"))
         .groupBy(col("id"))
         .agg(min(col("dc")).as("best"))
-        .select(col("id"), col("best.vec").as("vec"),
+        .join(data, Seq("id"))
+        .select(col("id"), col("vec"),
           col("best.cent_id").as("cluster"), col("best.dist").as("dist"))
 
     var cents: Array[(Int, Array[Float])] = data
