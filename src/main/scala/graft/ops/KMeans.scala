@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -153,11 +154,33 @@ object KMeans {
       scale: Long = 10000L): QResult = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val spark = df.sparkSession
-    val data = df.select(col(idCol).as("id"),
-        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
-          .as("xq"))
-      .localCheckpoint()
+    val data = quantized(df, idCol, vecCol, scale).localCheckpoint()
+    val (asg, cents) = lloydQuantized(data, k, iters)
+    QResult(asg, cents, scale)
+  }
+
+  /** floor(x·scale) int64 quantization to the trainer's (id, xq) frame —
+    * the single spelling both [[fitQuantized]] and [[fitTwoLevel]] (and
+    * their oracle `eq` CTEs) derive from.
+    */
+  private def quantized(
+      df: DataFrame, idCol: String, vecCol: String, scale: Long): DataFrame =
+    df.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
+        .as("xq"))
+
+  /** Flat exact-int64 Lloyd over a pre-quantized, checkpointed
+    * (id, xq) frame: the [[fitQuantized]] core, reused verbatim as
+    * [[fitTwoLevel]]'s COARSE stage (where k is √K — the k×dim driver
+    * codebook here is the √K-row bounded class, never corpus-
+    * proportional). Returns (final assignments (id, cluster), settled
+    * integer codebook).
+    */
+  private def lloydQuantized(
+      data: DataFrame,
+      k: Int,
+      iters: Int): (DataFrame, Array[(Int, Array[Long])]) = {
+    val spark = data.sparkSession
 
     def centDf(cents: Array[(Int, Array[Long])]): DataFrame = {
       import spark.implicits._
@@ -222,6 +245,181 @@ object KMeans {
       cents = cents.map { case (c, old) => (c, next.getOrElse(c, old)) }
       round += 1
     }
-    QResult(assign(cents), cents, scale)
+    (assign(cents), cents)
+  }
+
+  final case class TLResult(
+      assignments: DataFrame, // (id, cluster: bigint) — contiguous 0..K-1
+      centroids: DataFrame, // (cent_id: bigint, cq: array<bigint>) — settled
+      kCoarse: Int,
+      scale: Long)
+
+  /** TWO-LEVEL exact-int64 k-means — the corpus-proportional-k trainer
+    * (k = n/c grows with the corpus, the IVF/SemDeDup sizing rule). A
+    * flat Lloyd at adaptive k is n·k = n²/c distance evaluations per
+    * round (measured 744.8 s for the q170 index build at the sf10 rung)
+    * and collects a k×dim codebook to the driver — both quadratic /
+    * corpus-proportional. This trainer is the n·√k shape:
+    *
+    *   1. COARSE: [[lloydQuantized]] at kc = ⌈√k⌉ cells (n·√k per round;
+    *      the only driver-resident codebook is √k×dim — bounded);
+    *   2. ALLOCATE: each non-empty cell gets ≥1 fine centroids, the
+    *      remaining k − #cells seats by Hamilton largest-remainder on
+    *      cell sizes (ties → lower cell id), capped at the cell size —
+    *      all-integer arithmetic, so the oracle reproduces the exact
+    *      seat table; Σ kf = k whenever no cap binds;
+    *   3. FINE: per-cell Lloyd — seeds are the kf lowest ids of each
+    *      cell; each round assigns only against the OWN cell's fine
+    *      centroids (Σ n_c·kf_c ≈ n·√k per round, never n·k), ties →
+    *      lower fine id; update is floor(sum/count) per (cell, fine,
+    *      dim) with the in-plan 2⁵³ budget guard (raise_error — loud,
+    *      executor-side, nothing collected); emptied fine centroids
+    *      keep their previous coordinates. The fine codebook lives in a
+    *      DISTRIBUTED k-row frame the whole way — localCheckpoint per
+    *      round, never `.collect()` (at 10⁹ vectors k×dim is ~2.5 GB:
+    *      over driver/broadcast limits by design).
+    *   4. LABEL: cluster = cell_offset + fine, offsets = running Σ kf
+    *      over cells by id — contiguous global ids, no gaps when no cap
+    *      binds.
+    *
+    * The fine-assignment join (cell → cell centroids) is SALTED
+    * [[FineSalts]] ways: coarse cells are value-skewed by nature, and an
+    * unsalted join puts an entire cell — n/√k rows × its whole fine
+    * block — in one task; the salt respreads each cell across
+    * [[FineSalts]] tasks at the cost of replicating the k-row codebook
+    * frame ×[[FineSalts]] (trivial). Assignment output never carries a
+    * vector: min-struct is (dist, fine) only, xq joins back n-row for
+    * the update (the round-12 payload rule).
+    *
+    * Deterministic end to end by the same contract as [[fitQuantized]]
+    * (which it reuses for the coarse stage): floor quantization, integer
+    * distances, id-ranked seeding, fixed round counts, floor(sum/count)
+    * updates — bit-reproducible under any partitioning, so the trained
+    * assignment sits under the cross-engine hash gate (the oracle
+    * unrolls both stages as CTEs — `Similarity.kmAssignCtes`).
+    */
+  def fitTwoLevel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarseIters: Int,
+      fineIters: Int,
+      scale: Long = 10000L): TLResult = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val kc = ceilSqrt(k)
+    val data = quantized(df, idCol, vecCol, scale).localCheckpoint()
+    val (coarseAsg, _) = lloydQuantized(data, kc, coarseIters)
+
+    // (id, xq, cell) — the fine loop's fixed input, one corpus copy
+    val dataC = data
+      .join(coarseAsg.select(col("id"), col("cluster").as("cell")), Seq("id"))
+      .localCheckpoint()
+
+    // Hamilton largest-remainder seat table over the ≤kc non-empty cells
+    // (a √k-row frame: the global windows below each sort ≤√k rows).
+    // Base 1 seat per cell keeps every vector assignable; LEAST(nc, ·)
+    // caps a seat count at the cell population (a cell can't seed more
+    // centroids than it has members — binds only on degenerate corpora).
+    val wRem = Window.orderBy(col("md").desc, col("cell"))
+    val wOff = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val csz = dataC.groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+    val tots = csz.agg(sum(col("nc")).as("n"), count(lit(1)).as("ncells"))
+    val alloc = csz.crossJoin(broadcast(tots))
+      .withColumn("rem", lit(k.toLong) - col("ncells"))
+      .withColumn("fl", expr("rem * nc div n"))
+      .withColumn("md", expr("(rem * nc) % n"))
+    val sumfl = alloc.agg(sum(col("fl")).as("sumfl"))
+    val offs = alloc.crossJoin(broadcast(sumfl))
+      .withColumn("rr", row_number().over(wRem))
+      .select(col("cell"), col("nc"),
+        least(col("nc"),
+          lit(1L) + col("fl") +
+            when(col("rr") <= col("rem") - col("sumfl"), 1L).otherwise(0L))
+          .as("kf"))
+      .withColumn("off", coalesce(sum(col("kf")).over(wOff), lit(0L)))
+      .localCheckpoint() // √k rows
+
+    // fine seeds: the kf lowest ids of each cell (rank on a NARROW
+    // (id, cell) projection; xq joins back seed-row-count deep)
+    val wSeed = Window.partitionBy(col("cell")).orderBy(col("id"))
+    val fcb0 = dataC.select(col("id"), col("cell"))
+      .withColumn("rk", row_number().over(wSeed))
+      .join(broadcast(offs.select(col("cell"), col("kf"))), Seq("cell"))
+      .filter(col("rk") <= col("kf"))
+      .join(dataC.select(col("id"), col("xq")), Seq("id"))
+      .select(col("cell"), (col("rk") - 1).cast("int").as("fine"),
+        col("xq").as("cq"))
+
+    def assignFine(fcb: DataFrame): DataFrame =
+      dataC
+        .withColumn("salt", pmod(col("id").cast("long"), lit(FineSalts.toLong))
+          .cast("int"))
+        .join(fcb.select(col("cell"), col("fine"), col("cq"),
+          explode(expr(s"sequence(0, ${FineSalts - 1})")).as("salt")),
+          Seq("cell", "salt"))
+        .select(col("id"), col("cell"),
+          struct(VectorOps.intSqDist(col("xq"), col("cq")).as("dist"),
+            col("fine")).as("dc"))
+        .groupBy(col("id"), col("cell"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("id"), col("cell"), col("best.fine").as("fine"))
+
+    var fcb = fcb0.localCheckpoint()
+    var round = 0
+    while (round < fineIters) {
+      // same 2^53 budget as fitQuantized (n·max|xq| bounds |Σxq|, proves
+      // no int64 wrap AND an exact double floor) — enforced in-plan: the
+      // k-proportional update frame never reaches the driver, so the
+      // check can't either. The double product understates by ≤1 ulp;
+      // comparing against 9.0e15 (< 2^53 ≈ 9.007e15) keeps it sound.
+      val upd = assignFine(fcb)
+        .join(dataC.select(col("id"), col("xq")), Seq("id"))
+        .select(col("cell"), col("fine"),
+          posexplode(col("xq")).as(Seq("d", "v")))
+        .groupBy(col("cell"), col("fine"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"),
+          max(abs(col("v"))).as("ma"))
+        .select(col("cell"), col("fine"), col("d"),
+          when(col("cnt").cast("double") * col("ma").cast("double") < 9.0e15,
+            floor(col("s").cast("double") / col("cnt")).cast("long"))
+            .otherwise(raise_error(concat(
+              lit("fitTwoLevel budget breached: cell "), col("cell"),
+              lit(" fine "), col("fine"), lit(" dim "), col("d"),
+              lit(" has n="), col("cnt"), lit(" max|xq|="), col("ma"),
+              lit(" — n·max|xq| must stay < 2^53; lower `scale` or " +
+                "pre-aggregate")))).as("x"))
+      val updArr = upd.groupBy(col("cell"), col("fine"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, x))), s -> s.x)")
+          .as("nq"))
+      fcb = fcb.join(updArr, Seq("cell", "fine"), "left")
+        .select(col("cell"), col("fine"),
+          coalesce(col("nq"), col("cq")).as("cq"))
+        .localCheckpoint() // k rows — lineage cut, never collected
+      round += 1
+    }
+
+    val offSel = broadcast(offs.select(col("cell"), col("off")))
+    TLResult(
+      assignFine(fcb).join(offSel, Seq("cell"))
+        .select(col("id"), (col("off") + col("fine")).as("cluster")),
+      fcb.join(offSel, Seq("cell"))
+        .select((col("off") + col("fine")).as("cent_id"), col("cq")),
+      kc, scale)
+  }
+
+  /** Salt fan-out of the fine-assignment join (see [[fitTwoLevel]]). */
+  private[graft] val FineSalts = 16
+
+  /** ⌈√k⌉ by exact integer adjustment (the float sqrt is only a seed —
+    * the result is proven by multiplication, any k).
+    */
+  private[graft] def ceilSqrt(k: Long): Int = {
+    require(k >= 1)
+    var r = math.max(1L, math.sqrt(k.toDouble).toLong)
+    while (r * r < k) r += 1
+    while (r > 1 && (r - 1) * (r - 1) >= k) r -= 1
+    r.toInt
   }
 }

@@ -286,13 +286,40 @@ object Dedup {
 
   // ---------------------------------------------------------------- q23
 
+  /** Guard ceiling for [[q23]]'s quadratic baseline: the shared-gram
+    * self-join's pair keyspace grows ~quadratically in sampled docs
+    * (measured spilling unboundedly at the sf10 rung — ~20k sampled),
+    * so the DECLARED-quadratic ground truth refuses to run past this
+    * many sampled docs instead of falling over silently. 10k sampled
+    * (≈250k corpus docs at the 1/25 sample) holds the sf1 rung (2k
+    * sampled) with headroom; the scalable paths are q21 (MinHash LSH)
+    * and q42 (sign-LSH).
+    */
+  private[graft] val Q23MaxSampledDocs = 10000L
+
+  private[graft] def q23Guard(nSampled: Long): Unit =
+    require(nSampled <= Q23MaxSampledDocs,
+      s"q23 is the DECLARED-QUADRATIC exact-Jaccard ground truth: " +
+        s"$nSampled sampled docs > $Q23MaxSampledDocs ceiling — at this " +
+        "scale the shared-gram self-join spills unboundedly (measured at " +
+        "the 100x rung). Use q21 (MinHash LSH) or q42 (sign-LSH) for " +
+        "near-dup detection at scale; raise Q23MaxSampledDocs only for " +
+        "a deliberate offline ground-truth run.")
+
   /** Pairwise character-4-gram Jaccard over a deterministic 1/25th doc
     * sample — the quadratic exact baseline that MinHash (q21)
     * approximates. Kept bounded on purpose: the self-join on shared
     * grams is the part that does NOT scale, which is why the LSH path
-    * exists.
+    * exists — and why [[q23Guard]] refuses to run it past
+    * [[Q23MaxSampledDocs]] sampled docs (the sf10 rung measured the
+    * un-guarded form spilling unboundedly; the exclusion is documented
+    * in BASELINE.md). The guard costs one count over the sampled-id
+    * projection — trivial beside the pair join it prices.
     */
   def q23(spark: SparkSession, dir: String): DataFrame = {
+    q23Guard(table(spark, dir, "documents")
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 4)
+      .count())
     // position cap (600) and min length (4) mirror the oracle's
     // uncorrelated range(1, 601) + WHERE exactly — without the cap the
     // two engines diverge on texts longer than 603 chars

@@ -378,14 +378,23 @@ object EmbeddingOps {
     * BIGINT identical across engines and the hash gate certifies the
     * evaluation itself. a ≤ b holds by construction (the assignment IS
     * the argmin over this codebook, ties → lower cent_id), so the score
-    * sits in [0, 1000]; max(a,b)=0 (a vector ON two coincident
-    * centroids) reports 0.
+    * sits in [−1000, 1000]; max(a,b)=0 (a vector ON two coincident
+    * centroids) reports 0. Under the two-level trainer the assignment
+    * is CELL-LOCAL (a vector joins the best fine centroid of its own
+    * coarse cell — the IVF contract), so a(i) is the argmin within the
+    * cell, not globally: another cell's centroid can sit closer and
+    * s goes negative — which is exactly what the silhouette is FOR
+    * (boundary vectors score the cut quality). Both engines truncate
+    * the integer division toward zero (Spark `div` ≡ DuckDB `//` on
+    * negatives — spec-pinned), so the permille stays hash-exact.
     *
-    * Scale shape: the codebook (k rows, k = n div 200 by the adaptive
-    * rule) broadcasts; the [[SilPanelMax]]-bounded evaluation panel —
-    * NOT the corpus: panel×k distances stay linear in n where a full
-    * pass would be O(n²/200) under the adaptive k — folds each of the
-    * k distances to an int64 in-projection; everything after lands on
+    * Scale shape: the [[SilPanelMax]]-bounded evaluation panel
+    * BROADCASTS and the corpus-proportional codebook (k rows, k =
+    * n div 200 by the adaptive rule) STREAMS — never the reverse: at
+    * 10⁹ vectors the codebook is a 5M-row frame, over broadcast
+    * limits. Panel×k distances stay linear in n where a full pass
+    * would be O(n²/200) under the adaptive k; each of the k distances
+    * folds to an int64 in-projection and everything after lands on
     * the ≤-panel-sized cluster frame. Int64 budget: per-pair d² ≤
     * 64·(2·10⁴)² ≈ 2.6·10¹⁰, panel sums ≪ 2⁶³.
     * Dimensionality contract: like every consumer of the q94
@@ -400,8 +409,8 @@ object EmbeddingOps {
       .select(col("vec_id"), col("cluster"),
         graft.functions.VectorOps
           .quantize(col("embedding"), Similarity.KmScale).as("qv"))
-    val cents = broadcast(Similarity.kmCentroids(spark, dir))
-    clusters.crossJoin(cents)
+    val cents = Similarity.kmCentroids(spark, dir)
+    broadcast(clusters).crossJoin(cents)
       .select(col("vec_id"), col("cluster"), col("cent_id"),
         graft.functions.VectorOps.intSqDist(col("qv"), col("cq")).as("d2"))
       .groupBy(col("vec_id"), col("cluster"))
@@ -424,12 +433,19 @@ object EmbeddingOps {
 
   val q233Oracle: String =
     s"""WITH ${Similarity.kmAssignCtes},
+       |aP AS (
+       |  -- panel-to-EVERY-centroid distances against the settled global
+       |  -- codebook (the Spark side's broadcast(panel) × codebook pass)
+       |  SELECT eq.vec_id, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+       |  FROM eq JOIN cbF c ON eq.d = c.d
+       |  WHERE eq.vec_id < $SilPanelMax
+       |  GROUP BY eq.vec_id, c.cent_id),
        |ab AS (
        |  SELECT f.vec_id, g.cluster,
        |         min(CASE WHEN f.cent_id = g.cluster THEN f.dist END) AS a2,
        |         min(CASE WHEN f.cent_id <> g.cluster THEN f.dist END) AS b2
-       |  FROM aF f JOIN asgF g ON f.vec_id = g.vec_id
-       |  WHERE f.vec_id < $SilPanelMax
+       |  FROM aP f JOIN asgF g ON f.vec_id = g.vec_id
        |  GROUP BY f.vec_id, g.cluster),
        |s AS (
        |  SELECT cluster, CAST(a2 AS BIGINT) AS a2, CAST(b2 AS BIGINT) AS b2,

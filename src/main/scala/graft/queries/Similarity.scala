@@ -193,7 +193,8 @@ object Similarity {
   // ---------------------------------------------------------------- q94
 
   private[graft] val KmK = 8
-  private[queries] val KmIters = 3
+  private[queries] val KmIters = 3 // coarse Lloyd rounds (√k cells)
+  private[queries] val KmFineIters = 3 // per-cell fine Lloyd rounds
   private[graft] val KmScale = 10000L
 
   /** Target expected cluster size for the ADAPTIVE cluster count:
@@ -211,60 +212,64 @@ object Similarity {
   private[graft] def kForCorpus(n: Long): Int =
     math.max(KmK.toLong, n / KmDocsPerCluster).toInt
 
-  /** Memoized trained clustering per (session, dir): q94, q170 and
-    * q171 all need the same adaptive-k assignment over the embeddings —
-    * without sharing, each pays the collect-driven Lloyd fit (and its
-    * corpus scans) again for a bit-identical result. Returns the
-    * (vec_id, embedding, cluster) frame, `localCheckpoint`'ed so the
-    * lineage (3 crossJoin-assign rounds) is not replayed per consumer.
-    * Keyed by applicationId so a stopped session's checkpointed blocks
-    * are never served to a new one. The corpus count that sizes k is
-    * one driver-side scalar (the same bounded coordination state as
-    * the codebook itself).
+  /** Memoized trained clustering per (session, dir): q94, q170/q171,
+    * q211/q224, q233, q238 and q239 all need the same adaptive-k
+    * assignment over the embeddings — without sharing, each pays the
+    * two-level fit (and its corpus scans) again for a bit-identical
+    * result. Returns the (vec_id, embedding, cluster) frame AND the
+    * settled (cent_id, cq) codebook frame, both `localCheckpoint`'ed so
+    * the lineage (coarse + fine Lloyd rounds) is not replayed per
+    * consumer. Keyed by applicationId so a stopped session's
+    * checkpointed blocks are never served to a new one. The corpus
+    * count that sizes k is one driver-side scalar; the codebook itself
+    * stays a DISTRIBUTED k-row frame (k = n/200 is corpus-proportional —
+    * at 10⁹ vectors it is a 5M-row × 64-dim frame, over driver and
+    * broadcast limits by design; consumers broadcast their own small
+    * side against it, never the codebook).
     */
   private val kmCache = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, Array[(Int, Array[Long])])]
+    .empty[String, (DataFrame, DataFrame)]
 
   private def kmFit(
-      spark: SparkSession, dir: String): (DataFrame, Array[(Int, Array[Long])]) =
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     kmCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
       val emb = table(spark, dir, "embeddings")
       val k = kForCorpus(emb.count())
-      val km = KMeans.fitQuantized(emb, "vec_id", "embedding",
-        k = k, iters = KmIters, scale = KmScale)
+      val km = KMeans.fitTwoLevel(emb, "vec_id", "embedding",
+        k = k, coarseIters = KmIters, fineIters = KmFineIters,
+        scale = KmScale)
       (km.assignments
         .join(emb, col("id") === col("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cluster"))
         .localCheckpoint(),
-        km.centroids)
+        km.centroids.localCheckpoint())
     })
 
   private[graft] def kmClusters(spark: SparkSession, dir: String): DataFrame =
     kmFit(spark, dir)._1
 
-  /** The settled integer codebook of the memoized fit — (cent_id, cq)
-    * rows, the coordinates the final assignment ran against (q211's
-    * nprobe ranking needs them; recomputing floor-means from the
-    * assignments would produce the NEXT round's codebook, not this
-    * one).
+  /** The settled integer codebook of the memoized fit — a DISTRIBUTED
+    * (cent_id, cq) frame, the coordinates the final assignment ran
+    * against (q211's nprobe ranking needs them; recomputing floor-means
+    * from the assignments would produce the NEXT round's codebook, not
+    * this one). k rows with k corpus-proportional: consumers must
+    * broadcast their panel/probe side against it, never this frame.
     */
-  private[graft] def kmCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
-    kmFit(spark, dir)._2.toSeq.toDF("cent_id", "cq")
-  }
+  private[graft] def kmCentroids(spark: SparkSession, dir: String): DataFrame =
+    kmFit(spark, dir)._2
 
   /** The trained IVF pipeline end-to-end under the hash gate:
-    * [[KMeans.fitQuantized]] fits an adaptive-k codebook
+    * [[KMeans.fitTwoLevel]] fits an adaptive-k codebook
     * ([[kForCorpus]] — nlist grows with the corpus, the IVF sizing
-    * rule) on the embeddings in EXACT int64 arithmetic (3 fixed Lloyd
-    * rounds, floor(x·10⁴) quantization, floor(sum/count) updates —
-    * bit-reproducible on any IEEE engine regardless of partitioning),
-    * then probes 10–14 search only their own trained cluster with the
-    * exact codegen'd cosine.
+    * rule) on the embeddings in EXACT int64 arithmetic (⌈√k⌉ coarse
+    * cells × 3 flat Lloyd rounds, Hamilton fine-seat allocation, 3
+    * per-cell fine rounds — n·√k per round, never n·k; floor(x·10⁴)
+    * quantization, floor(sum/count) updates — bit-reproducible on any
+    * IEEE engine regardless of partitioning), then probes 10–14 search
+    * only their own trained cluster with the exact codegen'd cosine.
     * Unlike q24 (fixed stand-in codebook), the codebook here is the
-    * trainer's actual output; the oracle unrolls the same three
-    * iterations as DuckDB CTEs, so train → index → search is verified
+    * trainer's actual output; the oracle unrolls BOTH training stages
+    * as DuckDB CTEs, so train → index → search is verified
     * cross-engine, not just spec-gated.
     */
   def q94(spark: SparkSession, dir: String): DataFrame = {
@@ -309,17 +314,53 @@ object Similarity {
        |         CAST(floor(CAST(sum(eq.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
        |  FROM asg$i g JOIN eq ON g.vec_id = eq.vec_id
        |  GROUP BY g.cluster, eq.d),
-       |c$i AS (
+       |c$i AS MATERIALIZED (
        |  SELECT c.cent_id, c.d, COALESCE(u.x, c.x) AS x
        |  FROM $prev c LEFT JOIN u$i u
        |    ON c.cent_id = u.cent_id AND c.d = u.d)""".stripMargin
   }
 
-  /** The `eq → c0 → (Lloyd rounds) → aF → asgF` CTE chain reproducing
-    * [[KMeans.fitQuantized]]'s trained assignment bit-for-bit —
-    * `asgF(vec_id, cluster)` is the trained clustering. Shared by
-    * [[q94Oracle]] and Similarity4's SemDeDup oracles so the three
-    * queries verify against ONE spelling of the trainer.
+  /** One unrolled FINE Lloyd round (within-cell): assign each vector to
+    * the nearest fine centroid OF ITS OWN CELL by integer squared L2
+    * (ties → lower fine id), recompute each (cell, fine, dim) as
+    * floor(sum/count), emptied fine centroids keep the previous
+    * coordinates — [[KMeans.fitTwoLevel]] step 3, CTE for CTE.
+    */
+  private def kmFineIterCtes(i: Int): String = {
+    val prev = s"f${i - 1}"
+    s"""fa$i AS (
+       |  SELECT eqc.vec_id, eqc.cell, f.fine,
+       |         sum((eqc.x - f.x) * (eqc.x - f.x)) AS dist
+       |  FROM eqc JOIN $prev f ON f.cell = eqc.cell AND f.d = eqc.d
+       |  GROUP BY eqc.vec_id, eqc.cell, f.fine),
+       |fg$i AS (
+       |  SELECT vec_id, cell, fine FROM (
+       |    SELECT vec_id, cell, fine,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, fine) AS rn
+       |    FROM fa$i) t
+       |  WHERE rn = 1),
+       |fu$i AS (
+       |  SELECT g.cell, g.fine, eqc.d,
+       |         CAST(floor(CAST(sum(eqc.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       |  FROM fg$i g JOIN eqc ON eqc.vec_id = g.vec_id
+       |  GROUP BY g.cell, g.fine, eqc.d),
+       |f$i AS MATERIALIZED (
+       |  SELECT p.cell, p.fine, p.d, COALESCE(u.x, p.x) AS x
+       |  FROM $prev p LEFT JOIN fu$i u
+       |    ON u.cell = p.cell AND u.fine = p.fine AND u.d = p.d)""".stripMargin
+  }
+
+  /** The CTE chain reproducing [[KMeans.fitTwoLevel]]'s trained
+    * assignment bit-for-bit — coarse `eq → c0 → c$KmIters → gasg`
+    * (flat Lloyd at kc = ⌈√k⌉ cells, the proven [[kmIterCtes]] rounds),
+    * Hamilton seat table `alloc/offs`, then per-cell fine rounds
+    * `f0 → f$KmFineIters → fgF`. Exposes to consumers:
+    * `asgF(vec_id, cluster)` — the trained clustering with contiguous
+    * global cluster ids — and `cbF(cent_id, d, x)` — the settled fine
+    * codebook the final assignment ran against. Shared by q94, q170/
+    * q171, q211/q224, q233 and q238/q239's oracles so every consumer
+    * verifies against ONE spelling of the trainer.
     */
   private[queries] val kmAssignCtes: String =
     s"""kpar AS (
@@ -328,32 +369,98 @@ object Similarity {
        |  -- (mirrors kForCorpus exactly — integer division, floor 8)
        |  SELECT GREATEST($KmK, count(*) // $KmDocsPerCluster) AS k
        |  FROM embeddings),
-       |eq AS (
+       |kcpar AS (
+       |  -- coarse cell count kc = ceil(sqrt(k)): k ≤ ~5e6 keeps the
+       |  -- correctly-rounded IEEE sqrt exact around integers, so the
+       |  -- ceil matches KMeans.ceilSqrt's proven-by-multiplication value
+       |  SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS kc
+       |  FROM kpar),
+       |eq AS MATERIALIZED (
        |  SELECT vec_id,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $KmScale) AS BIGINT) AS x,
        |         generate_subscripts(embedding, 1) AS d
        |  FROM embeddings),
-       |c0 AS (
-       |  -- seed = rank among the k lowest vec_ids (cent_id 0..k-1), the
-       |  -- exact fitQuantized contract — NOT `vec_id < k`, which only
-       |  -- coincides when ids are contiguous from 0
+       |c0 AS MATERIALIZED (
+       |  -- coarse seed = rank among the kc lowest vec_ids (cent_id
+       |  -- 0..kc-1), the exact lloydQuantized contract — NOT
+       |  -- `vec_id < kc`, which only coincides when ids are contiguous
        |  SELECT CAST(rnk - 1 AS INT) AS cent_id, d, x FROM (
        |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) AS rnk
        |    FROM eq) s
-       |  WHERE rnk <= (SELECT k FROM kpar)),
+       |  WHERE rnk <= (SELECT kc FROM kcpar)),
        |${(1 to KmIters).map(kmIterCtes).mkString(",\n")},
-       |aF AS (
+       |ga AS MATERIALIZED (
        |  SELECT eq.vec_id, c.cent_id,
        |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
        |  FROM eq JOIN c$KmIters c ON eq.d = c.d
        |  GROUP BY eq.vec_id, c.cent_id),
-       |asgF AS (
-       |  SELECT vec_id, cent_id AS cluster FROM (
+       |gasg AS MATERIALIZED (
+       |  SELECT vec_id, cent_id AS cell FROM (
        |    SELECT vec_id, cent_id,
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY dist, cent_id) AS rn
-       |    FROM aF) t
-       |  WHERE rn = 1)""".stripMargin
+       |    FROM ga) t
+       |  WHERE rn = 1),
+       |csz AS MATERIALIZED (SELECT cell, count(*) AS nc FROM gasg GROUP BY cell),
+       |tots AS (SELECT sum(nc) AS n, count(*) AS ncells FROM csz),
+       |al0 AS (
+       |  -- Hamilton largest-remainder: every non-empty cell gets 1 fine
+       |  -- centroid, the remaining k - ncells seats go by integer quota
+       |  -- floor + largest remainder (ties -> lower cell id), capped at
+       |  -- the cell size — all-integer, the exact fitTwoLevel seat table
+       |  SELECT c.cell, c.nc,
+       |         (SELECT k FROM kpar) - t.ncells AS rem,
+       |         (((SELECT k FROM kpar) - t.ncells) * c.nc) // t.n AS fl,
+       |         (((SELECT k FROM kpar) - t.ncells) * c.nc) % t.n AS md
+       |  FROM csz c CROSS JOIN tots t),
+       |al1 AS (
+       |  SELECT cell, nc, rem, fl,
+       |         row_number() OVER (ORDER BY md DESC, cell) AS rr,
+       |         sum(fl) OVER () AS sumfl
+       |  FROM al0),
+       |alloc AS MATERIALIZED (
+       |  SELECT cell, nc,
+       |         LEAST(nc, 1 + fl + CASE WHEN rr <= rem - sumfl
+       |                                 THEN 1 ELSE 0 END) AS kf
+       |  FROM al1),
+       |offs AS MATERIALIZED (
+       |  SELECT cell, kf,
+       |         COALESCE(sum(kf) OVER (ORDER BY cell
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS off
+       |  FROM alloc),
+       |eqc AS MATERIALIZED (
+       |  SELECT eq.vec_id, eq.d, eq.x, g.cell
+       |  FROM eq JOIN gasg g ON g.vec_id = eq.vec_id),
+       |f0 AS MATERIALIZED (
+       |  -- fine seeds = the kf lowest vec_ids of each cell (fine 0..kf-1
+       |  -- in ascending id order within the cell)
+       |  SELECT s.cell, CAST(s.rnk - 1 AS INT) AS fine, s.d, s.x
+       |  FROM (SELECT cell, vec_id, d, x,
+       |               dense_rank() OVER (PARTITION BY cell
+       |                                  ORDER BY vec_id) AS rnk
+       |        FROM eqc) s
+       |  JOIN alloc a ON a.cell = s.cell
+       |  WHERE s.rnk <= a.kf),
+       |${(1 to KmFineIters).map(kmFineIterCtes).mkString(",\n")},
+       |faF AS MATERIALIZED (
+       |  SELECT eqc.vec_id, eqc.cell, f.fine,
+       |         sum((eqc.x - f.x) * (eqc.x - f.x)) AS dist
+       |  FROM eqc JOIN f$KmFineIters f ON f.cell = eqc.cell AND f.d = eqc.d
+       |  GROUP BY eqc.vec_id, eqc.cell, f.fine),
+       |fgF AS MATERIALIZED (
+       |  SELECT vec_id, cell, fine FROM (
+       |    SELECT vec_id, cell, fine,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, fine) AS rn
+       |    FROM faF) t
+       |  WHERE rn = 1),
+       |cbF AS MATERIALIZED (
+       |  SELECT o.off + f.fine AS cent_id, f.d, f.x
+       |  FROM f$KmFineIters f JOIN offs o ON o.cell = f.cell),
+       |asgF AS MATERIALIZED (
+       |  SELECT g.vec_id, o.off + g.fine AS cluster
+       |  FROM fgF g JOIN offs o ON o.cell = g.cell)""".stripMargin
 
   val q94Oracle: String =
     s"""WITH $kmAssignCtes,

@@ -363,7 +363,9 @@ object Similarity4 {
           .as("pq"))
     val wC = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist"), col("cent_id"))
-    val selected = probes.crossJoin(broadcast(cents))
+    // the PANEL broadcasts, the codebook streams: k = n/200 is corpus-
+    // proportional, so the centroid frame is never the broadcast side
+    val selected = broadcast(probes).crossJoin(cents)
       .select(col("probe_id"), col("pe"), col("cent_id"),
         expr("aggregate(zip_with(pq, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
           .as("dist"))
@@ -421,7 +423,7 @@ object Similarity4 {
        |cdist AS (
        |  SELECT eq.vec_id AS pid, c.cent_id,
        |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
-       |  FROM eq JOIN c${Similarity.KmIters} c ON eq.d = c.d
+       |  FROM eq JOIN cbF c ON eq.d = c.d
        |  WHERE eq.vec_id BETWEEN 10 AND 14
        |  GROUP BY eq.vec_id, c.cent_id),
        |crank AS (
@@ -515,7 +517,8 @@ object Similarity4 {
           .as("pq"))
     val wC = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist"), col("cent_id"))
-    val selCents = probes.crossJoin(broadcast(cents))
+    // panel broadcasts, corpus-proportional codebook streams (q211 rule)
+    val selCents = broadcast(probes).crossJoin(cents)
       .select(col("probe_id"), col("pe"), col("cent_id"),
         expr("aggregate(zip_with(pq, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
           .as("dist"))
@@ -561,7 +564,7 @@ object Similarity4 {
        |cdist AS (
        |  SELECT eq.vec_id AS pid, c.cent_id,
        |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
-       |  FROM eq JOIN c${Similarity.KmIters} c ON eq.d = c.d
+       |  FROM eq JOIN cbF c ON eq.d = c.d
        |  WHERE eq.vec_id BETWEEN $MrrProbeLo AND $MrrProbeHi
        |  GROUP BY eq.vec_id, c.cent_id),
        |crank AS (

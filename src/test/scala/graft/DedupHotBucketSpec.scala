@@ -67,6 +67,20 @@ class DedupHotBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("q23's quadratic-baseline guard: inert at the gated SFs, loud past " +
+    "the declared ceiling") {
+    // the gated corpora sit far under the ceiling (sample = doc_id % 25)
+    Dedup.q23Guard(20L)
+    Dedup.q23Guard(Dedup.Q23MaxSampledDocs)
+    // past it, the guard must name the scalable alternatives
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.q23Guard(Dedup.Q23MaxSampledDocs + 1)
+    }
+    assert(ex.getMessage.contains("q21") && ex.getMessage.contains("q42"))
+    // and the real query path still runs under the guard at sf0.1
+    assert(Dedup.q23(spark, sfDir).count() >= 0)
+  }
+
   test("q87's removal joins by measured drop size: broadcast small, shuffle big") {
     import spark.implicits._
     val corpus = (0L until 1000L).map(i => (i, s"lang${i % 3}"))

@@ -94,7 +94,7 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue()).toMap
     val members = Similarity.kmClusters(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
     val byCluster = members.groupBy(_._3)
     val expect = members
       .filter(m => m._1 >= 20 && m._1 <= 29)
@@ -129,7 +129,7 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue()).toMap
     val members = Similarity.kmClusters(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getInt(2)))
+      .map(r => (r.getLong(0), r.getLong(2)))
     val expect = members.groupBy(_._2).map { case (c, xs) =>
       val counts = xs.map(m => labels(m._1)).groupBy(identity)
         .map { case (l, g) => (l, g.size.toLong) }

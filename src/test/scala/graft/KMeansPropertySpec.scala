@@ -136,4 +136,112 @@ class KMeansPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Driver-side reference of [[KMeans.fitTwoLevel]]'s documented
+    * contract: flat Lloyd at kc = ⌈√k⌉ coarse cells, Hamilton
+    * largest-remainder fine-seat allocation (base 1 per non-empty cell,
+    * remainder ties → lower cell id, capped at the cell size), per-cell
+    * fine Lloyd seeded by the kf lowest ids, cluster = cell offset +
+    * fine. The fine stage reuses the SAME single-threaded Lloyd as
+    * [[model]] restricted to each cell's members — which is exactly the
+    * equivalence the distributed trainer (and its oracle CTE chain)
+    * claims.
+    */
+  private def modelTwoLevel(
+      rows: Seq[(Long, Array[Float])],
+      k: Int,
+      coarseIters: Int,
+      fineIters: Int): (Seq[(Long, Long)], Seq[(Long, Seq[Long])]) = {
+    val q = rows.sortBy(_._1)
+      .map { case (id, v) =>
+        (id, v.map(x => math.floor(x.toDouble * Scale).toLong))
+      }
+    val dim = q.head._2.length
+
+    def lloyd(pts: Seq[(Long, Array[Long])], kk: Int, iters: Int)
+        : (Array[(Int, Array[Long])], Seq[(Long, Int)]) = {
+      var cents = pts.take(kk).zipWithIndex
+        .map { case ((_, v), i) => (i, v.clone()) }.toArray
+      def assign() = pts.map { case (id, x) =>
+        val best = cents.map { case (c, ce) =>
+          (x.zip(ce).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }.min
+        (id, x, best._2)
+      }
+      for (_ <- 1 to iters) {
+        val asg = assign()
+        cents = cents.map { case (c, old) =>
+          val m = asg.filter(_._3 == c).map(_._2)
+          if (m.isEmpty) (c, old)
+          else (c, Array.tabulate(dim)(d =>
+            math.floor(m.map(_(d)).sum.toDouble / m.length).toLong))
+        }
+      }
+      (cents, assign().map(t => (t._1, t._3)))
+    }
+
+    val kc = KMeans.ceilSqrt(k.toLong)
+    val (_, coarse) = lloyd(q, kc, coarseIters)
+    val cells = coarse.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val cellIds = cells.keys.toSeq.sorted
+    val n = q.size.toLong
+    val rem = k.toLong - cellIds.size
+    val fl = cellIds.map(c => c -> rem * cells(c).size / n).toMap
+    val md = cellIds.map(c => c -> rem * cells(c).size % n).toMap
+    val leftover = (rem - fl.values.sum).toInt
+    val extra = cellIds.sortBy(c => (-md(c), c)).take(leftover).toSet
+    val kf = cellIds.map(c => c -> math.min(cells(c).size.toLong,
+      1L + fl(c) + (if (extra(c)) 1L else 0L))).toMap
+    val offMap = cellIds.zip(
+      cellIds.scanLeft(0L)((acc, c) => acc + kf(c))).toMap
+    val byId = q.toMap
+    val perCell = cellIds.map { c =>
+      val members = cells(c).map(id => (id, byId(id)))
+      val (fCents, fAsg) = lloyd(members, kf(c).toInt, fineIters)
+      (fAsg.map { case (id, fine) => (id, offMap(c) + fine) },
+        fCents.map { case (fine, v) => (offMap(c) + fine, v.toSeq) }.toSeq)
+    }
+    (perCell.flatMap(_._1).sortBy(_._1), perCell.flatMap(_._2).sortBy(_._1))
+  }
+
+  private val tlCaseGen: Gen[Case] = for {
+    dim <- Gen.choose(1, 4)
+    n <- Gen.choose(6, 34)
+    vecs <- Gen.listOfN(n, Gen.listOfN(dim, compGen).map(_.toArray))
+    ids <- Gen.listOfN(n, Gen.choose(0L, 400L)).map(_.distinct)
+      .retryUntil(_.sizeIs >= 6)
+    // k up past n/2 forces cap-bound cells (kf > cell size) and
+    // empty-fine-centroid regimes; small k forces rem = 0
+    k <- Gen.choose(2, math.min(12, ids.size))
+    iters <- Gen.choose(0, 2)
+  } yield Case(ids.zip(vecs).toList, k, iters)
+
+  test("fitTwoLevel == driver-side two-level reference (coarse Lloyd + " +
+    "Hamilton seats + per-cell fine Lloyd), under adversarial partitioning") {
+    import spark.implicits._
+    forAll(tlCaseGen, 8) { case Case(rows, k, iters) =>
+      val (expAsg, expCents) = modelTwoLevel(rows, k, iters, iters)
+      val df = rows.toDF("id", "vec")
+      for (input <- Seq(df,
+          df.repartition(7).sortWithinPartitions(col("id").desc))) {
+        val r = KMeans.fitTwoLevel(input, "id", "vec", k = k,
+          coarseIters = iters, fineIters = iters)
+        val got = r.assignments.collect()
+          .map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1).toSeq
+        assert(got == expAsg,
+          s"assignment fork (n=${rows.size} k=$k iters=$iters)")
+        val cents = r.centroids.collect()
+          .map(row => (row.getLong(0), row.getSeq[Long](1).toSeq))
+          .sortBy(_._1).toSeq
+        assert(cents == expCents,
+          s"codebook fork (n=${rows.size} k=$k iters=$iters)")
+        // structural postconditions: contiguous global ids, every id
+        // assigned exactly once, K ≤ k (== k unless a cap bound)
+        assert(cents.map(_._1) == cents.indices.map(_.toLong))
+        assert(cents.size <= k)
+        assert(got.map(_._1) == rows.map(_._1).sorted)
+        assert(got.forall { case (_, c) => c >= 0 && c < cents.size })
+      }
+    }
+  }
 }

@@ -106,6 +106,67 @@ class KMeansSpec extends AnyFunSuite {
     assert(dist.centroids.map(_._2.toSeq).toSeq == cents.map(_._2.toSeq).toSeq)
   }
 
+  test("ceilSqrt: proven-by-multiplication ceil of the integer sqrt") {
+    for (k <- (1L to 200L) ++ Seq(5000L, 1000000L, 4999999L, 5000000L)) {
+      val r = KMeans.ceilSqrt(k).toLong
+      assert(r * r >= k && (r == 1 || (r - 1) * (r - 1) < k), s"k=$k -> $r")
+    }
+  }
+
+  test("fitTwoLevel recovers blobs through the coarse/fine split and is " +
+    "partitioning-invariant") {
+    val base = blobs()
+    val a = KMeans.fitTwoLevel(base, "id", "vec", k = 5,
+      coarseIters = 3, fineIters = 3)
+    val b = KMeans.fitTwoLevel(
+      base.repartition(13).sortWithinPartitions(
+        org.apache.spark.sql.functions.col("id").desc),
+      "id", "vec", k = 5, coarseIters = 3, fineIters = 3)
+    val ra = a.assignments.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val rb = b.assignments.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(ra == rb, "two-level assignment must be partitioning-invariant")
+    val ca = a.centroids.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    val cb = b.centroids.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    assert(ca == cb, "two-level codebook must be partitioning-invariant")
+    // k=5 splits the 3 blobs into 5 clusters: members of one cluster
+    // must never span two blobs (blobs are 17+ apart, jitter ≤ 0.07)
+    val byCluster = ra.groupBy(_._2).view
+      .mapValues(_.map(_._1 % 3).distinct).toMap
+    assert(byCluster.values.forall(_.size == 1), s"cluster spans blobs: $byCluster")
+    assert(ca.map(_._1) == ca.indices.map(_.toLong), "contiguous cent_ids")
+    assert(ca.size == 5, "Hamilton seats must total k when no cap binds")
+  }
+
+  test("fitTwoLevel fails loudly when the fine-update budget is breached") {
+    import spark.implicits._
+    // same construction as the fitQuantized guard test: |xq| ~ 1e16
+    // > 2^53/n while sums and distances stay inside int64 — but here
+    // the guard is IN-PLAN (raise_error), since the fine update frame
+    // is k-proportional and never reaches the driver
+    val big = (0L until 60L).map(id => (id, Array.fill(2)(1e12f)))
+      .toDF("id", "vec")
+    val ex = intercept[Exception] {
+      KMeans.fitTwoLevel(big, "id", "vec", k = 4,
+        coarseIters = 0, fineIters = 1).assignments.count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("budget breached")),
+      s"expected the budget guard, got: ${ex.getMessage}")
+  }
+
+  test("integer division truncates toward zero on negatives in BOTH " +
+    "engines (the q233 negative-silhouette contract)") {
+    // DuckDB's `//` truncates (-7 // 2 = -3, pinned by the gate the day
+    // a negative permille first appears); Spark's `div` must agree.
+    val r = spark.sql("SELECT -7 div 2 AS t, 7 div -2 AS u").head()
+    assert(r.getLong(0) == -3L && r.getLong(1) == -3L)
+  }
+
   test("fitQuantized fails loudly when the quantization budget is breached") {
     // The sneaky failure mode is NOT int64 overflow (ANSI makes that
     // loud on its own): it's a per-(cluster,dim) sum that FITS int64

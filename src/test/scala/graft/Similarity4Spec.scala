@@ -124,9 +124,9 @@ class Similarity4Spec extends AnyFunSuite {
     import graft.queries.Similarity
     val clusters = Similarity.kmClusters(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("cluster")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
     val cents = Similarity.kmCentroids(spark, sfDir).collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).toMap
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
     def quant(v: Array[Float]): Array[Long] =
       v.map(x => math.floor(x.toDouble * Similarity.KmScale).toLong)
     def cos(x: Array[Float], y: Array[Float]): Double = {
@@ -175,9 +175,9 @@ class Similarity4Spec extends AnyFunSuite {
     import graft.queries.Similarity
     val clusters = Similarity.kmClusters(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("cluster")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
     val cents = Similarity.kmCentroids(spark, sfDir).collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).toMap
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
     def quant(v: Array[Float]): Array[Long] =
       v.map(x => math.floor(x.toDouble * Similarity.KmScale).toLong)
     def cos(x: Array[Float], y: Array[Float]): Double = {

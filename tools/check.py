@@ -87,18 +87,24 @@ def main():
     json_out = None
     shard_i, shard_n = 0, 1
     threads = None
+    def flag_value(flag):
+        # every value-taking flag funnels through here so a trailing
+        # `--json`/`--shard`/`--threads` hits the usage message, not an
+        # IndexError
+        idx = argv.index(flag)
+        if idx + 1 >= len(argv):
+            sys.exit(f"usage: {flag} requires a value")
+        val = argv[idx + 1]
+        del argv[idx:idx + 2]
+        return val
     if "--json" in argv:
-        idx = argv.index("--json")
-        json_out = argv[idx + 1]
-        del argv[idx:idx + 2]
+        json_out = flag_value("--json")
     if "--shard" in argv:  # "--shard i/n": process sorted(oracles)[i::n]
-        idx = argv.index("--shard")
-        shard_i, shard_n = map(int, argv[idx + 1].split("/"))
-        del argv[idx:idx + 2]
+        shard_i, shard_n = map(int, flag_value("--shard").split("/"))
+        if shard_n < 1 or not 0 <= shard_i < shard_n:
+            sys.exit(f"usage: --shard i/n needs 0 <= i < n, got {shard_i}/{shard_n}")
     if "--threads" in argv:  # cap DuckDB threads (parallel shard runs)
-        idx = argv.index("--threads")
-        threads = int(argv[idx + 1])
-        del argv[idx:idx + 2]
+        threads = int(flag_value("--threads"))
     if len(argv) != 2:
         sys.exit("usage: check.py <sfDir> <outDir> [--json <artifact.json>]"
                  " [--shard i/n] [--threads k]")
@@ -141,10 +147,16 @@ def main():
         # lands, flushed — the summary block below stays the artifact
         print(f"[{'ok' if not problems else 'XX'}] {name} ({secs}s)",
               flush=True)
+        # compare() early-returns: a column mismatch means rows/values were
+        # NEVER compared — record those dimensions as null (unknown), not
+        # as a pass the check never ran
+        schema_ok = not any("columns differ" in p or "dtype clash" in p
+                            for p in problems)
+        rows_checked = not any("columns differ" in p for p in problems)
         detail[name] = {
-            "rows_match": not any("row count differs" in p for p in problems),
-            "schema_match": not any("columns differ" in p or "dtype clash" in p
-                                    for p in problems),
+            "rows_match": (not any("row count differs" in p for p in problems)
+                           ) if rows_checked else None,
+            "schema_match": schema_ok,
             "hash_match": not problems,
             "spark_rows": len(spark_df),
             "oracle_secs": secs,
@@ -164,6 +176,10 @@ def main():
             "failed": len(fail),
             "queries": detail,
         }
+        if shard_n > 1:
+            # a shard artifact must never masquerade as a full-sweep gate
+            artifact["shard"] = f"{shard_i}/{shard_n}"
+            artifact["oracle_total"] = len(oracles)
         with open(json_out, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
