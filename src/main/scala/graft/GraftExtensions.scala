@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarity, H60, H60Array, MinGramHash, MinHashSig, MinHashSigLongs, SimHash64, WordShingles60}
+import graft.functions.{CosineSimilarity, H60, H60Array, IntSqDist, MinGramHash, MinHashSig, MinHashSigLongs, SimHash64, WordShingles60}
 
 /** Engine extension point: registers graft's native functions with a
   * session. Either install at build time —
@@ -13,6 +13,7 @@ import graft.functions.{CosineSimilarity, H60, H60Array, MinGramHash, MinHashSig
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(CosineSimilarity.descriptor)
+    e.injectFunction(IntSqDist.descriptor)
     e.injectFunction(SimHash64.descriptor)
     e.injectFunction(MinGramHash.descriptor)
     e.injectFunction(MinHashSig.descriptor)
@@ -28,7 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Idempotent post-hoc registration on an existing session. */
   def register(spark: SparkSession): Unit = {
-    Seq(CosineSimilarity.descriptor, SimHash64.descriptor,
+    Seq(CosineSimilarity.descriptor, IntSqDist.descriptor, SimHash64.descriptor,
       MinGramHash.descriptor, MinHashSig.descriptor, H60.descriptor,
       H60Array.descriptor, WordShingles60.descriptor,
       MinHashSigLongs.descriptor).foreach {

@@ -18,7 +18,13 @@ object GraftSession {
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples reducer granularity from
+      // core count for rung experiments: a 100 TB cluster scales
+      // shuffle.partitions with the fleet (productionBuilder), and the
+      // sf10 spill-threshold measurements (BASELINE.md q183/q184) need
+      // the same knob at fixed local cores
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

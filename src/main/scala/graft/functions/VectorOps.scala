@@ -56,14 +56,18 @@ object VectorOps {
   def quantize(a: Column, scale: Long): Column =
     transform(a, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** EXACT int64 squared L2 between two pre-quantized bigint arrays —
-    * Σ(aᵢ−bᵢ)² folded in-projection, no intermediate array
-    * materialized past codegen. Caller owns the overflow budget
-    * (|aᵢ−bᵢ| ≤ m ⇒ result ≤ dims·m²). Single copy for q228/q233/q237
-    * and the streaming semantic decontaminator.
+  /** EXACT int64 squared L2 between two pre-quantized bigint arrays,
+    * via the native codegen'd [[IntSqDist]] expression — one fused
+    * loop, no intermediate array, identical per-index sequential fold
+    * to the `zip_with`+`aggregate` HOF it replaced (so every gated
+    * consumer's values are unchanged to the bit). Caller owns the
+    * overflow budget (|aᵢ−bᵢ| ≤ m ⇒ result ≤ dims·m²). Single copy for
+    * the k-means trainers, q211/q224/q228/q233/q237 and the streaming
+    * semantic decontaminator.
     */
-  def intSqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, e) => acc + e)
+  def intSqDist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(IntSqDist(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }

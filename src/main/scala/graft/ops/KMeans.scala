@@ -187,9 +187,7 @@ object KMeans {
       cents.toSeq.toDF("cent_id", "cq")
     }
 
-    def intDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+    def intDist(a: Column, b: Column): Column = VectorOps.intSqDist(a, b)
 
     // The min-struct carries ONLY (dist, cent_id): the vector array never
     // participates in the comparison, and riding it through the n·k-row

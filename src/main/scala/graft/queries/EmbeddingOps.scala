@@ -409,7 +409,12 @@ object EmbeddingOps {
       .select(col("vec_id"), col("cluster"),
         graft.functions.VectorOps
           .quantize(col("embedding"), Similarity.KmScale).as("qv"))
+    // the codebook frame arrives AQE-coalesced (k rows ≪ a shuffle
+    // partition), which would stream the whole panel×k pass through ONE
+    // task (measured 43 s at the sf10 rung); re-spreading the k-row
+    // frame is a trivial shuffle and restores the parallelism
     val cents = Similarity.kmCentroids(spark, dir)
+      .repartition(col("cent_id"))
     broadcast(clusters).crossJoin(cents)
       .select(col("vec_id"), col("cluster"), col("cent_id"),
         graft.functions.VectorOps.intSqDist(col("qv"), col("cq")).as("d2"))

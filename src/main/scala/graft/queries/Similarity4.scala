@@ -367,8 +367,7 @@ object Similarity4 {
     // proportional, so the centroid frame is never the broadcast side
     val selected = broadcast(probes).crossJoin(cents)
       .select(col("probe_id"), col("pe"), col("cent_id"),
-        expr("aggregate(zip_with(pq, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
-          .as("dist"))
+        VectorOps.intSqDist(col("pq"), col("cq")).as("dist"))
       .withColumn("crank", row_number().over(wC))
       .filter(col("crank") <= NProbes.max)
       .select(col("probe_id"), col("pe"), col("cent_id"), col("crank"))
@@ -520,8 +519,7 @@ object Similarity4 {
     // panel broadcasts, corpus-proportional codebook streams (q211 rule)
     val selCents = broadcast(probes).crossJoin(cents)
       .select(col("probe_id"), col("pe"), col("cent_id"),
-        expr("aggregate(zip_with(pq, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
-          .as("dist"))
+        VectorOps.intSqDist(col("pq"), col("cq")).as("dist"))
       .withColumn("crank", row_number().over(wC))
       .filter(col("crank") <= MrrNProbe)
       .select(col("probe_id"), col("pe"), col("cent_id"))

@@ -100,10 +100,14 @@ class NativeCodegenSpec extends AnyFunSuite {
       assert(!e.nullable, s"${e.prettyName}: strict child must mean strict output")
       assert(e.eval(row) != null, s"${e.prettyName} returned null on valid input")
     }
-    // cosine_sim is the documented exception: null on unequal lengths
-    import org.apache.spark.sql.types.FloatType
+    // cosine_sim and int_sq_dist are the documented exceptions: null on
+    // unequal lengths
+    import org.apache.spark.sql.types.{FloatType, LongType}
     val fa = BoundReference(0, ArrayType(FloatType, containsNull = false),
       nullable = false)
     assert(CosineSimilarity(fa, fa).nullable)
+    val la = BoundReference(0, ArrayType(LongType, containsNull = false),
+      nullable = false)
+    assert(graft.functions.IntSqDist(la, la).nullable)
   }
 }
