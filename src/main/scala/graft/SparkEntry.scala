@@ -68,7 +68,8 @@ object SparkEntry {
     (IntervalQueries.queries, IntervalQueries.oracles),
     (JsonQueries.queries, JsonQueries.oracles),
     (SourceSink.queries, SourceSink.oracles),
-    (Advanced.queries, Advanced.oracles))
+    (Advanced.queries, Advanced.oracles),
+    (ChunkingOps.queries, ChunkingOps.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_grid_explode" -> (GridQueries.q14 _),

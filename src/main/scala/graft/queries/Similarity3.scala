@@ -37,8 +37,7 @@ object Similarity3 {
   private[graft] val PqScale = 10000L
 
   private def intDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorOps.intSqDist(a, b) // native codegen'd fold
 
   /** Quantized subvector frame (vec_id, s, xq): one corpus pass, the
     * M slices exploded from a single array literal.
@@ -363,11 +362,196 @@ object Similarity3 {
        |       count(DISTINCT cluster) AS codes_used
        |FROM codes GROUP BY s ORDER BY s""".stripMargin
 
+  // ---------------------------------------------------------------- q262
+
+  /** The deterministic signed permutation of the [[q262]] pre-rotation:
+    * output dim j (0-based) reads source dim `opqMap(j)._1` (1-based)
+    * scaled by sign `opqMap(j)._2` (±1). Derived from the shared
+    * md5-h60 (the q237 jlSigns device): source order = dims ranked by
+    * h60("opq:perm:d"), sign = parity of h60("opq:sign:j"). A signed
+    * permutation is an ORTHOGONAL transform — norms and pairwise
+    * distances are preserved exactly — and, unlike a dense rotation, it
+    * stays integer-exact after quantization (multiplying a float by
+    * ±1.0 is lossless), so the whole rotated training chain sits under
+    * the hash gate. ONE Scala value is interpolated into BOTH the
+    * engine expressions and the oracle's `pmap` VALUES literal, so the
+    * map cannot fork between engines.
+    */
+  private[graft] lazy val opqMap: Array[(Int, Int)] = {
+    def h(s: String): Long = graft.functions.CrossHash.h60FromDigest(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")))
+    val dim = PqM * PqSubDim
+    val srcOrder = (1 to dim).sortBy(d => (h(s"opq:perm:$d"), d))
+    Array.tabulate(dim) { j =>
+      (srcOrder(j), if (h(s"opq:sign:${j + 1}") % 2 == 0) 1 else -1)
+    }
+  }
+
+  /** Rotated quantized subvector frame: xq[j] = floor(sign_j ·
+    * x[perm_j] · 10⁴), sliced into the same [[PqM]] subspaces. Same
+    * single-corpus-pass shape as [[subVectors]].
+    */
+  private def subVectorsRotated(spark: SparkSession, dir: String): DataFrame = {
+    val slices = (0 until PqM).map { s =>
+      val elems = (0 until PqSubDim).map { j =>
+        val (src, sgn) = opqMap(s * PqSubDim + j)
+        expr(s"CAST(floor((${sgn}.0D * CAST(element_at(embedding, $src) AS DOUBLE))" +
+          s" * ${PqScale}D) AS BIGINT)")
+      }
+      array(elems: _*)
+    }
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(array(slices: _*)).as(Seq("s", "xq")))
+  }
+
+  /** Memoized rotated (subs, codebook) — the q262 twin of [[fitted]]. */
+  private val rotCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def fittedRotated(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    rotCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val subs = subVectorsRotated(spark, dir).localCheckpoint()
+      (subs, pqFit(spark, subs))
+    })
+
+  /** q262: OPQ-style PRE-ROTATION for product quantization (Ge et al.
+    * 2013, "Optimized Product Quantization" — the parametric insight:
+    * PQ's per-subspace error depends on how dimensions are ALLOCATED to
+    * subspaces, so transform the space before slicing). Full OPQ learns
+    * the rotation by alternating SVD solves — not expressible as an
+    * exact cross-engine chain — so this is the deterministic member of
+    * the family: a signed-permutation rotation ([[opqMap]]) that
+    * re-allocates dimensions across subspaces, then the SAME
+    * integer-exact PQ trainer fits both layouts and the query reports,
+    * per subspace, the total quantization error of baseline vs rotated
+    * plus the integer-permille gain — the evidence table an OPQ
+    * deployment decides from (negative gain = the rotation hurt that
+    * subspace; both engines truncate the division toward zero).
+    *
+    * Scale shape: two independent PQ trainings (each the proven n·M·k
+    * single-pass-per-round shape), both memoized; output is M rows.
+    * Int64 budget: resid ≤ subdim·(2·scale)² ≈ 6.4e9 per (vec, s), so
+    * the ×1000 permille numerator stays under 2⁶³ to ~5e9 vectors.
+    */
+  def q262(spark: SparkSession, dir: String): DataFrame = {
+    val base = encoded(spark, dir).groupBy(col("s"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("resid")).as("resid_base"))
+    val (rsubs, rcb) = fittedRotated(spark, dir)
+    val rot = encode(rsubs, rcb).groupBy(col("s"))
+      .agg(sum(col("resid")).as("resid_rot"))
+    base.join(rot, Seq("s"))
+      .select(col("s").cast("long").as("s"), col("n_vecs"),
+        col("resid_base"), col("resid_rot"),
+        expr("((resid_base - resid_rot) * 1000) div greatest(resid_base, 1)")
+          .as("gain_permille"))
+      .orderBy(col("s"))
+  }
+
+  /** Prefixed, MATERIALIZED clone of the [[pqCodesCte]] chain for
+    * oracles that need TWO independent trainings in one statement
+    * (q262: baseline + rotated). `eqCte` supplies the full definition
+    * of `${p}eq`; every other CTE name is prefixed. Emits
+    * `${p}codes(vec_id, s, cluster, resid)`. The generated shape
+    * mirrors pqCodesCte exactly (same seeding, rounds, ties, updates) —
+    * MATERIALIZED added because the doubly-referenced two-chain tree
+    * re-executes exponentially un-hinted (the kmAssignCtes lesson).
+    */
+  private def pqCodesCteP(p: String, eqCte: String): String = {
+    def iter(i: Int): String = {
+      val prev = s"${p}c${i - 1}"
+      s"""${p}a$i AS MATERIALIZED (
+         |  SELECT eq.vec_id, c.s, c.cent_id,
+         |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+         |  FROM ${p}eq eq JOIN $prev c ON eq.d = c.d
+         |  GROUP BY eq.vec_id, c.s, c.cent_id),
+         |${p}asg$i AS MATERIALIZED (
+         |  SELECT vec_id, s, cent_id AS cluster FROM (
+         |    SELECT vec_id, s, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id, s
+         |                              ORDER BY dist, cent_id) AS rn
+         |    FROM ${p}a$i) t
+         |  WHERE rn = 1),
+         |${p}u$i AS MATERIALIZED (
+         |  SELECT g.s, g.cluster AS cent_id, eq.d,
+         |         CAST(floor(CAST(sum(eq.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+         |  FROM ${p}asg$i g JOIN ${p}eq eq
+         |    ON g.vec_id = eq.vec_id AND eq.s = g.s
+         |  GROUP BY g.s, g.cluster, eq.d),
+         |${p}c$i AS MATERIALIZED (
+         |  SELECT c.s, c.cent_id, c.d, COALESCE(u.x, c.x) AS x
+         |  FROM $prev c LEFT JOIN ${p}u$i u
+         |    ON c.s = u.s AND c.cent_id = u.cent_id AND c.d = u.d)""".stripMargin
+    }
+    s"""$eqCte,
+       |${p}c0 AS MATERIALIZED (
+       |  SELECT s, CAST(rnk - 1 AS INT) AS cent_id, d, x FROM (
+       |    SELECT vec_id, s, d, x, dense_rank() OVER (ORDER BY vec_id) AS rnk
+       |    FROM ${p}eq) t
+       |  WHERE rnk <= $PqK),
+       |${(1 to PqIters).map(iter).mkString(",\n")},
+       |${p}aF AS MATERIALIZED (
+       |  SELECT eq.vec_id, c.s, c.cent_id,
+       |         sum((eq.x - c.x) * (eq.x - c.x)) AS dist
+       |  FROM ${p}eq eq JOIN ${p}c$PqIters c ON eq.d = c.d
+       |  GROUP BY eq.vec_id, c.s, c.cent_id),
+       |${p}codes AS MATERIALIZED (
+       |  SELECT vec_id, s, cent_id AS cluster, dist AS resid FROM (
+       |    SELECT vec_id, s, cent_id, dist,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |                              ORDER BY dist, cent_id) AS rn
+       |    FROM ${p}aF) t
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val q262Oracle: String = {
+    val dim = PqM * PqSubDim
+    val pmapVals = opqMap.zipWithIndex
+      .map { case ((src, sgn), j) => s"(${j + 1}, $src, $sgn)" }.mkString(", ")
+    val eqStd =
+      s"""eq AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         CAST((generate_subscripts(embedding, 1) - 1) // $PqSubDim
+         |              AS INT) AS s,
+         |         generate_subscripts(embedding, 1) AS d,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $PqScale)
+         |              AS BIGINT) AS x
+         |  FROM embeddings)""".stripMargin
+    val eqRot =
+      s"""rraw AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS sd,
+         |         CAST(unnest(embedding) AS DOUBLE) AS xf
+         |  FROM embeddings),
+         |pmap(outd, srcd, sgn) AS (VALUES $pmapVals),
+         |req AS MATERIALIZED (
+         |  SELECT r.vec_id,
+         |         CAST((p.outd - 1) // $PqSubDim AS INT) AS s,
+         |         p.outd AS d,
+         |         CAST(floor((CAST(p.sgn AS DOUBLE) * r.xf) * $PqScale)
+         |              AS BIGINT) AS x
+         |  FROM rraw r JOIN pmap p ON p.srcd = r.sd)""".stripMargin
+    s"""WITH ${pqCodesCteP("", eqStd)},
+       |${pqCodesCteP("r", eqRot)},
+       |base AS (
+       |  SELECT s, count(*) AS n_vecs,
+       |         CAST(sum(resid) AS BIGINT) AS resid_base
+       |  FROM codes GROUP BY s),
+       |rot AS (
+       |  SELECT s, CAST(sum(resid) AS BIGINT) AS resid_rot
+       |  FROM rcodes GROUP BY s)
+       |SELECT CAST(b.s AS BIGINT) AS s, b.n_vecs, b.resid_base, r.resid_rot,
+       |       ((b.resid_base - r.resid_rot) * 1000)
+       |         // greatest(b.resid_base, 1) AS gain_permille
+       |FROM base b JOIN rot r ON r.s = b.s
+       |ORDER BY s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_pq_ann" -> (q158 _),
-    "q159_pq_residuals" -> (q159 _))
+    "q159_pq_residuals" -> (q159 _),
+    "q262_opq_rotation" -> (q262 _))
 
   val oracles: Map[String, String] = Map(
     "q158_pq_ann" -> q158Oracle,
-    "q159_pq_residuals" -> q159Oracle)
+    "q159_pq_residuals" -> q159Oracle,
+    "q262_opq_rotation" -> q262Oracle)
 }

@@ -84,6 +84,23 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("q262 opqMap is a signed permutation; gains bounded; rotated " +
+    "training preserves the corpus") {
+    val dim = 64
+    val srcs = Similarity3.opqMap.map(_._1)
+    assert(srcs.sorted.toSeq == (1 to dim), "sources must be a permutation")
+    assert(Similarity3.opqMap.forall(m => m._2 == 1 || m._2 == -1))
+    val rows = Similarity3.q262(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0L until 16L), "one row per subspace")
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.forall(_._2 == n), "every subspace encodes every vector")
+    assert(rows.forall(r => r._3 >= 0 && r._4 >= 0), "residuals non-negative")
+    assert(rows.forall(r => r._5 >= -1000 && r._5 <= 1000),
+      "gain permille bounded")
+  }
+
   test("the trained PQ pipeline is rerun-deterministic") {
     val a = Similarity3.q158(spark, sfDir).collect().map(_.toSeq).toSeq
     val b = Similarity3.q158(spark, sfDir).collect().map(_.toSeq).toSeq

@@ -40,6 +40,7 @@ class QuerySmokeSpec extends AnyFunSuite {
       "Similarity2" -> graft.queries.Similarity2.queries.keys,
       "Relational5" -> graft.queries.Relational5.queries.keys,
       "Advanced" -> graft.queries.Advanced.queries.keys,
+      "ChunkingOps" -> graft.queries.ChunkingOps.queries.keys,
       "Relational6" -> graft.queries.Relational6.queries.keys,
       "Relational7" -> graft.queries.Relational7.queries.keys,
       "Relational8" -> graft.queries.Relational8.queries.keys,
