@@ -23,8 +23,16 @@ object GraftSession {
       // shuffle.partitions with the fleet (productionBuilder), and the
       // sf10 spill-threshold measurements (BASELINE.md q183/q184) need
       // the same knob at fixed local cores
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
+      .config("spark.sql.shuffle.partitions", {
+        val raw = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString)
+        val n = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$raw'")
+        }
+        require(n > 0,
+          s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$raw'")
+        n.toString
+      })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types._
   * accumulated sequentially in Java long (wrapping like non-ANSI Spark
   * long arithmetic — callers own the 2⁶³/2⁵³ budgets exactly as
   * before). Unequal-length inputs yield null (as zip_with null-padding
-  * does); null ELEMENTS are not expected (quantized vectors).
+  * does), and so does any null ELEMENT — matching the HOF fold, where a
+  * null operand nulls the whole `aggregate` (quantized vectors never
+  * carry null elements, but the semantics must not fork if one does:
+  * `getLong` on a null slot reads an undefined value).
   */
 case class IntSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,6 +52,7 @@ case class IntSqDist(left: Expression, right: Expression)
     var s = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i)
       s += d * d
       i += 1
@@ -69,10 +73,11 @@ case class IntSqDist(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    long $d = $a.getLong($i) - $b.getLong($i);
          |    $s += $d * $d;
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

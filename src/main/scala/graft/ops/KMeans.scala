@@ -340,7 +340,20 @@ object KMeans {
       .localCheckpoint() // √k rows
 
     // fine seeds: the kf lowest ids of each cell (rank on a NARROW
-    // (id, cell) projection; xq joins back seed-row-count deep)
+    // (id, cell) projection; xq joins back seed-row-count deep).
+    // SKEW BOUND: this window shuffles the (id, cell) pairs on cell, so
+    // ONE reducer task sorts each cell — n/√k rows expected, and a hot
+    // coarse cell degrades to a single-task sort of its population
+    // (worst case n, if the coarse stage collapses every vector into
+    // one cell — see the dominant-cell KMeansSpec case). The pass ranks
+    // 16-byte pairs, not vectors, so even the degenerate task is a sort,
+    // not a distance pass; at the measured rungs (200k×64d, sf10) the
+    // seed pass is noise next to the n·√k assignment rounds. If a
+    // future rung shows a hot cell here, the salted refinement is:
+    // rank within (cell, pmod(id, S)) stripes first, keep rk ≤ kf per
+    // stripe (the cell's kf lowest ids are contained in the union of
+    // its stripes' kf lowest), then run this window over the surviving
+    // ≤ S·kf rows per cell — same output, straggler bounded by S·kf.
     val wSeed = Window.partitionBy(col("cell")).orderBy(col("id"))
     val fcb0 = dataC.select(col("id"), col("cell"))
       .withColumn("rk", row_number().over(wSeed))

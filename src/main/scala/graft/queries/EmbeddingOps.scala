@@ -376,10 +376,9 @@ object EmbeddingOps {
     * exact int64 discipline (floor(x·10⁴) quantization, the settled
     * codebook the final assignment ran against), so s_permille is a
     * BIGINT identical across engines and the hash gate certifies the
-    * evaluation itself. a ≤ b holds by construction (the assignment IS
-    * the argmin over this codebook, ties → lower cent_id), so the score
-    * sits in [−1000, 1000]; max(a,b)=0 (a vector ON two coincident
-    * centroids) reports 0. Under the two-level trainer the assignment
+    * evaluation itself. The score sits in [−1000, 1000]; max(a,b)=0 (a
+    * vector ON two coincident centroids) reports 0. Under the two-level
+    * trainer the assignment
     * is CELL-LOCAL (a vector joins the best fine centroid of its own
     * coarse cell — the IVF contract), so a(i) is the argmin within the
     * cell, not globally: another cell's centroid can sit closer and

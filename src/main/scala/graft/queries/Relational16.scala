@@ -12,14 +12,15 @@ import graft.Tables.{sqlWithViews, table}
   *
   *  - q183 basket lift: part pairs co-ordered in the same order, scored
   *    by lift = P(a,b)/(P(a)P(b)) (Agrawal/Srikant association-rule
-  *    support×lift, permille-exact integers). The self-join fans out
-  *    per order by C(basket,2) — TPC-H baskets are ≤7 lines, so the
-  *    pair frame is ≤21× lineitem and the join key (orderkey) is the
-  *    table's native clustering: one co-partitioned shuffle, no skew
-  *    (every basket is small by schema). Per-part counts join back
-  *    BROADCAST (part domain ≪ fact table); the global order count is
-  *    a broadcast scalar. Top-50 under a total (pair_n DESC, keys)
-  *    order → TakeOrderedAndProject, never a full sort.
+  *    support×lift, permille-exact integers). Pairs are generated
+  *    MAP-SIDE from per-order basket arrays (see q183's scaladoc — the
+  *    round-14 rewrite of the former orderkey self-join); TPC-H baskets
+  *    are ≤7 lines, so each basket row expands to ≤21 pairs and the
+  *    basket shuffle key (orderkey) has no skew by schema. Per-part
+  *    counts join back BROADCAST (part domain ≪ fact table); the global
+  *    order count is a broadcast scalar. Top-50 under a total
+  *    (pair_n DESC, keys) order → TakeOrderedAndProject, never a full
+  *    sort.
   *  - q184 trimmed + winsorized mean of order value per nation (10%
   *    each tail): rank-based, in integer cents — the robust-statistics
   *    companion to q137's MAD outliers. One window pass per nation;
@@ -35,17 +36,38 @@ object Relational16 {
 
   // ---------------------------------------------------------------- q183
 
-  /** q183: top-50 co-ordered part pairs with support and lift. */
+  /** q183: top-50 co-ordered part pairs with support and lift.
+    *
+    * Round-14 rewrite (the production lever the r13 partition
+    * experiment demanded): the previous orderkey SELF-JOIN materialized
+    * the C(basket,2) pair frame through a sort-merge join — two 6M-row
+    * join sorts plus ~90M wide join rows at sf10, a MAP-side cost that
+    * reducer scaling provably made worse (32→128 partitions = 1.5×
+    * slower, BASELINE.md round-13 table). Now each order pre-aggregates
+    * to ONE sorted distinct basket row (`collect_set` fuses the
+    * (okey, pkey) dedup into the same shuffle), and pairs are generated
+    * map-side by a nested `transform` over the sorted array (x before y
+    * in the sort order ⇒ pk_a < pk_b, strict since collect_set deduped)
+    * feeding straight into the partial pair aggregation. Shuffles: the
+    * basket build (6M narrow rows) and the combined pair counts —
+    * down from four exchanges (distinct + two join sorts + pair agg),
+    * and the SMJ's sort+materialize of the pair frame is gone entirely.
+    * One basket exchange serves n_orders, the per-part supports and the
+    * pair frame (ReuseExchange), so lineitem is read once.
+    */
   def q183(spark: SparkSession, dir: String): DataFrame = {
-    val items = table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-      .distinct()
-    val nOrders = items.select(col("okey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val perPart = items.groupBy(col("pkey")).agg(count(lit(1)).as("n_p"))
-    val a = items.toDF("okey_a", "pk_a")
-    val b = items.toDF("okey_b", "pk_b")
-    a.join(b, col("okey_a") === col("okey_b") && col("pk_a") < col("pk_b"))
+    val baskets = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val perPart = baskets.select(explode(col("ps")).as("pkey"))
+      .groupBy(col("pkey")).agg(count(lit(1)).as("n_p"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |    y -> struct(x AS pk_a, y AS pk_b))))""".stripMargin)).as("pr"))
+      .select(col("pr.pk_a"), col("pr.pk_b"))
       .groupBy(col("pk_a"), col("pk_b"))
       .agg(count(lit(1)).as("pair_n"))
       .join(broadcast(perPart.toDF("pk_a", "n_a")), "pk_a")

@@ -70,6 +70,34 @@ class IntSqDistSpec extends AnyFunSuite {
     assert(df.select(hofIntSqDist($"a", $"b")).head.isNullAt(0))
   }
 
+  test("null ELEMENTS yield null, matching the HOF fold (both paths)") {
+    // getLong on a null slot reads an undefined value — the expression
+    // must return null like aggregate-over-zip_with did, not a garbage
+    // distance (ADVICE r13). Checked interpreted AND codegen-only.
+    import spark.implicits._
+    val df = Seq(
+        (Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, 2L, 3L)),
+        (Array[java.lang.Long](1L, 2L, 3L), Array[java.lang.Long](1L, 2L, null)),
+        (Array[java.lang.Long](1L, 2L, 3L), Array[java.lang.Long](4L, 5L, 6L)))
+      .toDF("a", "b")
+    def run(): Seq[Option[Long]] = df.select(
+        VectorOps.intSqDist($"a", $"b").as("n"), hofIntSqDist($"a", $"b").as("h"))
+      .collect().flatMap(r => Seq(
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(run() == Seq(None, None, None, None, Some(27L), Some(27L)))
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      assert(run() == Seq(None, None, None, None, Some(27L), Some(27L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("strict-schema path under forced codegen (no fallback allowed)") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")

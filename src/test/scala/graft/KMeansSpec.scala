@@ -141,6 +141,41 @@ class KMeansSpec extends AnyFunSuite {
     assert(ca.size == 5, "Hamilton seats must total k when no cap binds")
   }
 
+  test("fitTwoLevel survives a dominant coarse cell (seed-window skew bound)") {
+    // The fine-seed pass runs ONE window task per coarse cell (see the
+    // skew-bound note at wSeed in KMeans.fitTwoLevel); this corpus drives
+    // ~95% of rows into a single cell — the degenerate shape that task
+    // must absorb — and the trainer must still emit a full contiguous
+    // k-seat codebook, stay partitioning-invariant, and keep the packed
+    // blob's clusters disjoint from the outliers'.
+    import spark.implicits._
+    val dominant = (0L until 95L).map(id =>
+      (id, Array.tabulate(4)(d => ((id % 7) + d).toFloat * 0.01f)))
+    val outliers = (95L until 100L).map(id =>
+      (id, Array.fill(4)(100f + (id - 95L) * 40f)))
+    val base = (dominant ++ outliers).toDF("id", "vec")
+    val a = KMeans.fitTwoLevel(base, "id", "vec", k = 6,
+      coarseIters = 2, fineIters = 2)
+    val b = KMeans.fitTwoLevel(
+      base.repartition(11).sortWithinPartitions(
+        org.apache.spark.sql.functions.col("id").desc),
+      "id", "vec", k = 6, coarseIters = 2, fineIters = 2)
+    val ra = a.assignments.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val rb = b.assignments.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(ra == rb, "dominant-cell assignment must be partitioning-invariant")
+    assert(ra.size == 100, "every row assigned exactly once")
+    val cents = a.centroids.collect().map(_.getLong(0)).sorted.toSeq
+    assert(cents == cents.indices.map(_.toLong), "contiguous cent_ids")
+    assert(cents.size == 6, "Hamilton seats total k (no cap binds: the " +
+      "dominant cell has 95 members, outlier cells at least 1)")
+    val domClusters = ra.filter(_._1 < 95L).map(_._2).toSet
+    val outClusters = ra.filter(_._1 >= 95L).map(_._2).toSet
+    assert(domClusters.intersect(outClusters).isEmpty,
+      s"cluster spans the 100-apart groups: $domClusters vs $outClusters")
+  }
+
   test("fitTwoLevel fails loudly when the fine-update budget is breached") {
     import spark.implicits._
     // same construction as the fitQuantized guard test: |xq| ~ 1e16
