@@ -69,7 +69,8 @@ object SparkEntry {
     (JsonQueries.queries, JsonQueries.oracles),
     (SourceSink.queries, SourceSink.oracles),
     (Advanced.queries, Advanced.oracles),
-    (ChunkingOps.queries, ChunkingOps.oracles))
+    (ChunkingOps.queries, ChunkingOps.oracles),
+    (MergeOps.queries, MergeOps.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_grid_explode" -> (GridQueries.q14 _),

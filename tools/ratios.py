@@ -1,14 +1,24 @@
 #!/usr/bin/env python3
-"""Standing sf0.1 -> sf1 headroom table for BASELINE.md.
+"""Standing headroom table between any two bench artifacts.
 
-Usage: python3 tools/ratios.py BENCH_LOCAL_r<N>.json BENCH_SF1_r<N>.json
+Usage: python3 tools/ratios.py BENCH_A.json BENCH_B.json [ratio_of_scales]
 
-Prints a markdown table of every query's sf0.1 median, sf1 median, and
-wall ratio at 10x data, sorted by ratio descending, flagging everything
-over the red line (> 5x) — the check that exposed round 9's quadratics
-(q170/q171/q61/q52) and must run every round so the next one can't hide.
+A is the smaller scale factor, B the larger. Prints a markdown table of
+every query present in BOTH artifacts: A median, B median, and wall
+ratio, sorted by ratio descending, flagging everything over the red
+line (> 5x) — the check that exposed round 9's quadratics
+(q170/q171/q61/q52) and must run at EVERY adjacent rung pair so the
+next quadratic is caught by tooling, not by reading raw JSON:
+
+  python3 tools/ratios.py BENCH_LOCAL_r<N>.json BENCH_SF1_r<N>.json   # sf0.1->sf1
+  python3 tools/ratios.py BENCH_SF1_r<N>.json  BENCH_SF10_r<N>.json  # sf1->sf10
+
+The optional third arg (default 10) only labels the header — the red
+line is on the WALL ratio: at a 10x data step, linear-with-
+amortized-overhead queries land well under 5x on this host.
 """
 import json
+import os
 import sys
 
 RED_LINE = 5.0
@@ -20,15 +30,18 @@ def medians(path):
 
 
 def main():
-    loc, sf1 = medians(sys.argv[1]), medians(sys.argv[2])
+    loc, big = medians(sys.argv[1]), medians(sys.argv[2])
+    step = sys.argv[3] if len(sys.argv) > 3 else "10"
+    la = os.path.basename(sys.argv[1]).replace(".json", "")
+    lb = os.path.basename(sys.argv[2]).replace(".json", "")
     rows = []
-    for q, t1 in sf1.items():
+    for q, t1 in big.items():
         t0 = loc.get(q)
         if t0:
             rows.append((t1 / t0, q, t0, t1))
     rows.sort(reverse=True)
     flagged = [r for r in rows if r[0] > RED_LINE]
-    print("| query | sf0.1 s | sf1 s | ratio (10x data) |")
+    print(f"| query | {la} s | {lb} s | ratio ({step}x data) |")
     print("|---|---|---|---|")
     for r, q, t0, t1 in rows:
         flag = " **RED**" if r > RED_LINE else ""
