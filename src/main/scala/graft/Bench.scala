@@ -115,10 +115,17 @@ object Bench {
     val localFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"BENCH_LOCAL_r${prior + 1}.json")
 
+    // per-iteration per-query times (local artifact only): medians hide
+    // WHICH iteration a contention/throttle window hit — the r14
+    // slow-fast-slow diagnosis needed this raw matrix
+    val iterQs = sweeps.map(s => names.map { case (n, _) =>
+      s""""$n":${s(n)._1}""" }.mkString("{", ",", "}")).mkString("[", ",", "]")
+
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"iters":$iters,""" +
-        s""""iter_totals":[${iterTotals.mkString(",")}],"sf":"${esc(sfDir)}"}"""
+        s""""iter_totals":[${iterTotals.mkString(",")}],""" +
+        s""""iter_queries":$iterQs,"sf":"${esc(sfDir)}"}"""
     // only a FULL sweep is the round artifact — a filtered subset run
     // (headroom/iteration) must not clobber it
     if (filter.isEmpty) {
