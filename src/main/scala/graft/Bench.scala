@@ -127,8 +127,11 @@ object Bench {
         s""""iter_totals":[${iterTotals.mkString(",")}],""" +
         s""""iter_queries":$iterQs,"sf":"${esc(sfDir)}"}"""
     // only a FULL sweep is the round artifact — a filtered subset run
-    // (headroom/iteration) must not clobber it
-    if (filter.isEmpty) {
+    // (headroom/iteration) must not clobber it. An EXPLICIT out name is
+    // the exception: the sf10 rung is a declared subset whose artifact
+    // needs iter_totals/iter_queries too (the stdout compact line only
+    // carries medians), and naming the file is the operator saying so.
+    if (filter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       try Files.write(repoRoot.resolve(localFile), full.getBytes(StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] could not write $localFile: $e") }
     }
