@@ -70,7 +70,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       "RetrievalOps" -> graft.queries.RetrievalOps.queries.keys,
       "EvalOps" -> graft.queries.EvalOps.queries.keys,
       "CorpusHygieneOps" -> graft.queries.CorpusHygieneOps.queries.keys,
-      "DedupAuditOps" -> graft.queries.DedupAuditOps.queries.keys)
+      "DedupAuditOps" -> graft.queries.DedupAuditOps.queries.keys,
+      "MergeOps" -> graft.queries.MergeOps.queries.keys)
     val grid = Seq("q14_grid_explode", "q15_radiation_rollup",
       "q16_tz_partition_key", "q76_spatial_bin", "q77_nearest_anchor")
     val all = grid ++ packs.flatMap(_._2)

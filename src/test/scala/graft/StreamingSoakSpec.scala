@@ -115,4 +115,84 @@ class StreamingSoakSpec extends AnyFunSuite {
     assert(scored.filter(_._2 > 0).forall(_._2 == docsPerBatch.toLong),
       s"per-batch verdict counts must stay flat: ${scored.filter(_._2 > 0).take(8)}")
   }
+
+  test("stream-stream interval join soak: 120 batches; BOTH sides' state " +
+    "plateaus at the interval+watermark horizon; output equals the batch twin") {
+    // The r13 verdict's optional item: the stream-stream join under the
+    // soak protocol. Clicks attribute to purchases ≤30 min later for
+    // the same user; 10-min watermarks both sides. At 2 min of event
+    // time per batch, live state per side is bounded by the
+    // (30 min interval + 10 min watermark) / 2 min ≈ 20-batch horizon —
+    // an unbounded-state join would hold every row forever.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_user_id", "purchase_ts")
+      .withWatermark("purchase_ts", "10 minutes")
+    val cond = col("user_id") === col("p_user_id") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")
+    val q = c.join(p, cond).writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_soak").start()
+
+    val batches = 120
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val stateRows = mutable.ArrayBuffer.empty[Long]
+    val allClicks = mutable.ArrayBuffer.empty[(Long, Timestamp)]
+    val allPurchases = mutable.ArrayBuffer.empty[(Long, Timestamp)]
+    for (b <- 0 until batches) {
+      val batchTs = t0 + b.toLong * 120000L
+      // fresh user ids every batch → every row opens new join state;
+      // purchase lands 20 min after the click (inside the interval) so
+      // ~half the batches also produce a cross-batch match
+      val u = 1000L * b
+      val cRows = Seq((u, ts(batchTs)), (u + 1, ts(batchTs + 30000L)))
+      val pRows = Seq((u, ts(batchTs + 1200000L)), // +20 min: match
+        (u + 1, ts(batchTs + 3000000L))) // +50 min: outside interval
+      clicks.addData(cRows: _*)
+      purchases.addData(pRows: _*)
+      q.processAllAvailable()
+      allClicks ++= cRows
+      allPurchases ++= pRows
+      val prog = q.lastProgress
+      if (prog != null && prog.stateOperators.nonEmpty)
+        stateRows += prog.stateOperators.map(_.numRowsTotal).sum
+    }
+    q.processAllAvailable()
+    val streamed = spark.table("ssjoin_soak")
+      .select(col("user_id"), col("purchase_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).sorted.toSeq
+    q.stop()
+
+    // batch twin on the identical rows — the join semantics cannot fork
+    // between the streaming and batch planners. The batch side sees ALL
+    // rows; the streamed side may still hold post-watermark matches
+    // back, so require streamed ⊆ batch AND streamed covers every match
+    // older than the final watermark horizon (all but the last ~25
+    // batches of event time).
+    val batchTwin = allClicks.toSeq.toDF("user_id", "click_ts")
+      .join(allPurchases.toSeq.toDF("p_user_id", "purchase_ts"), cond)
+      .select(col("user_id"), col("purchase_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).sorted.toSeq
+    assert(streamed.toSet.subsetOf(batchTwin.toSet),
+      "streamed matches must be a subset of the batch twin")
+    val horizon = t0 + (batches - 25).toLong * 120000L
+    val overdue = batchTwin.filter(_._2.getTime < horizon)
+    assert(overdue.toSet.subsetOf(streamed.toSet),
+      s"matches older than the watermark horizon must all be emitted: " +
+        s"${overdue.size} expected, ${overdue.count(streamed.toSet)} present")
+    assert(streamed.nonEmpty && streamed.size >= batches - 25,
+      s"soak must actually produce matches: ${streamed.size}")
+
+    // plateau: second half of the soak must not trend upward
+    val half = stateRows.size / 2
+    assert(stateRows.nonEmpty, "state metrics must be reported")
+    val firstHalfMax = stateRows.take(half).max
+    assert(stateRows.drop(half).max <= firstHalfMax + 8,
+      s"join state grew across the soak: first-half max $firstHalfMax, " +
+        s"second-half max ${stateRows.drop(half).max}")
+  }
 }
