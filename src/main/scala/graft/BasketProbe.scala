@@ -101,14 +101,28 @@ object BasketProbe {
         .agg(count(lit(1)).as("pair_n"))
     }
     // conf is read at EXECUTION, so it wraps the timed runs, not the
-    // DataFrame construction
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "500000")
+    // DataFrame construction; capture-and-restore the PREVIOUS value
+    // (the IntSqDistSpec factoryMode pattern) so later probe runs see
+    // the session's real settings, not a guess at the default
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbPrev = spark.conf.get(fbKey)
+    spark.conf.set(fbKey, "500000")
     time("B4 raised fallback") {
       graft.queries.Relational16.q183(spark, sfDir)
     }
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    spark.conf.set(fbKey, fbPrev)
+
+    // does reducer scaling help the NEW shape? (the r13 experiment
+    // proved it hurt the OLD map-side-fan-out shape 1.5x; the rewrite
+    // moved the cost to the pair-count REDUCE side, where more
+    // partitions shrink each reducer's hash map)
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.get(spKey)
+    spark.conf.set(spKey, "128")
+    time("B @128 partitions") {
+      graft.queries.Relational16.q183(spark, sfDir)
+    }
+    spark.conf.set(spKey, spPrev)
 
     // q131 untouched-code variance characterization
     time("q131 repeats") {

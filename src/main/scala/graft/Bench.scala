@@ -131,7 +131,11 @@ object Bench {
     // the exception: the sf10 rung is a declared subset whose artifact
     // needs iter_totals/iter_queries too (the stdout compact line only
     // carries medians), and naming the file is the operator saying so.
-    if (filter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+    // names.nonEmpty guards the exception: a stale exported OUT var plus
+    // a typo'd filter must not replace a good artifact with {} (r14
+    // review finding).
+    if (filter.isEmpty ||
+        (sys.env.contains("SPARK_GRAFT_BENCH_OUT") && names.nonEmpty)) {
       try Files.write(repoRoot.resolve(localFile), full.getBytes(StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] could not write $localFile: $e") }
     }

@@ -48,7 +48,9 @@ import graft.functions.CrossHash
   */
 object MergeOps {
 
-  private val FpMod = 1000000007L
+  // the shared cross-engine prime (single copy — oracle interpolates it
+  // too, so engine and oracle cannot fork if it is ever tuned)
+  private val FpMod = CrossHash.P
 
   /** Target state: documents minus the %17=3 slice (so the batch's
     * inserts are genuinely absent keys), content-addressed by h60.

@@ -35,10 +35,14 @@ def main():
     la = os.path.basename(sys.argv[1]).replace(".json", "")
     lb = os.path.basename(sys.argv[2]).replace(".json", "")
     rows = []
+    uncompared = []
     for q, t1 in big.items():
         t0 = loc.get(q)
         if t0:
             rows.append((t1 / t0, q, t0, t1))
+        else:
+            uncompared.append(q)
+    only_a = [q for q in loc if q not in big]
     rows.sort(reverse=True)
     flagged = [r for r in rows if r[0] > RED_LINE]
     print(f"| query | {la} s | {lb} s | ratio ({step}x data) |")
@@ -50,6 +54,11 @@ def main():
     print(f"{len(flagged)} quer{'y' if len(flagged)==1 else 'ies'} over "
           f"the {RED_LINE:.0f}x red line "
           f"({', '.join(q for _, q, _, _ in flagged) or 'none'}).")
+    # coverage accounting: a typo'd bench filter must not silently
+    # shrink the compared set (r14 review finding)
+    print(f"{len(rows)} compared; {len(uncompared)} only in {lb}"
+          f"{' (' + ', '.join(sorted(uncompared)[:8]) + ')' if uncompared else ''}; "
+          f"{len(only_a)} only in {la}.")
 
 
 if __name__ == "__main__":
