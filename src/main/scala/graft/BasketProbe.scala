@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 
-/** Scratch probe for the q183 rewrite decision at the sf10 rung:
-  * times the old self-join formulation, the shipped basket/transform
-  * formulation, and a distinct+collect_list variant back-to-back in
-  * one JVM (same host window — the only variance control available on
-  * this shared VM), plus repeated q131 runs to characterize its
-  * untouched-code rung variance.
+/** Scratch probe for q183 plan decisions, round-15 edition: an
+  * INTERLEAVED same-JVM A/B of the r14 shipped formulation (no
+  * checkpoint — ReuseExchange defeated by the toDF renames, so the
+  * plan scans lineitem 4× and builds the collect_set basket aggregate
+  * 3×, VERDICT r14 item 1) against the r15 fix (baskets + perPart
+  * eagerly localCheckpoint'ed, lineitem scanned once). Alternating
+  * A/B/A/B... so a host-contention window taxes both variants equally
+  * — the AbProbe protocol. The r14 decision probe (self-join vs
+  * basket variants, fallback-threshold, partition scaling) is in git
+  * history and its readings in BASELINE.md's round-14 table.
   *
   * Usage: sbt "runMain graft.BasketProbe <sfDir> <reps>"
   */
@@ -22,21 +26,26 @@ object BasketProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
 
-    def finish(df: DataFrame): Unit =
+    def finish(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-
-    def time(label: String)(thunk: => DataFrame): Unit = {
-      val runs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); finish(thunk); (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[probe] $label%-22s ${runs.map(t => f"$t%.1f").mkString(" ")} s")
+      (System.nanoTime() - t0) / 1e9
     }
 
-    def lift(pairs: DataFrame, items: DataFrame): DataFrame = {
-      val nOrders = items.select(col("okey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val perPart = items.groupBy(col("pkey")).agg(count(lit(1)).as("n_p"))
-      pairs
+    // the r14 shipped formulation, verbatim minus the checkpoints
+    def q183r14(spark: SparkSession, dir: String): DataFrame = {
+      val baskets = table(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val perPart = baskets.select(explode(col("ps")).as("pkey"))
+        .groupBy(col("pkey")).agg(count(lit(1)).as("n_p"))
+      baskets
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps) - i - 1),
+            |    y -> struct(x AS pk_a, y AS pk_b))))""".stripMargin)).as("pr"))
+        .select(col("pr.pk_a"), col("pr.pk_b"))
         .groupBy(col("pk_a"), col("pk_b"))
         .agg(count(lit(1)).as("pair_n"))
         .join(broadcast(perPart.toDF("pk_a", "n_a")), "pk_a")
@@ -50,85 +59,26 @@ object BasketProbe {
         .limit(50)
     }
 
-    def items = table(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-      .distinct()
+    // warm-up (uncounted): JIT + parquet footers
+    finish(q183r14(spark, sfDir))
 
-    // A: the pre-r14 self-join formulation
-    time("A self-join") {
-      val a = items.toDF("okey_a", "pk_a")
-      val b = items.toDF("okey_b", "pk_b")
-      lift(a.join(b, col("okey_a") === col("okey_b") && col("pk_a") < col("pk_b"))
-        .select(col("pk_a"), col("pk_b")), items)
+    val a = collection.mutable.Buffer[Double]()
+    val b = collection.mutable.Buffer[Double]()
+    (1 to reps).foreach { rep =>
+      a += finish(q183r14(spark, sfDir))
+      b += finish(graft.queries.Relational16.q183(spark, sfDir))
+      println(f"[probe] rep $rep%2d  A r14-no-ckpt ${a.last}%7.1f s   " +
+        f"B r15-ckpt ${b.last}%7.1f s")
     }
-
-    // B: the shipped basket/collect_set formulation
-    time("B collect_set") {
-      graft.queries.Relational16.q183(spark, sfDir)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-
-    // C: distinct first (codegen hash agg), then collect_list baskets
-    time("C distinct+list") {
-      val baskets = items.groupBy(col("okey"))
-        .agg(sort_array(collect_list(col("pkey"))).as("ps"))
-      val pairs = baskets.select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps) - i - 1),
-          |    y -> struct(x AS pk_a, y AS pk_b))))""".stripMargin)).as("pr"))
-        .select(col("pr.pk_a"), col("pr.pk_b"))
-      lift(pairs, items)
-    }
-
-    // B decomposition: where do the ~33 s go?
-    def baskets = table(spark, sfDir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    time("B1 baskets only") { baskets }
-    time("B2 +pair explode") {
-      baskets.select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps) - i - 1),
-          |    y -> struct(x AS pk_a, y AS pk_b))))""".stripMargin)).as("pr"))
-        .select(col("pr.pk_a"), col("pr.pk_b"))
-    }
-    time("B3 +pair agg") {
-      baskets.select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps) - i - 1),
-          |    y -> struct(x AS pk_a, y AS pk_b))))""".stripMargin)).as("pr"))
-        .select(col("pr.pk_a"), col("pr.pk_b"))
-        .groupBy(col("pk_a"), col("pk_b"))
-        .agg(count(lit(1)).as("pair_n"))
-    }
-    // conf is read at EXECUTION, so it wraps the timed runs, not the
-    // DataFrame construction; capture-and-restore the PREVIOUS value
-    // (the IntSqDistSpec factoryMode pattern) so later probe runs see
-    // the session's real settings, not a guess at the default
-    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val fbPrev = spark.conf.get(fbKey)
-    spark.conf.set(fbKey, "500000")
-    time("B4 raised fallback") {
-      graft.queries.Relational16.q183(spark, sfDir)
-    }
-    spark.conf.set(fbKey, fbPrev)
-
-    // does reducer scaling help the NEW shape? (the r13 experiment
-    // proved it hurt the OLD map-side-fan-out shape 1.5x; the rewrite
-    // moved the cost to the pair-count REDUCE side, where more
-    // partitions shrink each reducer's hash map)
-    val spKey = "spark.sql.shuffle.partitions"
-    val spPrev = spark.conf.get(spKey)
-    spark.conf.set(spKey, "128")
-    time("B @128 partitions") {
-      graft.queries.Relational16.q183(spark, sfDir)
-    }
-    spark.conf.set(spKey, spPrev)
-
-    // q131 untouched-code variance characterization
-    time("q131 repeats") {
-      graft.queries.Relational9.q131(spark, sfDir)
-    }
-
+    println(f"[probe] A r14-no-ckpt median ${med(a.toSeq)}%.1f s  " +
+      a.map(t => f"$t%.1f").mkString("(", " ", ")"))
+    println(f"[probe] B r15-ckpt    median ${med(b.toSeq)}%.1f s  " +
+      b.map(t => f"$t%.1f").mkString("(", " ", ")"))
+    println(f"[probe] speedup ${med(a.toSeq) / med(b.toSeq)}%.2fx")
     spark.stop()
   }
 }

@@ -121,9 +121,16 @@ object Bench {
     val iterQs = sweeps.map(s => names.map { case (n, _) =>
       s""""$n":${s(n)._1}""" }.mkString("{", ",", "}")).mkString("[", ",", "]")
 
+    // filter + query_count are recorded IN the artifact (ADVICE r14):
+    // an explicit-OUT subset run pointed at a canonical BENCH file can
+    // no longer masquerade as a full sweep — any consumer (ratios.py,
+    // the judge) can see exactly what was run.
+    val filterJson = filter.map(f => s""""${esc(f.mkString(","))}"""")
+      .getOrElse("null")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"iters":$iters,""" +
+        s""""filter":$filterJson,"query_count":${names.size},""" +
         s""""iter_totals":[${iterTotals.mkString(",")}],""" +
         s""""iter_queries":$iterQs,"sf":"${esc(sfDir)}"}"""
     // only a FULL sweep is the round artifact — a filtered subset run

@@ -9,19 +9,26 @@ import org.apache.spark.sql.SparkSession
   * (BroadcastHashJoin vs SortMergeJoin), TakeOrderedAndProject, and
   * WholeStageCodegen spans can be audited per round.
   *
-  * Usage: sbt "runMain graft.Explain [sfDir] [outFile]"
+  * Usage: sbt "runMain graft.Explain [sfDir] [outFile] [filter]"
+  * (optional third arg: comma-separated name substrings, the
+  * SPARK_GRAFT_BENCH_QUERIES convention — local plan iteration aid)
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outFile = args.lift(1).getOrElse("/tmp/plans.txt")
+    val nameFilter = args.lift(2)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     // GraftSession registers the extensions — without them the custom
     // AsOfJoin node (q74) has no planner strategy and explain fails
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       sb.append(s"\n${"=" * 78}\n== $name\n${"=" * 78}\n")
       try {
         val df = fn(spark, sfDir)

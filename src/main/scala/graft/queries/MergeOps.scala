@@ -20,13 +20,18 @@ import graft.functions.CrossHash
   * THE classic MERGE hazard: a lakehouse MERGE aborts on duplicate
   * source matches ("multiple source rows matched"). The deterministic
   * resolution is the [[collapsed]] pre-pass — per key, keep the
-  * highest-sequence operation (tie → op name, though the fixture's
-  * seqs are distinct per key by construction) — a window over the
-  * BATCH only. Clause coverage: matched+del → deleted, matched+upd →
-  * updated, not-matched+ins → inserted, not-matched+upd/del → noop
-  * (the WHEN NOT MATCHED BY SOURCE default keeps the target row:
-  * 'kept'). The fixture exercises every clause, including noop
-  * (updates to keys the target never had: doc_id % 7 = 0 ∧ % 17 = 3).
+  * highest-sequence operation, ties broken by op name ascending — a
+  * window over the BATCH only. The op-name tiebreak is LOAD-BEARING,
+  * not belt-and-suspenders: a doc_id with %7=0 ∧ %17=3 carries both
+  * upd(seq=1) and ins(seq=1), and only the (seq DESC, op ASC) order
+  * makes both engines deterministically pick 'ins'. Clause coverage:
+  * matched+del → deleted, matched+upd → updated, not-matched+ins →
+  * inserted, not-matched+upd/del → noop (the WHEN NOT MATCHED BY
+  * SOURCE default keeps the target row: 'kept'). The fixture exercises
+  * every clause, including noop: keys the target never had (%17=3)
+  * whose winning op is not an insert — %14=0 ∧ %17=3 (upd v2 wins) and
+  * %13=0 ∧ %17=3 (del wins). (%7=0 ∧ %17=3 keys are NOT noop — ins
+  * wins their seq-1 tie, so they classify as inserted.)
   *
   * Output: per (lang, action) row count, id checksum and a modular
   * fingerprint sum of the SURVIVING state (kept/updated/inserted rows

@@ -38,8 +38,14 @@ def main():
     uncompared = []
     for q, t1 in big.items():
         t0 = loc.get(q)
+        # `is not None`, not truthiness: a 0.0 median is present, not
+        # missing (ADVICE r14) — report it as incomparable rather than
+        # misfiling it under "only in B"
         if t0:
             rows.append((t1 / t0, q, t0, t1))
+        elif t0 is not None:
+            print(f"WARNING: {q} has a 0.0 median in {la}; "
+                  "ratio undefined, excluded from the table")
         else:
             uncompared.append(q)
     only_a = [q for q in loc if q not in big]
