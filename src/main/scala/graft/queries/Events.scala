@@ -94,11 +94,72 @@ object Events {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- q265
+
+  /** q265: NATIVE `session_window` sessionization (VERDICT r14 item 6 —
+    * the one stateful-window API previously without a twin; q31 builds
+    * the same sessions manually via lag + running sum). Boundary
+    * semantics, pinned empirically by SessionWindowSpec's exact-gap
+    * fixture: an event at EXACTLY `last_ts + gap` still MERGES —
+    * Spark's session merge is windows-overlap-or-TOUCH (`ts <= end`),
+    * not strict overlap — so session_window agrees with q31's
+    * `diff > gap` lag rule at the boundary, and the oracle sessionizes
+    * with `diff > gap`. Everything runs in epoch MICROS (Spark's
+    * native timestamp precision): comparing at millis would floor each
+    * endpoint separately and could flip the boundary test for sub-ms
+    * phases. Session bounds are emitted as epoch micros — start =
+    * first event ts, end = LAST event ts + gap (the session_window
+    * struct's contract; q31 reports duration = last − first instead).
+    *
+    * Scale shape: one shuffle on the session_window/user_id grouping —
+    * the batch planner rewrites session_window into a sort-based merge
+    * within partitions (SessionWindowStateStoreRestore is
+    * streaming-only), so no window-function pass and no second
+    * exchange before the final sort. The streaming twin (watermark +
+    * `session_window` + append mode) runs under the soak protocol in
+    * SessionWindowSpec with bounded per-user session state.
+    */
+  def q265(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  val q265Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |f AS (
+      |  SELECT user_id, us, event_id,
+      |         lag(us, 1) OVER (PARTITION BY user_id
+      |                          ORDER BY us, event_id) AS prev_us
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, us, event_id,
+      |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM f),
+      |s AS (
+      |  SELECT user_id, us,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+      |       CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_events_tumbling" -> (q20 _),
-    "q31_sessionize" -> (q31 _))
+    "q31_sessionize" -> (q31 _),
+    "q265_session_window" -> (q265 _))
 
   val oracles: Map[String, String] = Map(
     "q20_events_tumbling" -> q20Oracle,
-    "q31_sessionize" -> q31Oracle)
+    "q31_sessionize" -> q31Oracle,
+    "q265_session_window" -> q265Oracle)
 }
