@@ -48,6 +48,17 @@ object WinnowProbe {
       s"pairs_capped=${stats.getLong(1)} pairs_uncapped=${stats.getLong(2)} " +
       s"buckets_dropped=${stats.getLong(3)} max_df=${stats.getLong(4)}")
 
+    // df-band pair-volume histogram: what share of the candidate volume
+    // would a TIGHTER cap shed (the 100 TB knob), per power-of-2 band
+    val bands = sel.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .groupBy(expr("int(ceil(log2(df)))").as("band"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(expr("df * (df - 1) DIV 2")).as("pairs"))
+      .orderBy(col("band")).collect()
+    bands.foreach(r => println(
+      s"[winnow] df<=${1 << r.getInt(0)}: buckets=${r.getLong(1)} pairs=${r.getLong(2)}"))
+
     val runs = (0 to reps).map { i =>
       val t0 = System.nanoTime()
       graft.queries.FingerprintOps.q210(spark, sfDir)
