@@ -91,11 +91,20 @@ object AbProbe {
 
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
+    // minimal JSON string escape (quote/backslash/control) — the sf
+    // path is operator-supplied and lands in a committed artifact
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qJson = names.map { case (n, _) =>
       val r = readings(n)
       s""""$n":{"median":${ms(median(r))},"runs":[${r.map(ms).mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"probe":"abprobe","sf":"$sfDir","reps":$reps,"queries":$qJson}"""
+    val json =
+      s"""{"probe":"abprobe","sf":"${esc(sfDir)}","reps":$reps,"queries":$qJson}"""
     println(json)
     sys.env.get("SPARK_GRAFT_ABPROBE_OUT").foreach { f =>
       Files.write(Paths.get(f), json.getBytes(StandardCharsets.UTF_8))

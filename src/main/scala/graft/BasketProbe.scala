@@ -26,7 +26,13 @@ object BasketProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
 
-    def finish(df: DataFrame): Double = {
+    // BY-NAME, constructed INSIDE the timed window: q183's eager
+    // localCheckpoint runs real Spark jobs during DataFrame
+    // construction, so a by-value parameter would exclude the basket
+    // build from B's clock while A (fully lazy) pays everything —
+    // exactly the bug the r15 review caught in this probe's first
+    // committed reading.
+    def finish(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -59,8 +65,10 @@ object BasketProbe {
         .limit(50)
     }
 
-    // warm-up (uncounted): JIT + parquet footers
+    // warm-up (uncounted), BOTH variants: JIT + parquet footers +
+    // each side's one-time codegen/checkpoint code paths
     finish(q183r14(spark, sfDir))
+    finish(graft.queries.Relational16.q183(spark, sfDir))
 
     val a = collection.mutable.Buffer[Double]()
     val b = collection.mutable.Buffer[Double]()

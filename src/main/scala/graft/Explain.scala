@@ -26,6 +26,12 @@ object Explain {
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
+    // a filtered dump must say so in-band: a canonical PLANS_r<N>.txt
+    // silently replaced by a subset would read as "plan coverage
+    // shrank" (the Bench subset-masquerade hazard, same fix)
+    nameFilter.foreach(f =>
+      sb.append(s"== FILTERED PLAN DUMP (filter=${f.mkString(",")}) — " +
+        "NOT a full artifact ==\n"))
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>

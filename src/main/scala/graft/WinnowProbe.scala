@@ -44,9 +44,12 @@ object WinnowProbe {
         sum(expr(s"IF(df > $cap, 1L, 0L)")).as("buckets_dropped"),
         max(col("df")).as("max_df"))
       .collect()(0)
-    println(s"[winnow] sf=$sfDir sel_rows=$nSel buckets=${stats.getLong(0)} " +
-      s"pairs_capped=${stats.getLong(1)} pairs_uncapped=${stats.getLong(2)} " +
-      s"buckets_dropped=${stats.getLong(3)} max_df=${stats.getLong(4)}")
+    // an empty selection (every doc shorter than the winnow horizon)
+    // leaves sum/max NULL — report zeros, don't NPE
+    def lng(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+    println(s"[winnow] sf=$sfDir sel_rows=$nSel buckets=${lng(0)} " +
+      s"pairs_capped=${lng(1)} pairs_uncapped=${lng(2)} " +
+      s"buckets_dropped=${lng(3)} max_df=${lng(4)}")
 
     // df-band pair-volume histogram: what share of the candidate volume
     // would a TIGHTER cap shed (the 100 TB knob), per power-of-2 band
@@ -65,8 +68,12 @@ object WinnowProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.drop(1) // first run is the uncounted warm-up
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     println(f"[winnow] q210 runs ${runs.map(t => f"$t%.2f").mkString(" ")} s; " +
-      f"median/pair ${runs.sorted.apply(runs.size / 2) * 1e9 / stats.getLong(1).max(1)}%.0f ns")
+      f"median/pair ${median(runs) * 1e9 / lng(1).max(1)}%.0f ns")
     spark.stop()
   }
 }
