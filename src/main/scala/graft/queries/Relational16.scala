@@ -70,6 +70,16 @@ object Relational16 {
     * before its blocks register. Lineitem is thus scanned exactly once
     * per invocation (inside the checkpoint job), and the final plan
     * reads three `Scan ExistingRDD`s — no parquet rescan anywhere.
+    *
+    * 100 TB note: localCheckpoint trades fault-tolerance for speed —
+    * the truncated lineage means a lost executor kills the job rather
+    * than recomputing its blocks. For a one-query analytic that retries
+    * cheaply this is the right trade (and on a real cluster the win
+    * GROWS: the local rung hides most of the 3x rescan in the page
+    * cache, while a cluster re-reading 100 TB of lineitem pays it in
+    * full); a long multi-stage pipeline embedding this shape should
+    * use `persist(MEMORY_AND_DISK)` + explicit unpersist, or a
+    * reliable `checkpoint()`, at the same point in the plan.
     */
   def q183(spark: SparkSession, dir: String): DataFrame = {
     val baskets = table(spark, dir, "lineitem")
