@@ -60,9 +60,17 @@ object Bench {
     }
 
     // optional subset (local iteration / headroom runs): comma-separated
-    // name substrings, e.g. SPARK_GRAFT_BENCH_QUERIES=q01,q21,q33
+    // name substrings, e.g. SPARK_GRAFT_BENCH_QUERIES=q01,q21,q33.
+    // Set-but-empty fails fast (ADVICE r15): Some(Seq()) would select
+    // zero queries yet look like a full sweep to anything not checking
+    // query_count — an operator typo, not a meaningful request.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    if (filter.exists(_.isEmpty)) {
+      System.err.println("[bench] SPARK_GRAFT_BENCH_QUERIES is set but " +
+        "selects no queries — unset it for a full sweep or name at least one token")
+      spark.stop(); sys.exit(2)
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.exists(n.contains)) }
 
@@ -124,9 +132,11 @@ object Bench {
     // filter + query_count are recorded IN the artifact (ADVICE r14):
     // an explicit-OUT subset run pointed at a canonical BENCH file can
     // no longer masquerade as a full sweep — any consumer (ratios.py,
-    // the judge) can see exactly what was run.
-    val filterJson = filter.map(f => s""""${esc(f.mkString(","))}"""")
-      .getOrElse("null")
+    // the judge) can see exactly what was run. A JSON array of tokens
+    // (ADVICE r15), not a comma-joined string, so token boundaries
+    // survive verbatim.
+    val filterJson = filter.map(f =>
+      f.map(t => s""""${esc(t)}"""").mkString("[", ",", "]")).getOrElse("null")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"iters":$iters,""" +

@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.Explain [sfDir] [outFile] [filter]"
   * (optional third arg: comma-separated name substrings, the
   * SPARK_GRAFT_BENCH_QUERIES convention — local plan iteration aid)
+  *
+  * NOTE (ADVICE r15): queries built on eager checkpoints — q183's
+  * localCheckpoint basket build — execute REAL Spark jobs during
+  * DataFrame construction, so "plan-only" dumps at a large sf pay the
+  * checkpoint cost. Run Explain at a tiny sf (the sf0.01 default) when
+  * q183-family plans are all you need.
   */
 object Explain {
   def main(args: Array[String]): Unit = {

@@ -97,6 +97,81 @@ object Advanced {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q266
+
+  /** q266: the AQE skew join under the gate — the AUTOMATIC counterpart
+    * of q47's manual salting, closing the physical-choice family (q47
+    * salting, q90 z-order, q214 bucketing, q215 DPP, q222 range
+    * layout). A deterministic hot-key routing collapses 80% of
+    * lineitems onto supplier 1 (the shape q200's skew profile
+    * diagnoses: max_c orders of magnitude over p50_c), and the join is
+    * pinned to the sort-merge path with `merge` hints — the small
+    * supplier side would otherwise broadcast and no skew machinery
+    * would ever run. Under `spark.sql.adaptive.skewJoin.enabled` AQE's
+    * `OptimizeSkewedJoin` splits the oversized reducer partitions at
+    * runtime into `PartialReducerPartitionSpec` slices, duplicating the
+    * matching build rows — a pure PHYSICAL re-plan chosen from MEASURED
+    * map-output sizes, where q47 hand-codes the same split with salt
+    * columns. The oracle runs the plain join over the identical CASE
+    * key: identical output certifies the AQE path as semantics-free.
+    * AqeSkewSpec executes this query with the skew thresholds scaled to
+    * the local rung and pins the final adaptive plan: SortMergeJoin
+    * (skew=true) + skewed AQEShuffleRead on the fact side. At 100 TB
+    * the knobs stay at `productionBuilder`'s defaults — the 256 MB
+    * threshold is real there, and a hot key that defeats even the
+    * split (one KEY bigger than a partition) falls back to
+    * [[graft.ops.ScaleOps.saltedJoin]], per its scaladoc.
+    *
+    * Money sums in integer cents (`round(x*100, 0)` both engines): the
+    * hot groups concentrate ~80% of the corpus's extendedprice into
+    * three suppliers' nations, where double-sum association error can
+    * cross the 2-decimal rounding boundary cross-engine at sf1+.
+    */
+  /** The q266 join body over caller-supplied frames — the seam
+    * AqeSkewSpec needs: the driver corpus is a single parquet row group
+    * at the local rung, i.e. ONE shuffle mapper, and AQE's skew split
+    * is a partition of MAP-OUTPUT ranges — with one mapper there is
+    * structurally nothing to split. The spec feeds the identical body
+    * an 8-file scratch copy of lineitem (what any real multi-file
+    * table looks like) and pins the skew=true plan there; the gate
+    * runs [[q266]] over the driver corpus for the cross-engine output
+    * contract.
+    */
+  private[graft] def q266Body(liRaw: DataFrame, suppRaw: DataFrame): DataFrame = {
+    val li = liRaw.select(
+      when(col("l_orderkey") % 5 =!= 0, lit(1L))
+        .otherwise(col("l_suppkey").cast("long")).as("skey"),
+      col("l_quantity"), col("l_extendedprice"))
+    val supp = suppRaw
+      .select(col("s_suppkey").cast("long").as("skey"), col("s_nationkey"))
+    li.hint("merge")
+      .join(supp.hint("merge"), Seq("skey"))
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("sum_price_cents"))
+      .orderBy(col("nationkey"))
+  }
+
+  def q266(spark: SparkSession, dir: String): DataFrame =
+    q266Body(table(spark, dir, "lineitem"), table(spark, dir, "supplier"))
+
+  val q266Oracle: String =
+    """WITH l AS (
+      |  SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 1
+      |              ELSE CAST(l_suppkey AS BIGINT) END AS skey,
+      |         l_quantity, l_extendedprice
+      |  FROM lineitem)
+      |SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+      |         AS BIGINT) AS sum_price_cents
+      |FROM l JOIN supplier ON skey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
+
   // ---------------------------------------------------------------- q214
 
   /** q214: the BUCKETED co-located join under the gate — q47's
@@ -351,6 +426,7 @@ object Advanced {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_minhash_udaf" -> (q46 _),
     "q47_salted_join" -> (q47 _),
+    "q266_skew_join_aqe" -> (q266 _),
     "q214_bucketed_join" -> (q214 _),
     "q215_dynamic_pruning" -> (q215 _),
     "q222_range_layout" -> (q222 _),
@@ -361,6 +437,7 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "q46_minhash_udaf" -> q46Oracle,
     "q47_salted_join" -> q47Oracle,
+    "q266_skew_join_aqe" -> q266Oracle,
     "q214_bucketed_join" -> q214Oracle,
     "q215_dynamic_pruning" -> q215Oracle,
     "q222_range_layout" -> q222Oracle,

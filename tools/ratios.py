@@ -36,6 +36,7 @@ def main():
     lb = os.path.basename(sys.argv[2]).replace(".json", "")
     rows = []
     uncompared = []
+    zero_median = []
     for q, t1 in big.items():
         t0 = loc.get(q)
         # `is not None`, not truthiness: a 0.0 median is present, not
@@ -46,6 +47,7 @@ def main():
         elif t0 is not None:
             print(f"WARNING: {q} has a 0.0 median in {la}; "
                   "ratio undefined, excluded from the table")
+            zero_median.append(q)
         else:
             uncompared.append(q)
     only_a = [q for q in loc if q not in big]
@@ -61,10 +63,14 @@ def main():
           f"the {RED_LINE:.0f}x red line "
           f"({', '.join(q for _, q, _, _ in flagged) or 'none'}).")
     # coverage accounting: a typo'd bench filter must not silently
-    # shrink the compared set (r14 review finding)
+    # shrink the compared set (r14 review finding); zero-median
+    # exclusions are counted too (ADVICE r15) so every query in B is
+    # accounted for by exactly one bucket
+    zm = (f"; {len(zero_median)} zero-median excluded "
+          f"({', '.join(sorted(zero_median)[:8])})" if zero_median else "")
     print(f"{len(rows)} compared; {len(uncompared)} only in {lb}"
           f"{' (' + ', '.join(sorted(uncompared)[:8]) + ')' if uncompared else ''}; "
-          f"{len(only_a)} only in {la}.")
+          f"{len(only_a)} only in {la}{zm}.")
 
 
 if __name__ == "__main__":
