@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * ≈ sf1) so bench queries can be checked for super-linear blowup beyond
   * the driver-provided corpora. Usage:
   *
-  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10 [saltPermille] [tablesCsv]"
   *
   * Semantics per table:
   *  - `region`/`nation` are dimensions — copied once, unshifted.
@@ -23,6 +23,28 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` is rotated by copy positions — norm-
   *    preserving but direction-changing, so copies aren't artificial
   *    cosine near-dups.
+  *
+  * **Vocabulary salt (VERDICT r15 item 1).** Word-shuffling keeps the
+  * token SET of every base doc identical across copies, so the scaled
+  * corpus's vocabulary is FIXED while real corpora grow vocabulary with
+  * size (Heaps' law) — at the sf10 rung this saturated the shingle/
+  * fingerprint space into ~100× set-identical candidate pairs (the
+  * q173/q210 second-rung artifact). With `saltPermille` > 0, that
+  * fraction of docs (selected by `doc_id % 1000`, deterministic — the
+  * SAME base docs in every copy) have every token suffixed with the
+  * copy id in copies c > 0: salted docs share no shingles across
+  * copies, so cross-copy pair growth comes only from the unsalted
+  * fraction. At 1000‰ every copy carries a fresh vocabulary and the
+  * cross-copy set-identity artifact is zero by construction — an upper
+  * bound on real vocabulary growth, where the fixed-vocab corpus is
+  * the lower bound (real data sits between; its residual duplication
+  * is already present WITHIN the base corpus and scales linearly).
+  * Empty tokens (consecutive spaces) are left unsalted so token/length
+  * statistics stay comparable.
+  *
+  * `tablesCsv` restricts generation to a subset (e.g. `documents`) —
+  * the fresh-vocab rung only changes documents, so the other tables
+  * symlink to the existing scaled dir instead of being rewritten.
   *
   * The output is bench-only data (never oracle-gated): distributions
   * match the driver corpus per copy, cardinalities scale linearly.
@@ -42,8 +64,13 @@ object ScaleUp {
     "embeddings" -> Seq("vec_id"))
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, copiesStr) = args
-    val copies = copiesStr.toInt
+    val srcDir = args(0)
+    val dstDir = args(1)
+    val copies = args(2).toInt
+    val saltPermille = args.lift(3).map(_.toInt).getOrElse(0)
+    require(saltPermille >= 0 && saltPermille <= 1000,
+      s"saltPermille must be in [0, 1000], got $saltPermille")
+    val tableFilter = args.lift(4).map(_.split(',').map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cpus)
     // events.ts is TIMESTAMP(NANOS): read the raw nanos as long and write
@@ -51,19 +78,31 @@ object ScaleUp {
     // (`ts div 1000` over long), so scaled dirs stay drop-in compatible
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    for (dim <- Seq("region", "nation"))
+    for (dim <- Seq("region", "nation")
+         if tableFilter.forall(_.contains(dim)))
       spark.read.parquet(s"$srcDir/$dim.parquet")
         .write.mode("overwrite").parquet(s"$dstDir/$dim.parquet")
 
-    keyCols.foreach { case (name, keys) =>
+    keyCols.filter { case (n, _) => tableFilter.forall(_.contains(n)) }
+      .foreach { case (name, keys) =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
       val scaled = (0 until copies).map { c =>
         val shifted = keys.foldLeft(src)((df, k) =>
           df.withColumn(k, col(k) + lit(c * Shift)))
         name match {
           case "documents" =>
-            shifted.withColumn("text",
+            val shuffled = shifted.withColumn("text",
               array_join(shuffle(split(col("text"), " "), lit(c)), " "))
+            // per-copy vocab salt: c·10⁷ % 1000 = 0, so the shifted
+            // doc_id selects the SAME base docs in every copy
+            if (saltPermille > 0 && c > 0)
+              shuffled.withColumn("text",
+                when(pmod(col("doc_id"), lit(1000)) < saltPermille,
+                  array_join(transform(split(col("text"), " "),
+                    t => when(t === "", t)
+                      .otherwise(concat(t, lit("x" + c)))), " "))
+                  .otherwise(col("text")))
+            else shuffled
           case "embeddings" if copies > 1 =>
             val rot = c % 64
             if (rot == 0) shifted

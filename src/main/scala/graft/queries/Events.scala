@@ -153,13 +153,78 @@ object Events {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q267
+
+  /** q267: the `flatMapGroupsWithState` sessionizer under the oracle
+    * gate (VERDICT r15 item 7) — [[graft.streaming.StatefulSessionize]]
+    * run in BATCH mode over the events table, certified cross-engine
+    * against a SQL sessionization. q31 gates the declarative
+    * lag+running-sum form and q265 the native `session_window`
+    * aggregate; this gates the ARBITRARY-STATE API those two cannot
+    * express (dynamic gaps, custom emission) — the same `process`
+    * function the streaming twin runs, so the gate pins the exact
+    * per-event fold the stream executes.
+    *
+    * Batch-emission contract (the documented fMGWS batch semantics):
+    * state is discarded at batch end and timeouts never fire, so each
+    * user's final OPEN session is not emitted — exactly append-mode
+    * streaming's undelivered tail. The oracle mirrors it by dropping
+    * each user's last session (`session_id < max(session_id)`).
+    * All-integer output (counts, ms durations) — hash-exact.
+    *
+    * Scale shape: ONE shuffle (groupByKey on user_id); per-group state
+    * is O(1) (the open session + a counter), per-group work is the
+    * sorted event fold — the mapGroups cost model, linear in events.
+    */
+  def q267(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .as[graft.streaming.StatefulSessionize.SessionEvent]
+    graft.streaming.StatefulSessionize.sessionize(evs)
+      .toDF()
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q267Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ms,
+      |         lag(ms, 1) OVER (PARTITION BY user_id
+      |                          ORDER BY ms, event_id) AS prev_ms
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, event_id, ms,
+      |         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM f),
+      |s AS (
+      |  SELECT user_id, ms,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sid, count(*) AS n_events,
+      |         max(ms) - min(ms) AS duration_ms
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+      |       CAST(n_events AS BIGINT) AS n_events,
+      |       CAST(duration_ms AS BIGINT) AS duration_ms
+      |FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS mx FROM sess)
+      |WHERE sid < mx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_events_tumbling" -> (q20 _),
     "q31_sessionize" -> (q31 _),
-    "q265_session_window" -> (q265 _))
+    "q265_session_window" -> (q265 _),
+    "q267_fmgws_sessionize" -> (q267 _))
 
   val oracles: Map[String, String] = Map(
     "q20_events_tumbling" -> q20Oracle,
     "q31_sessionize" -> q31Oracle,
-    "q265_session_window" -> q265Oracle)
+    "q265_session_window" -> q265Oracle,
+    "q267_fmgws_sessionize" -> q267Oracle)
 }
