@@ -295,9 +295,15 @@ object EmbeddingOps {
   def q110(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+    // OPTIMIZATION r16 (guide §2.4): the labeled and unlabeled branches
+    // both derive from the sign-LSH index, whose subtree is the corpus
+    // dot-product pass — checkpointed, it is computed once and both
+    // branches (and their join) read the materialized blocks, exactly
+    // how a production system persists an LSH index before probing it.
     val bands = Similarity2.signBands(
       emb.select(col("vec_id"), col("embedding")),
       Similarity2.bitsPerBand(spark, dir))
+      .localCheckpoint()
     val labeled = bands.join(
       emb.filter(col("vec_id") % 5 =!= 3).select(col("vec_id"), col("label")),
       "vec_id")
@@ -637,8 +643,13 @@ object EmbeddingOps {
           .orderBy(col("sim_q").desc, col("neighbor_id"))))
       .filter(col("rnk") <= RecallK)
       .select(col("probe_id"), col("neighbor_id"))
+    // checkpointed (r16, guide §2.4): the probe side and the corpus
+    // side below would otherwise each evaluate the sign-LSH dot-product
+    // chain (a BroadcastExchange subtree cannot be unified with the
+    // streamed side's by ReuseExchange)
     val bands = Similarity2.signBands(sample,
       Similarity2.bitsPerBand(spark, dir))
+      .localCheckpoint()
     // the probe-side bands are ≤ 4×panel rows (the cap again) —
     // broadcast them so the corpus-side bands never shuffle; pairing
     // goes through the shared Similarity2.bucketPairs predicate

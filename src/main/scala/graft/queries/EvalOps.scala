@@ -142,11 +142,13 @@ object EvalOps {
       .join(evalFps, Seq("fp"), "left")
       .withColumn("direct", coalesce(col("hit"), lit(false)))
       .drop("hit")
-      .join(labels, Seq("doc_id"), "left")
+      // labels is bounded by the candidate graph, not the corpus
+      // (the q261 discipline) — broadcast, SMJ -> BHJ (guide §3.1)
+      .join(broadcast(labels), Seq("doc_id"), "left")
     val contam = tr.filter(col("direct") && col("label").isNotNull)
       .select(col("label")).distinct()
       .withColumn("chit", lit(true))
-    tr.join(contam, Seq("label"), "left")
+    tr.join(broadcast(contam), Seq("label"), "left")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_train"),

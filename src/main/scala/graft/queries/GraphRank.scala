@@ -103,22 +103,37 @@ object GraphRank {
     // every per-iteration join side is bounded by the DOMAIN count
     // (sources, not documents — at most millions of rows even under a
     // 100 TB corpus), so broadcast hints kill the 4 rounds of tiny
-    // exchanges the static planner would otherwise emit as SMJs
-    var rank = nodes.crossJoin(params)
-      .select(col("source"), expr(s"$RankScale div n").as("rank"))
-    for (_ <- 1 to Iterations) {
-      val contribs = edges
-        .join(broadcast(rank.withColumnRenamed("source", "src_from")),
-          Seq("src_from"))
+    // exchanges the static planner would otherwise emit as SMJs.
+    //
+    // OPTIMIZATION r16 (guide §2.4): the rank frame no longer
+    // materializes over ALL nodes each round — a node absent from the
+    // contribution aggregate has rank = teleport base exactly (the old
+    // coalesce(c, 0) arm), so each round is edges ⟕ broadcast(contribs)
+    // with the rank reconstructed inline, and the full-node frame is
+    // built once at the end. Removes a nodes-side join + projection
+    // per round (4 fewer broadcast stages, ~8 fewer AQE jobs) while
+    // computing bit-identical integer ranks.
+    val rankOf = expr(s"(15 * ($RankScale div n)) div 100" +
+      " + (85 * coalesce(c, 0)) div 100")
+    // round 1 reads the uniform init rank directly — no contribs yet
+    var contribs = edges.crossJoin(params)
+      .join(broadcast(outdeg), Seq("src_from"))
+      .select(col("src_to").as("source"),
+        expr(s"($RankScale div n) div d").as("c"))
+      .groupBy(col("source")).agg(sum(col("c")).as("c"))
+    for (_ <- 2 to Iterations) {
+      contribs = edges.crossJoin(params)
+        .join(broadcast(contribs.withColumnRenamed("source", "src_from")),
+          Seq("src_from"), "left")
         .join(broadcast(outdeg), Seq("src_from"))
-        .select(col("src_to").as("source"), expr("rank div d").as("c"))
+        .select(col("src_to").as("source"),
+          expr(s"((15 * ($RankScale div n)) div 100" +
+            " + (85 * coalesce(c, 0)) div 100) div d").as("c"))
         .groupBy(col("source")).agg(sum(col("c")).as("c"))
-      rank = nodes.crossJoin(params)
-        .join(broadcast(contribs), Seq("source"), "left")
-        .select(col("source"),
-          expr(s"(15 * ($RankScale div n)) div 100" +
-            " + (85 * coalesce(c, 0)) div 100").as("rank"))
     }
+    val rank = nodes.crossJoin(params)
+      .join(broadcast(contribs), Seq("source"), "left")
+      .select(col("source"), rankOf.as("rank"))
 
     nodes
       .join(broadcast(outdeg.withColumnRenamed("src_from", "source")),
@@ -404,43 +419,62 @@ object GraphRank {
     // the formatted plan before this; 10 after). The frames are
     // domain-sized (distinct sources) — the checkpoint is trivially
     // cheap, the q201/CC loop discipline.
+    // OPTIMIZATION r16 (guide §2.4): score frames stay SPARSE inside
+    // the loop — a source absent from a half-step's aggregate has score
+    // exactly 0 (the old nodes-join + coalesce(raw, 0) arm), because
+    // dropping zero-valued terms from a sum of non-negative scores
+    // changes nothing. The full-node frame is rebuilt once at the end;
+    // per half-step this removes the nodes-side join and its broadcast
+    // build (33 -> ~21 jobs). The one place absent ≠ 0 is an EMPTY
+    // edge set: there the old code yields NULL scores for every node
+    // (renorm divides by nullif(max over nothing, 0)), so that corner
+    // is branched on `edges.isEmpty` — a one-row action on the already-
+    // checkpointed domain frame (the q161 early-exit discipline) — and
+    // stays out of the final consumer plan.
     def renorm(raw: DataFrame, scoreCol: String): DataFrame = {
-      val mx = broadcast(raw.agg(max(col(scoreCol)).as("mx")))
+      val mx = broadcast(raw.agg(max(col(scoreCol)).as(s"mx_$scoreCol")))
       raw.crossJoin(mx)
         .select(col("source"),
-          expr(s"($scoreCol * $HitsScale) div nullif(mx, 0)").as(scoreCol))
+          expr(s"($scoreCol * $HitsScale) div nullif(mx_$scoreCol, 0)")
+            .as(scoreCol))
         .localCheckpoint(true)
     }
-    var auth = nodes.select(col("source"), lit(HitsScale).as("a"))
-    var hub = nodes.select(col("source"), lit(HitsScale).as("h"))
-    for (_ <- 1 to HitsIterations) {
-      // hub half-step: h(v) = Σ_{v→w} a(w), renormalized
+    if (edges.isEmpty) {
+      // edge-free graph: every round's max is NULL — all scores NULL,
+      // exactly the old nodes-joined formula's output
+      return nodes
+        .select(col("source"), lit(null).cast("long").as("hub"),
+          lit(null).cast("long").as("authority"))
+        .orderBy(col("authority").desc, col("hub").desc, col("source"))
+    }
+    // round-1 hub half-step folds the uniform auth_0 = HitsScale in
+    // directly: raw_h(v) = HitsScale · outdeg(v)
+    var hub = renorm(
+      edges.groupBy(col("src_from").as("source"))
+        .agg((count(lit(1)) * lit(HitsScale)).as("h")), "h")
+    var auth = renorm(
+      edges.join(broadcast(hub.withColumnRenamed("source", "src_from")),
+        Seq("src_from"))
+        .groupBy(col("src_to").as("source"))
+        .agg(sum(col("h")).as("a")), "a")
+    for (_ <- 2 to HitsIterations) {
       hub = renorm(
-        nodes.join(
-          broadcast(edges
-            .join(broadcast(auth.withColumnRenamed("source", "src_to")),
-              Seq("src_to"))
-            .groupBy(col("src_from").as("source"))
-            .agg(sum(col("a")).as("raw"))),
-          Seq("source"), "left")
-          .select(col("source"), coalesce(col("raw"), lit(0L)).as("h")),
-        "h")
-      // authority half-step: a(v) = Σ_{u→v} h(u), renormalized
+        edges.join(broadcast(auth.withColumnRenamed("source", "src_to")),
+          Seq("src_to"))
+          .groupBy(col("src_from").as("source"))
+          .agg(sum(col("a")).as("h")), "h")
       auth = renorm(
-        nodes.join(
-          broadcast(edges
-            .join(broadcast(hub.withColumnRenamed("source", "src_from")),
-              Seq("src_from"))
-            .groupBy(col("src_to").as("source"))
-            .agg(sum(col("h")).as("raw"))),
-          Seq("source"), "left")
-          .select(col("source"), coalesce(col("raw"), lit(0L)).as("a")),
-        "a")
+        edges.join(broadcast(hub.withColumnRenamed("source", "src_from")),
+          Seq("src_from"))
+          .groupBy(col("src_to").as("source"))
+          .agg(sum(col("h")).as("a")), "a")
     }
     nodes
-      .join(broadcast(hub), Seq("source"))
-      .join(broadcast(auth), Seq("source"))
-      .select(col("source"), col("h").as("hub"), col("a").as("authority"))
+      .join(broadcast(hub), Seq("source"), "left")
+      .join(broadcast(auth), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("authority"))
       .orderBy(col("authority").desc, col("hub").desc, col("source"))
   }
 

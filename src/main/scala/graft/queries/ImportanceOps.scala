@@ -59,9 +59,15 @@ object ImportanceOps {
         (col("h") % DsirBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("f"))
+    // OPTIMIZATION r16 (guide §2.4): bs is DsirBuckets rows at any
+    // corpus size and has two consumers (tot + lr) — checkpointing it
+    // stops the tot branch replaying the whole corpus bigram chain
+    // (plan: 3 documents scans -> 2; the remaining two are the honest
+    // aggregate + join-back passes, same as the oracle)
     val bs = db.groupBy(col("bucket"))
       .agg(sum(col("f")).as("r_b"),
         sum(when(col("lang") === "en", col("f")).otherwise(0L)).as("t_b"))
+      .localCheckpoint()
     val tot = bs.agg(sum(col("r_b")).as("n_r"), sum(col("t_b")).as("n_t"))
     val lr = bs.crossJoin(broadcast(tot))
       .select(col("bucket"),

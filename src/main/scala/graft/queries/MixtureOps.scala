@@ -403,8 +403,14 @@ object MixtureOps {
     * with skewed synthetic capacities; the corpus's balanced sources
     * exercise only the at-level path.
     */
-  private[graft] def waterFill(caps: DataFrame, budgetNum: Long): DataFrame = {
+  private[graft] def waterFill(caps0: DataFrame, budgetNum: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // OPTIMIZATION r16 (guide §2.4): caps is source-domain-sized but
+    // its subtree is a full corpus aggregate, and the allocator
+    // references it from five plan positions (sorted ×3, tot, and the
+    // caller's joins) — un-checkpointed, EACH reference replayed the
+    // corpus scan (q227's plan showed 11 documents scans; 2 after)
+    val caps = caps0.localCheckpoint()
     val wSort = Window.orderBy(col("c"), col("source"))
     val sorted = caps
       .withColumn("rn", row_number().over(wSort).cast("long"))
@@ -521,7 +527,9 @@ object MixtureOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
         sum(when(col("keep"), col("ntok")).otherwise(0L))
           .as("sampled_tokens"))
-    sampled.join(alloc, "source")
+    // alloc is source-domain-sized at any corpus size (guide §3.1):
+    // broadcast replaces the report join's SortMergeJoin
+    sampled.join(broadcast(alloc), "source")
       .select(col("source"), col("tokens_available"),
         col("tokens_allocated"), col("rate_permille"),
         col("n_docs"), col("n_sampled"), col("sampled_tokens"))

@@ -487,11 +487,18 @@ object MonitoringOps {
       // endpoint joins) — checkpointing stops the h60-rank window and
       // its shuffle from evaluating once per endpoint
       .localCheckpoint()
+    // OPTIMIZATION r16 (guide §3.1): both endpoint joins carry the
+    // (1+perms)×members assignment frame (≤ ~40k rows at ANY corpus
+    // size — panel-bounded) against the ≤ 2·C(200,2) pair frame; the
+    // static planner picked SortMergeJoin (3 exchanges + 2 sorts of the
+    // 4M-row intermediate). Broadcasting both assignment sides makes
+    // the whole pair×perm expansion one pipelined map stage into the
+    // final (cmp, p) aggregate — 1 exchange instead of 4.
     val stats = pairs
-      .join(assign.select(col("cmp"), col("p"), col("vec_id").as("va"),
-        col("pg").as("ga")), Seq("cmp", "va"))
-      .join(assign.select(col("cmp"), col("p"), col("vec_id").as("vb"),
-        col("pg").as("gb")), Seq("cmp", "p", "vb"))
+      .join(broadcast(assign.select(col("cmp"), col("p"),
+        col("vec_id").as("va"), col("pg").as("ga"))), Seq("cmp", "va"))
+      .join(broadcast(assign.select(col("cmp"), col("p"),
+        col("vec_id").as("vb"), col("pg").as("gb"))), Seq("cmp", "p", "vb"))
       .groupBy(col("cmp"), col("p"))
       .agg(
         sum(when(col("ga") =!= col("gb"), col("d")).otherwise(0L)).as("sab"),
@@ -968,12 +975,16 @@ object MonitoringOps {
       .withColumn("cum", sum(col("dcnt")).over(wdcum))
       .filter(col("cum") >= expr("(n_events + 1) div 2"))
       .groupBy(col("event_type")).agg(min(col("d")).as("mad"))
-    val out = freq.join(broadcast(med), "event_type")
-      .join(broadcast(mad), "event_type")
-      .filter(abs(col("x") - col("med_x")) > lit(MadK) * col("mad"))
-      .groupBy(col("event_type")).agg(sum(col("cnt")).as("n_outliers"))
+    // OPTIMIZATION r16 (guide §2.4): the outlier count is a slice of
+    // the DEVIATION histogram (|x − med| = d by construction), so it
+    // re-aggregates `dev` instead of a third freq⋈med pass — the dev
+    // exchange is identical to the MAD branch's and Catalyst reuses it
+    // (one fewer Exchange + one fewer freq re-read in the plan).
+    val out = dev.join(broadcast(mad), "event_type")
+      .filter(col("d") > lit(MadK) * col("mad"))
+      .groupBy(col("event_type")).agg(sum(col("dcnt")).as("n_outliers"))
     med.join(broadcast(mad), "event_type")
-      .join(out, Seq("event_type"), "left")
+      .join(broadcast(out), Seq("event_type"), "left")
       .select(col("event_type"), col("n_events"), col("med_x"), col("mad"),
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
         expr("(1000 * coalesce(n_outliers, 0)) div n_events")

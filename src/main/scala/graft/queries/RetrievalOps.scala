@@ -108,13 +108,17 @@ object RetrievalOps {
       .agg(max(col("plabel")).as("label"),
         sum(when(col("nlabel") === col("plabel"), 1L).otherwise(0L))
           .as("hits_before"))
+    // OPTIMIZATION r16 (guide §3.1): probes / after / labCnt are
+    // panel- or label-domain-bounded at any corpus size — broadcast
+    // hints replace the planner's SortMergeJoins (estimates are
+    // opaque above aggregates) with hash joins, −2 Exchange −2 Sort.
     val after = pass2
-      .join(probes.select(col("pid"), col("plabel")), "pid")
+      .join(broadcast(probes.select(col("pid"), col("plabel"))), "pid")
       .groupBy(col("pid"))
       .agg(sum(when(col("nlabel") === col("plabel"), 1L).otherwise(0L))
         .as("hits_after"))
-    before.join(after, "pid")
-      .join(labCnt, "label")
+    before.join(broadcast(after), "pid")
+      .join(broadcast(labCnt), "label")
       .select(col("pid").as("probe_id"), col("label"),
         (col("lab_n") - 1L).as("n_rel"),
         col("hits_before"), col("hits_after"),
@@ -246,7 +250,9 @@ object RetrievalOps {
         col("u") >= col("lo") && col("u") < col("hi"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_sampled"))
     tab.crossJoin(broadcast(total))
-      .join(sampled, Seq("token"), "left")
+      // sampled is ≤ NegVocab rows at any corpus size (guide §3.1):
+      // broadcast kills the planner's SortMergeJoin on the report join
+      .join(broadcast(sampled), Seq("token"), "left")
       .filter(col("rnk") <= 20)
       .select(col("token"), col("cnt"), col("w_q"),
         expr("(1000 * w_q) div total").as("target_permille"),
@@ -345,7 +351,7 @@ object RetrievalOps {
           .cast("long").as("smq"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= MmrPoolK).drop("rn")
-      .localCheckpoint()
+      .localCheckpoint() // ONE corpus pass; pool_arr + both ps sides read it
     val poolEmb = pool.join(
       emb64.select(col("vec_id").as("nid"), col("embedding").as("ne")),
       "nid")
@@ -356,32 +362,54 @@ object RetrievalOps {
         col("b.nid").as("nb"),
         floor(VectorOps.cosineNative(col("a.ne"), col("b.ne")) * 1000000d)
           .cast("long").as("sm"))
-      .localCheckpoint()
-    var sel = pool.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") === 1)
-      .select(col("pid"), lit(1L).as("rnd"), col("nid"), col("smq"),
-        col("smq").as("score2"))
-      .localCheckpoint()
-    (2 to MmrSelK).foreach { r =>
-      val selIds = sel.select(col("pid"), col("nid"))
-      val pen = ps
-        .join(selIds.withColumnRenamed("nid", "nb"), Seq("pid", "nb"))
-        .groupBy(col("pid"), col("na")).agg(max(col("sm")).as("maxpen"))
-        .withColumnRenamed("na", "nid")
-      val pick = pool
-        .join(selIds, Seq("pid", "nid"), "left_anti")
-        .join(pen, Seq("pid", "nid"))
-        .withColumn("score2", col("smq") - col("maxpen"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("pid"))
-          .orderBy(col("score2").desc, col("nid"))))
-        .filter(col("rn") === 1)
-        .select(col("pid"), lit(r.toLong).as("rnd"), col("nid"),
-          col("smq"), col("score2"))
-      sel = sel.unionByName(pick).localCheckpoint()
-    }
-    sel.select(col("pid").as("probe_id"), col("rnd"),
-        col("nid").as("picked_id"), col("smq").as("sim_micro"),
-        col("score2").as("mmr_micro"))
+    // OPTIMIZATION r16 (guide §2.4, §1.2 "the distributed algorithm"):
+    // the greedy rounds used to run as an unrolled Spark loop — per
+    // round a pen join + groupBy, a left_anti join, a window and a
+    // localCheckpoint (~45 tiny AQE stage-jobs at any scale, all on
+    // panel-bounded frames). The panel contract (≤50 probes × MmrPoolK
+    // candidates) means the ENTIRE greedy trace fits one row per probe:
+    // collect each probe's pool (≤20 structs) and pair-sim list (≤380
+    // structs), then compute the full [[MmrSelK]]-round argmax fold in
+    // one `aggregate` higher-order expression — same integer scores,
+    // same (score2 desc, nid) tie-break, same inner-pen semantics
+    // (every candidate has a pair sim to every selected member by
+    // construction of ps). Interpreted-lambda cost is bounded by the
+    // panel, never the corpus; the corpus still pays exactly one
+    // cosine+top-k pass (`pool` above). 53 jobs -> ~10.
+    val poolArr = pool.groupBy(col("pid"))
+      .agg(expr("array_sort(collect_list(struct(-smq AS negs, nid, smq)))")
+        .as("parr"))
+    val simArr = ps.groupBy(col("pid"))
+      .agg(collect_list(struct(col("na"), col("nb"), col("sm"))).as("sarr"))
+    // sarr0: a probe whose pool has a single member has NO pair sims —
+    // the left join + empty-array default reproduces the old inner-pen
+    // semantics (rounds 2+ pick nothing; round 1 still emits)
+    val selExpr =
+      s"""aggregate(
+         |  sequence(2, $MmrSelK),
+         |  array(named_struct(
+         |    'rnd', CAST(1 AS BIGINT), 'nid', parr[0].nid,
+         |    'smq', parr[0].smq, 'score2', parr[0].smq)),
+         |  (acc, r) -> concat(acc, transform(
+         |    slice(array_sort(filter(transform(
+         |      filter(parr, c -> NOT exists(acc, a -> a.nid = c.nid)),
+         |      c -> named_struct(
+         |        'negs2', -(c.smq - array_max(transform(
+         |          filter(sarr0, s -> s.na = c.nid
+         |            AND exists(acc, a -> a.nid = s.nb)),
+         |          s -> s.sm))),
+         |        'nid', c.nid, 'smq', c.smq)),
+         |      b -> b.negs2 IS NOT NULL)), 1, 1),
+         |    b -> named_struct(
+         |      'rnd', CAST(r AS BIGINT), 'nid', b.nid,
+         |      'smq', b.smq, 'score2', -b.negs2))))""".stripMargin
+    poolArr.join(simArr, Seq("pid"), "left")
+      .withColumn("sarr0", expr("ifnull(sarr, cast(array() as " +
+        "array<struct<na:bigint,nb:bigint,sm:bigint>>))"))
+      .select(col("pid"), explode(expr(selExpr)).as("e"))
+      .select(col("pid").as("probe_id"), col("e.rnd").as("rnd"),
+        col("e.nid").as("picked_id"), col("e.smq").as("sim_micro"),
+        col("e.score2").as("mmr_micro"))
       .orderBy(col("probe_id"), col("rnd"))
   }
 

@@ -104,7 +104,9 @@ object Similarity {
         col("cluster").as("pcluster"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    probes
+    // OPTIMIZATION r16 (guide §3.1): the probe panel is 5 rows at any
+    // corpus size — broadcast so the corpus cluster side never shuffles
+    broadcast(probes)
       .join(clusters.as("c"),
         col("pcluster") === col("c.cluster") &&
         col("c.vec_id") =!= col("probe_id"))
@@ -279,7 +281,9 @@ object Similarity {
         col("cluster").as("pcluster"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    probes
+    // OPTIMIZATION r16 (guide §3.1): the probe panel is 5 rows at any
+    // corpus size — broadcast so the corpus cluster side never shuffles
+    broadcast(probes)
       .join(clusters.as("c"),
         col("pcluster") === col("c.cluster") &&
         col("c.vec_id") =!= col("probe_id"))

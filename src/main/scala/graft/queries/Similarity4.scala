@@ -372,9 +372,12 @@ object Similarity4 {
       .filter(col("crank") <= NProbes.max)
       .select(col("probe_id"), col("pe"), col("cent_id"), col("crank"))
     val nps = explode(array(NProbes.map(lit): _*)).as("nprobe")
-    val cands = selected.select(col("probe_id"), col("pe"), col("cent_id"),
-        col("crank"), nps)
-      .filter(col("crank") <= col("nprobe"))
+    // OPTIMIZATION r16 (guide §3.1): the probed-centroid frame is
+    // panel×nprobe rows (≤ 40 at any corpus size) — broadcast it so the
+    // corpus-side cluster scan never shuffles (SMJ -> BHJ).
+    val cands = broadcast(selected.select(col("probe_id"), col("pe"),
+        col("cent_id"), col("crank"), nps)
+      .filter(col("crank") <= col("nprobe")))
       .join(clusters.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"), col("cluster")),
         col("cent_id") === col("cluster") &&
@@ -408,7 +411,7 @@ object Similarity4 {
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
     val nPanel = 5L
     cands.groupBy(col("nprobe")).agg(count(lit(1)).as("n_candidates"))
-      .join(hits, Seq("nprobe"), "left")
+      .join(broadcast(hits), Seq("nprobe"), "left") // ≤ |NProbes| rows
       .select(col("nprobe").cast("long").as("nprobe"), col("n_candidates"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         expr(s"1000 * coalesce(n_hits, 0) DIV ${3 * nPanel}")
@@ -525,7 +528,9 @@ object Similarity4 {
       .select(col("probe_id"), col("pe"), col("cent_id"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("sm").desc, col("neighbor_id"))
-    val ranked = selCents
+    // OPTIMIZATION r16 (guide §3.1): selCents is panel×nprobe rows —
+    // broadcast so the corpus cluster side never shuffles (SMJ -> BHJ)
+    val ranked = broadcast(selCents)
       .join(clusters.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"), col("cluster")),
         col("cent_id") === col("cluster") &&
@@ -547,8 +552,10 @@ object Similarity4 {
       .filter(col("rnk") === 1)
       .select(col("probe_id"), col("neighbor_id").as("gt_nid"))
     gt1
-      .join(ranked.select(col("probe_id"),
-        col("neighbor_id").as("gt_nid"), col("ivf_rank")),
+      // panel × probed-cluster members (≤ panel × nprobe × cluster size,
+      // corpus-independent) — broadcast (SMJ -> BHJ, guide §3.1)
+      .join(broadcast(ranked.select(col("probe_id"),
+        col("neighbor_id").as("gt_nid"), col("ivf_rank"))),
         Seq("probe_id", "gt_nid"), "left")
       .select(col("probe_id"), col("gt_nid"),
         coalesce(col("ivf_rank"), lit(0L)).as("ivf_rank"),

@@ -577,8 +577,14 @@ object TextAnalysis {
     // share it); split is never read here, so don't pay its id-hash
     val bigr = EvalOps.bigramsOf(
       table(spark, dir, "documents"), withSplit = false)
+    // OPTIMIZATION r16 (guide §2.4): bc is bounded by bigram TYPES
+    // (vocab², never the corpus) and has three consumers (ctx, the
+    // join-back, and ctx's join) — checkpointing it stops the ctx
+    // branch replaying the whole tokenize+explode+aggregate chain
+    // (plan: 3 documents scans -> 2).
     val bc = bigr.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("bcnt"))
+      .localCheckpoint()
     val ctx = bc.groupBy(col("prev")).agg(sum(col("bcnt")).as("ccnt"))
     val perDoc = bigr
       .join(bc, Seq("prev", "cur"))

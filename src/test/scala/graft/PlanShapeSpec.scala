@@ -142,10 +142,24 @@ class PlanShapeSpec extends AnyFunSuite {
       graft.queries.TokenizerOps.q220(spark, dir))
   }
 
-  test("q250: MMR consumer reads the final selection checkpoint — no " +
-    "embeddings rescan, no greedy-round replay in the plan") {
-    pinCheckpointConsumer("q250 sel",
-      graft.queries.RetrievalOps.q250(spark, dir))
+  test("q250: greedy MMR runs as ONE array-fold expression over the " +
+    "pool checkpoint — exactly the two legitimate embeddings join-backs " +
+    "(the pair-sim pass), no per-round window/checkpoint chain " +
+    "(r16 optimization: 53 jobs -> ~10)") {
+    val df = graft.queries.RetrievalOps.q250(spark, dir)
+    val ns = nodes(df)
+    // the ps pair-sim pass joins pool back to embeddings twice (a/b
+    // sides); anything more means the corpus pool pass leaked back in
+    assert(parquetScans(ns).size == 2,
+      s"q250 consumer plan has ${parquetScans(ns).size} file scans " +
+        s"(allowed 2):\n${df.queryExecution.executedPlan}")
+    assert(rddScans(ns).nonEmpty,
+      s"q250: expected the pool checkpoint as ExistingRDD:\n" +
+        s"${df.queryExecution.executedPlan}")
+    // the greedy rounds are an expression fold, not plan operators
+    assert(!ns.exists(n => className(n).startsWith("Window")),
+      s"q250: greedy rounds regressed to window operators:\n" +
+        s"${df.queryExecution.executedPlan}")
   }
 
   test("q261: keep-policy windows read the scored checkpoint — no " +
