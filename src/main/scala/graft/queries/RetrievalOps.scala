@@ -108,17 +108,17 @@ object RetrievalOps {
       .agg(max(col("plabel")).as("label"),
         sum(when(col("nlabel") === col("plabel"), 1L).otherwise(0L))
           .as("hits_before"))
-    // OPTIMIZATION r16 (guide §3.1): probes / after / labCnt are
-    // panel- or label-domain-bounded at any corpus size — broadcast
-    // hints replace the planner's SortMergeJoins (estimates are
-    // opaque above aggregates) with hash joins, −2 Exchange −2 Sort.
+    // NOT broadcast (r16 audit): every frame here is panel- or
+    // label-domain-bounded on BOTH sides, so the sort-merge joins are
+    // trivial at any scale while broadcast hints each add a separate
+    // build job — measured as a net loss in the sweep.
     val after = pass2
-      .join(broadcast(probes.select(col("pid"), col("plabel"))), "pid")
+      .join(probes.select(col("pid"), col("plabel")), "pid")
       .groupBy(col("pid"))
       .agg(sum(when(col("nlabel") === col("plabel"), 1L).otherwise(0L))
         .as("hits_after"))
-    before.join(broadcast(after), "pid")
-      .join(broadcast(labCnt), "label")
+    before.join(after, "pid")
+      .join(labCnt, "label")
       .select(col("pid").as("probe_id"), col("label"),
         (col("lab_n") - 1L).as("n_rel"),
         col("hits_before"), col("hits_after"),
@@ -250,9 +250,7 @@ object RetrievalOps {
         col("u") >= col("lo") && col("u") < col("hi"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_sampled"))
     tab.crossJoin(broadcast(total))
-      // sampled is ≤ NegVocab rows at any corpus size (guide §3.1):
-      // broadcast kills the planner's SortMergeJoin on the report join
-      .join(broadcast(sampled), Seq("token"), "left")
+      .join(sampled, Seq("token"), "left")
       .filter(col("rnk") <= 20)
       .select(col("token"), col("cnt"), col("w_q"),
         expr("(1000 * w_q) div total").as("target_permille"),
@@ -403,6 +401,11 @@ object RetrievalOps {
          |    b -> named_struct(
          |      'rnd', CAST(r AS BIGINT), 'nid', b.nid,
          |      'smq', b.smq, 'score2', -b.negs2))))""".stripMargin
+    // NOT broadcast (r16 audit, pinned by PlanShapeSpec): wrapping
+    // simArr in a BroadcastExchange detaches the ps self-join from the
+    // exchange-reuse that evaluates poolEmb once — measured as 2 -> 4
+    // embeddings scans. The top-level join frames are ≤ |panel| rows;
+    // its sort-merge costs nothing at any scale.
     poolArr.join(simArr, Seq("pid"), "left")
       .withColumn("sarr0", expr("ifnull(sarr, cast(array() as " +
         "array<struct<na:bigint,nb:bigint,sm:bigint>>))"))

@@ -439,9 +439,7 @@ object Similarity3 {
     val (rsubs, rcb) = fittedRotated(spark, dir)
     val rot = encode(rsubs, rcb).groupBy(col("s"))
       .agg(sum(col("resid")).as("resid_rot"))
-    // both sides are M-row subspace frames (guide §3.1): broadcast
-    // replaces the report join's SortMergeJoin
-    base.join(broadcast(rot), Seq("s"))
+    base.join(rot, Seq("s"))
       .select(col("s").cast("long").as("s"), col("n_vecs"),
         col("resid_base"), col("resid_rot"),
         expr("((resid_base - resid_rot) * 1000) div greatest(resid_base, 1)")
