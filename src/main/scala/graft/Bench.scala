@@ -16,11 +16,17 @@ import org.apache.spark.sql.SparkSession
   *     iteration (round 3 showed 28× one-off spikes from host
   *     contention) no longer poisons the artifact.
   *  2. The FIRST stdout line is a compact complete JSON (per-query
-  *     medians at ms precision) sized to fit the driver's ~4 KB capture
-  *     cap (BENCH_r05/r06 showed the cap truncating a full-precision
-  *     line mid-way → "parsed": null). Full precision (+ per-iteration
-  *     totals + error messages) goes to `BENCH_LOCAL_r<N>.json` in the
-  *     repo root, immune to stdout truncation.
+  *     medians) sized to fit the driver's ~4 KB capture cap
+  *     (BENCH_r05/r06 showed the cap truncating a full-precision line
+  *     mid-way → "parsed": null). At 267 queries even ms-precision
+  *     full names overflow the cap (7.3 KB in BENCH_r16 — the driver
+  *     got totals only and PERF_r16 lost its per_query/scaling blocks),
+  *     so the compact map keys are the BARE query ids ("q177", not
+  *     "q177_zipf_slope" — unique across the suite, enforced below) at
+  *     2-decimal precision: ~3.3 KB for the full suite. Full precision
+  *     under full names (+ per-iteration totals + error messages) goes
+  *     to `BENCH_LOCAL_r<N>.json` in the repo root, immune to stdout
+  *     truncation.
   *  3. A final SHORT line `{"metric":"total","value":N,"unit":"sec",
   *     "errors":K,"detail":"<file>"}` is printed last — small enough
   *     that no tail capture can cut it — and log level is forced to
@@ -91,8 +97,22 @@ object Bench {
     // iters full sweeps (not iters× back-to-back per query): a transient
     // host-contention window then hits each query at most once, and the
     // median over sweeps discards it.
+    // Per-sweep JVM GC time is sampled around each sweep (local artifact
+    // only): the r16 driver run showed a late-iteration slowdown cluster
+    // (q175-q178) whose signature matched accumulating heap pressure —
+    // this telemetry lets any future artifact attribute slow iterations
+    // to GC vs host contention without a re-run.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val sweepGc = collection.mutable.ArrayBuffer.empty[Long]
     val sweeps = (1 to iters).map { _ =>
-      names.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+      val g0 = gcMs
+      val r = names.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+      sweepGc += (gcMs - g0)
+      r
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -142,6 +162,7 @@ object Bench {
         s""""errors":$errJson,"iters":$iters,""" +
         s""""filter":$filterJson,"query_count":${names.size},""" +
         s""""iter_totals":[${iterTotals.mkString(",")}],""" +
+        s""""iter_gc_ms":[${sweepGc.mkString(",")}],""" +
         s""""iter_queries":$iterQs,"sf":"${esc(sfDir)}"}"""
     // only a FULL sweep is the round artifact — a filtered subset run
     // (headroom/iteration) must not clobber it. An EXPLICIT out name is
@@ -167,8 +188,20 @@ object Bench {
     // decimal separator under e.g. de_DE, which is invalid JSON.
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
+    def cs(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(v))
+    // compact keys: bare query id ("q177" for "q177_zipf_slope") — the
+    // r16 driver capture showed 267 full names blow the ~4 KB stdout cap
+    // (PERF_r16 lost per_query/scaling). Bare ids are unique suite-wide;
+    // if a future query ever collides, that name stays full-length (the
+    // guard below still protects the cap).
+    val bare: Map[String, String] = {
+      val ids = names.map { case (n, _) => n -> n.takeWhile(_ != '_') }
+      val dup = ids.groupBy(_._2).filter(_._2.size > 1).keySet
+      ids.map { case (n, id) => n -> (if (dup(id)) n else id) }.toMap
+    }
     val qsCompact = medians
-      .map { case (k, v) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""${bare(k)}":${cs(v)}""" }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""errors":${errors.size},"iters":$iters,"sf":"${esc(sfDir)}","detail":"${esc(localFile)}"}"""

@@ -300,6 +300,17 @@ object EmbeddingOps {
     // dot-product pass — checkpointed, it is computed once and both
     // branches (and their join) read the materialized blocks, exactly
     // how a production system persists an LSH index before probing it.
+    // DEVIATION NOTE (ADVICE r16): unlike the other r16 checkpoints this
+    // frame is corpus-PROPORTIONAL, so the localCheckpoint trade
+    // (unreplicated blocks, truncated lineage — executor loss kills the
+    // job; local disks hold a corpus-sized intermediate) applies at
+    // cluster scale. A pipeline embedding this shape should persist
+    // (MEMORY_AND_DISK, recomputable lineage) or reliably checkpoint()
+    // the index at this exact plan point — the q183Basket(Persist) seam
+    // in Relational16 documents the pattern. The gate query keeps the
+    // localCheckpoint: a plan-keyed persist would be silently shared
+    // across bench iterations (warm medians would measure the cache,
+    // not the query — the Relational16 CacheManager note).
     val bands = Similarity2.signBands(
       emb.select(col("vec_id"), col("embedding")),
       Similarity2.bitsPerBand(spark, dir))

@@ -142,9 +142,14 @@ object EvalOps {
       .join(evalFps, Seq("fp"), "left")
       .withColumn("direct", coalesce(col("hit"), lit(false)))
       .drop("hit")
-      // labels is bounded by the candidate graph, not the corpus
-      // (the q261 discipline) — broadcast, SMJ -> BHJ (guide §3.1)
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      // NOT broadcast (ADVICE r16): labels is keyed by doc_id over the
+      // whole near-dup candidate graph — a corpus-PROPORTIONAL set, not
+      // a domain-bounded one. At 100 TB it can blow the 8 GB broadcast
+      // cap; AQE picks the strategy from the measured size instead (at
+      // sf0.1 it still resolves to a broadcast at runtime). The contam
+      // frame below stays hinted: it is a DISTINCT label set of the
+      // contaminated clusters only, orders smaller than labels itself.
+      .join(labels, Seq("doc_id"), "left")
     val contam = tr.filter(col("direct") && col("label").isNotNull)
       .select(col("label")).distinct()
       .withColumn("chit", lit(true))

@@ -947,48 +947,47 @@ object MonitoringOps {
     */
   def q137(spark: SparkSession, dir: String): DataFrame = {
     // bounded by distinct (type, cents) — the q33 histogram class, far
-    // below corpus scale; checkpointed because FOUR consumers (median
-    // windows, deviation table, outlier count, final join) would
-    // otherwise each replay the events scan + aggregate
+    // below corpus scale (the 2-decimal domain is closed)
     val freq = table(spark, dir, "events")
       .select(col("event_type"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("x"))
       .groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val wn = Window.partitionBy(col("event_type"))
-    val wcum = wn.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val med = freq
-      .withColumn("n", sum(col("cnt")).over(wn))
-      .withColumn("cum", sum(col("cnt")).over(wcum))
-      .filter(col("cum") >= expr("(n + 1) div 2"))
-      .groupBy(col("event_type"))
-      .agg(min(col("x")).as("med_x"), max(col("n")).as("n_events"))
-    val dev = freq.join(broadcast(med), "event_type")
-      .select(col("event_type"), abs(col("x") - col("med_x")).as("d"),
-        col("cnt"), col("n_events"))
-      .groupBy(col("event_type"), col("d"))
-      .agg(sum(col("cnt")).as("dcnt"), max(col("n_events")).as("n_events"))
-    val wdcum = wn.orderBy(col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val mad = dev
-      .withColumn("cum", sum(col("dcnt")).over(wdcum))
-      .filter(col("cum") >= expr("(n_events + 1) div 2"))
-      .groupBy(col("event_type")).agg(min(col("d")).as("mad"))
-    // OPTIMIZATION r16 (guide §2.4): the outlier count is a slice of
-    // the DEVIATION histogram (|x − med| = d by construction), so it
-    // re-aggregates `dev` instead of a third freq⋈med pass — the dev
-    // exchange is identical to the MAD branch's and Catalyst reuses it
-    // (one fewer Exchange + one fewer freq re-read in the plan).
-    val out = dev.join(broadcast(mad), "event_type")
-      .filter(col("d") > lit(MadK) * col("mad"))
-      .groupBy(col("event_type")).agg(sum(col("dcnt")).as("n_outliers"))
-    med.join(broadcast(mad), "event_type")
-      .join(broadcast(out), Seq("event_type"), "left")
+    // OPTIMIZATION r17 (guide §2.4, §1.2 "the distributed algorithm" —
+    // the q250 fold discipline): the r16 shape still ran median, MAD and
+    // the outlier count as a 16-exchange window/join cascade over the
+    // tiny frequency frame (QProfile r16: 15 stage-jobs, ~2.3 s, all
+    // driver gaps between 20-140 ms mini-stages). Each per-type
+    // histogram is VALUE-DOMAIN-bounded (~10k cents rows at any corpus
+    // size), so the whole cascade fits one row per type: collect the
+    // sorted histogram and compute lower-median, MAD and the outlier
+    // count in expression folds. Same integer arithmetic, same lower-
+    // median rank ((n+1) div 2, first crossing in ascending order —
+    // elementwise cum over the d-sorted deviation list crosses the
+    // threshold at exactly the grouped histogram's min d, since the
+    // grouped cum at d equals the elementwise cum at d's last element.
+    // The corpus pays the same single scan + (type, x) partial-agg
+    // shuffle; the plan is 2 exchanges instead of 16, no checkpoint
+    // (the frequency frame now has ONE consumer).
+    def lowerMedian(arr: String, v: String): String =
+      s"""aggregate($arr,
+         |  named_struct('cum', CAST(0 AS BIGINT), 'm', CAST(NULL AS BIGINT)),
+         |  (a, s) -> IF(a.m IS NOT NULL, a,
+         |    named_struct('cum', a.cum + s.cnt,
+         |      'm', IF(a.cum + s.cnt >= (n_events + 1) div 2, s.$v,
+         |              CAST(NULL AS BIGINT)))),
+         |  a -> a.m)""".stripMargin
+    freq.groupBy(col("event_type"))
+      .agg(expr("array_sort(collect_list(struct(x, cnt)))").as("xs"),
+        sum(col("cnt")).as("n_events"))
+      .withColumn("med_x", expr(lowerMedian("xs", "x")))
+      .withColumn("ds", expr(
+        "array_sort(transform(xs, s -> struct(abs(s.x - med_x) AS d, s.cnt AS cnt)))"))
+      .withColumn("mad", expr(lowerMedian("ds", "d")))
+      .withColumn("n_outliers", expr(
+        s"aggregate(filter(ds, s -> s.d > $MadK * mad), CAST(0 AS BIGINT), (a, s) -> a + s.cnt)"))
       .select(col("event_type"), col("n_events"), col("med_x"), col("mad"),
-        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
-        expr("(1000 * coalesce(n_outliers, 0)) div n_events")
-          .as("outlier_permille"))
+        col("n_outliers"),
+        expr("(1000 * n_outliers) div n_events").as("outlier_permille"))
       .orderBy(col("event_type"))
   }
 

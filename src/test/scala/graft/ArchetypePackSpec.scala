@@ -235,13 +235,33 @@ class ArchetypePackSpec extends AnyFunSuite {
       "fixture must contain at least one MAD outlier")
   }
 
-  test("q137's median passes reuse the frequency-table exchange") {
+  test("q137 runs as ONE histogram fold: a single events scan, no " +
+    "window operators, no joins (r17 optimization: the 16-exchange " +
+    "median/MAD/outlier cascade collapsed into expression folds over " +
+    "the value-domain-bounded sorted histogram)") {
     val df = MonitoringOps.q137(spark, sfDir)
-    df.collect() // AQE resolves exchange reuse at runtime: inspect final
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("StageReuse") ||
-      plan.contains("ReusedQueryStage"),
-      s"median/MAD/outlier passes must share the (type,cents) exchange, " +
-        s"not re-scan events:\n$plan")
+    // node-tree walk of the PRE-runtime plan, not a plan-string grep
+    // (AQE's toString prints Final AND Initial plans, double-counting)
+    // and not post-collect (materialized QueryStageExec nodes are
+    // leaves, hiding their subtrees from a children walk). The fold
+    // shape has a single consumer, so the static plan is deterministic.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case o => o +: (o.children.flatMap(flatten) ++
+        o.subqueries.flatMap(flatten))
+    }
+    val ns = flatten(df.queryExecution.executedPlan)
+    def names = ns.map(_.getClass.getSimpleName)
+    val scans = names.count(n =>
+      n == "FileSourceScanExec" || n == "BatchScanExec")
+    assert(scans == 1, s"q137 must scan events exactly once, got $scans:\n" +
+      s"${df.queryExecution.executedPlan}")
+    assert(!names.exists(_.contains("Join")),
+      s"q137 regressed to a join cascade:\n${df.queryExecution.executedPlan}")
+    assert(!ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"q137 regressed to window operators:\n${df.queryExecution.executedPlan}")
   }
 }
