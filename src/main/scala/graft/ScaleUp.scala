@@ -8,7 +8,13 @@ import org.apache.spark.sql.functions._
   * ≈ sf1) so bench queries can be checked for super-linear blowup beyond
   * the driver-provided corpora. Usage:
   *
-  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10 [saltPermille] [tablesCsv]"
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10 [saltPermille] [tablesCsv] [outFiles]"
+  *
+  * `copies = 1` is a pure re-layout (no key shift at copy 0, no word
+  * shuffle, no rotation): with `outFiles` = N it writes a bit-identical
+  * corpus spread over N files per table — the multi-row-group fixture
+  * for scan-parallelism measurements (the driver corpus is one file /
+  * one row group per table, so scan stages there are always 1 task).
   *
   * Semantics per table:
   *  - `region`/`nation` are dimensions — copied once, unshifted.
@@ -71,6 +77,9 @@ object ScaleUp {
     require(saltPermille >= 0 && saltPermille <= 1000,
       s"saltPermille must be in [0, 1000], got $saltPermille")
     val tableFilter = args.lift(4).map(_.split(',').map(_.trim).toSet)
+    // optional 6th arg: output files per table (0 = source layout) —
+    // the multi-row-group fixture knob; see the write site below
+    val outFiles = args.lift(5).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cpus)
     // events.ts is TIMESTAMP(NANOS): read the raw nanos as long and write
@@ -91,6 +100,12 @@ object ScaleUp {
           df.withColumn(k, col(k) + lit(c * Shift)))
         name match {
           case "documents" =>
+            // copies == 1 is a pure RE-LAYOUT (the multi-row-group
+            // fixture, VERDICT r16 item 7): rows must stay bit-identical
+            // to the source so results remain comparable — the word
+            // shuffle exists only to break cross-COPY near-duplication,
+            // which a single copy cannot have
+            if (copies == 1) shifted else {
             val shuffled = shifted.withColumn("text",
               array_join(shuffle(split(col("text"), " "), lit(c)), " "))
             // per-copy vocab salt: c·10⁷ % 1000 = 0, so the shifted
@@ -103,6 +118,7 @@ object ScaleUp {
                       .otherwise(concat(t, lit("x" + c)))), " "))
                   .otherwise(col("text")))
             else shuffled
+            }
           case "embeddings" if copies > 1 =>
             val rot = c % 64
             if (rot == 0) shifted
@@ -112,7 +128,14 @@ object ScaleUp {
           case _ => shifted
         }
       }.reduce(_ union _)
-      scaled.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      // outFiles > 0: spread each table over that many output files
+      // (VERDICT r16 item 7 — the driver corpus is ONE file with ONE
+      // row group per table, so every scan stage is 1 task and no
+      // parallelism claim is testable at any core count; a fixture
+      // with ≥ cores files lets scan-bound queries actually scale).
+      // Round-robin repartition, not keyed: layout only, no skew.
+      val out = if (outFiles > 0) scaled.repartition(outFiles) else scaled
+      out.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$dstDir/$name.parquet").count()} rows")
     }
     spark.stop()

@@ -464,6 +464,19 @@ object MonitoringOps {
         col("b.vec_id").as("vb"),
         floor(sqrt(VectorOps.intSqDist(col("a.qv"), col("b.qv"))
           .cast("double"))).cast("long").as("d"))
+      // OPTIMIZATION r17 (guide §2.6 idle capacity / §2.5): spread the
+      // pair frame across the cluster before checkpointing. Every
+      // downstream byte-cost is tiny but the PER-ROW work is not: each
+      // pair row expands (1+perms)× through the two broadcast endpoint
+      // joins into the (cmp, p) aggregate — ~4M probe+agg rows from
+      // ~40k pairs. The pair frame inherits its partitioning from the
+      // 2-partition members checkpoint, so that whole expansion ran in
+      // 2 tasks (QProfile r17: 1.24 s wall / 1.70 s CPU on a 32-core
+      // session, the query's dominant stage). Repartitioning ~40k rows
+      // costs microseconds and lets the expansion use every core; at
+      // cluster scale defaultParallelism is the executor-core count —
+      // the same knob, not a local[32] constant.
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint() // ≤ 2·C(200,2) rows; joined once per endpoint
     val nA = members.filter(col("grp") === "A")
       .groupBy(col("cmp")).agg(count(lit(1)).as("n_a"))

@@ -110,6 +110,19 @@ object Relational16 {
         p.count() // eager: register blocks before the concurrent consumers
         p
     }
+    // NOT repartitioned before the checkpoint (r17 negative result,
+    // guide §1.1 empirical loop): AQE coalesces the basket exchange to
+    // ~4 byte-sized partitions while the pair explode is CPU-dense, so
+    // spreading to defaultParallelism looked like the §2.6 fix — but
+    // measured WORSE end to end (QProfile r17: wall 2.49 s -> 3.68 s;
+    // the pair stage's taskSum inflated 2.9 s -> 21.7 s with 1.2 s GC
+    // across 32 concurrent explode tasks, and the perPart explode
+    // slowed 0.10 s -> 0.45 s wall). Same conclusion as the r16
+    // repartition-after-read revert: on this host extra concurrent
+    // allocation-heavy tasks burn far more CPU than the wall they
+    // recover. Kept as a documented no-go; a cluster where the basket
+    // frame has real width gets its parallelism from the exchange
+    // itself.
     val baskets = materialize(table(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))

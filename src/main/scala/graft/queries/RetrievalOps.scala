@@ -79,24 +79,29 @@ object RetrievalOps {
     // and the panel itself are transformed, never the whole corpus (the
     // corpus already paid its two cosine passes; a third corpus-wide
     // array transform here would be pure waste)
-    val fbSums = pass1
+    // OPTIMIZATION r17 (guide §2.4, the q250/q137 fold discipline): the
+    // centroid build ran as posexplode → (pid, d) aggregate → 3-way
+    // join → (pid) re-aggregate — two exchanges and a join chain over
+    // panel-bounded frames, ~6 of this query's 22 stage-jobs. The
+    // feedback vector q' = nr·qv(probe) + Σ qv(retrieved) is an
+    // order-free elementwise INTEGER sum of ≤ PrfK retrieved arrays, so
+    // it folds per probe: collect the retrieved quantized vectors and
+    // zip_with-accumulate onto nr·qv(probe). Identical per-dim BIGINT
+    // values, identical FLOAT cast — the oracle certifies it.
+    val retr = pass1
       .join(emb64.select(col("vec_id").as("nid"), col("embedding")), "nid")
-      .select(col("pid"), posexplode(
-        VectorOps.quantize(col("embedding"), ReleaseOps.EmbQScale))
-        .as(Seq("d", "x")))
-      .groupBy(col("pid"), col("d")).agg(sum(col("x")).as("s"))
-    val nRet = pass1.groupBy(col("pid")).agg(count(lit(1)).as("nr"))
-    val probeDims = probes
-      .select(col("pid"), posexplode(
-        VectorOps.quantize(col("pe"), ReleaseOps.EmbQScale))
-        .as(Seq("d", "px")))
-    val fbVec = probeDims
-      .join(fbSums, Seq("pid", "d"))
-      .join(nRet, "pid")
-      .select(col("pid"), col("d"), (col("nr") * col("px") + col("s")).as("v"))
       .groupBy(col("pid"))
-      .agg(expr("transform(array_sort(collect_list(struct(d, v)))," +
-        " e -> CAST(e.v AS FLOAT))").as("pe2"))
+      .agg(collect_list(
+        VectorOps.quantize(col("embedding"), ReleaseOps.EmbQScale))
+        .as("arrs"), count(lit(1)).as("nr"))
+    val fbVec = retr
+      .join(probes.select(col("pid"),
+        VectorOps.quantize(col("pe"), ReleaseOps.EmbQScale).as("qpe")), "pid")
+      .select(col("pid"), expr(
+        """transform(
+          |  aggregate(arrs, transform(qpe, x -> nr * x),
+          |    (acc, a) -> zip_with(acc, a, (u, v) -> u + v)),
+          |  v -> CAST(v AS FLOAT))""".stripMargin).as("pe2"))
     val pass2 = topK(broadcast(fbVec).crossJoin(cands)
       .filter(col("nid") =!= col("pid"))
       .select(col("pid"), col("nid"), col("nlabel"),
