@@ -129,7 +129,18 @@ object Relational16 {
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val perPart = materialize(baskets.select(explode(col("ps")).as("pkey"))
       .groupBy(col("pkey")).agg(count(lit(1)).as("n_p")))
-    baskets
+    // OPTIMIZATION r17 (guide §1.2 "don't compute things you throw
+    // away", §3.1): the final ordering (pair_n DESC, pk_a, pk_b) is
+    // fully determined BEFORE the support joins — the joins only attach
+    // n_a/n_b/lift and can never drop a pair (every pair pkey exists in
+    // perPart by construction). So the top-50 cut moves onto the pair
+    // aggregate itself (TakeOrderedAndProject over the pair counts) and
+    // the joins run on 50 rows with the 50-row side broadcast. The old
+    // shape force-broadcast perPart TWICE — a frame that grows with the
+    // part domain (QProfile sf1: two ~2 s near-zero-CPU broadcast-build
+    // jobs, 3.7 s of the query's 6.7 s; at 100 TB it courts the 8 GB
+    // broadcast cap) — and computed lift for every pair only to keep 50.
+    val top = baskets
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps) - i - 1),
@@ -137,15 +148,19 @@ object Relational16 {
       .select(col("pr.pk_a"), col("pr.pk_b"))
       .groupBy(col("pk_a"), col("pk_b"))
       .agg(count(lit(1)).as("pair_n"))
-      .join(broadcast(perPart.toDF("pk_a", "n_a")), "pk_a")
-      .join(broadcast(perPart.toDF("pk_b", "n_b")), "pk_b")
+      .orderBy(col("pair_n").desc, col("pk_a"), col("pk_b"))
+      .limit(50)
+    // both joins keep the ≤50-row side as the broadcast build and
+    // stream perPart straight off its checkpoint: no perPart shuffle,
+    // no perPart broadcast, at any scale
+    broadcast(broadcast(top).join(perPart.toDF("pk_a", "n_a"), "pk_a"))
+      .join(perPart.toDF("pk_b", "n_b"), "pk_b")
       .crossJoin(broadcast(nOrders))
       .select(col("pk_a"), col("pk_b"), col("pair_n"), col("n_a"),
         col("n_b"),
         expr("1000 * pair_n * n_orders DIV (n_a * n_b)")
           .as("lift_permille"))
       .orderBy(col("pair_n").desc, col("pk_a"), col("pk_b"))
-      .limit(50)
   }
 
   val q183Oracle: String =

@@ -355,9 +355,20 @@ object RetrievalOps {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= MmrPoolK).drop("rn")
       .localCheckpoint() // ONE corpus pass; pool_arr + both ps sides read it
+    // OPTIMIZATION r17 (guide §2.4; ADVICE r16 item 3): poolEmb is
+    // panel-bounded (≤ panel × MmrPoolK rows + their embeddings) and is
+    // consumed by BOTH sides of the ps self-join. The r16 shape relied
+    // on planner ReuseExchange to evaluate it once, which was
+    // NONDETERMINISTIC (2 or 4 embeddings scans depending on session
+    // history — the loosened test gate ADVICE r16 flagged). One
+    // checkpoint makes it exactly one join-back scan, always, and the
+    // self-join reads materialized blocks; the 4-scan worst case is
+    // structurally impossible now, and PlanShapeSpec pins the consumer
+    // at zero parquet scans deterministically.
     val poolEmb = pool.join(
       emb64.select(col("vec_id").as("nid"), col("embedding").as("ne")),
       "nid")
+      .localCheckpoint()
     val ps = poolEmb.as("a")
       .join(poolEmb.as("b"),
         col("a.pid") === col("b.pid") && col("a.nid") =!= col("b.nid"))

@@ -143,24 +143,14 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q250: greedy MMR runs as ONE array-fold expression over the " +
-    "pool checkpoint — exactly the two legitimate embeddings join-backs " +
-    "(the pair-sim pass), no per-round window/checkpoint chain " +
-    "(r16 optimization: 53 jobs -> ~10)") {
+    "pool/poolEmb checkpoints — zero parquet scans in the consumer " +
+    "plan, deterministically (ADVICE r16 item 3: the old ≤4 gate " +
+    "tolerated the planner's nondeterministic ReuseExchange; the " +
+    "poolEmb join-back is checkpointed now, so reuse is structural)") {
     val df = graft.queries.RetrievalOps.q250(spark, dir)
-    val ns = nodes(df)
-    // the ps pair-sim pass joins pool back to embeddings on its a/b
-    // sides: 2 scans when the planner's ReuseExchange unifies the
-    // identical subtrees, 4 in the pre-runtime plan when it defers the
-    // unification to AQE stage reuse (observed to depend on what else
-    // ran in the shared test session). More than 4 means the corpus
-    // pool pass leaked back into the consumer plan.
-    assert(parquetScans(ns).size <= 4,
-      s"q250 consumer plan has ${parquetScans(ns).size} file scans " +
-        s"(allowed ≤4):\n${df.queryExecution.executedPlan}")
-    assert(rddScans(ns).nonEmpty,
-      s"q250: expected the pool checkpoint as ExistingRDD:\n" +
-        s"${df.queryExecution.executedPlan}")
+    pinCheckpointConsumer("q250 pool/poolEmb", df)
     // the greedy rounds are an expression fold, not plan operators
+    val ns = nodes(df)
     assert(!ns.exists(n => className(n).startsWith("Window")),
       s"q250: greedy rounds regressed to window operators:\n" +
         s"${df.queryExecution.executedPlan}")
