@@ -59,11 +59,22 @@ object ImportanceOps {
         (col("h") % DsirBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("f"))
-    // OPTIMIZATION r16 (guide §2.4): bs is DsirBuckets rows at any
-    // corpus size and has two consumers (tot + lr) — checkpointing it
-    // stops the tot branch replaying the whole corpus bigram chain
-    // (plan: 3 documents scans -> 2; the remaining two are the honest
-    // aggregate + join-back passes, same as the oracle)
+      // OPTIMIZATION r17 (guide §2.4): db has TWO consumers (the bucket
+      // table below and the final per-doc join-back), and each replayed
+      // the full tokenize + shingle-hash + explode chain — the r16 plan
+      // honestly showed 2 documents scans, i.e. the corpus was
+      // TOKENIZED TWICE per run (QProfile: the two 0.44 s + 0.33 s
+      // single-task stages at sf0.1; at 100 TB, two full text passes).
+      // Checkpointing db makes it one: db is the (doc, lang, bucket, f)
+      // frame — ≤ DsirBuckets narrow integer rows per document, orders
+      // smaller than the text it derives from, and exactly the frame
+      // the DuckDB oracle declares MATERIALIZED. Corpus-PROPORTIONAL
+      // like q110's bands (the ADVICE r16 deviation note applies: a
+      // pipeline embedding this should persist(MEMORY_AND_DISK) at the
+      // same point — the q183Basket(Persist) seam pattern).
+      .localCheckpoint()
+    // bs is DsirBuckets rows at any corpus size with two consumers
+    // (tot + lr) — checkpointed since r16 so neither replays db
     val bs = db.groupBy(col("bucket"))
       .agg(sum(col("f")).as("r_b"),
         sum(when(col("lang") === "en", col("f")).otherwise(0L)).as("t_b"))
